@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the same fixture tables,
+and compares schema-insensitively: columns sorted by name, rows sorted by all
+columns, values compared exactly (floats to 9 significant digits).
+
+Dev-only tool — not part of the shipped library.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.9g}"
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        got = con.execute(
+            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        g_cols = [d[0] for d in got.description]
+        g_rows = got.fetchall()
+        if name not in oracle:
+            print(f"  ~ {name}: no oracle (rows={len(g_rows)})")
+            n_noracle += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            e_cols = [d[0] for d in exp.description]
+            e_rows = exp.fetchall()
+        except Exception as ex:
+            print(f"  ✗ {name}: ORACLE SQL ERROR: {ex}")
+            n_fail += 1
+            continue
+        gc, gr = canon(g_rows, g_cols)
+        ec, er = canon(e_rows, e_cols)
+        if gc != ec:
+            print(f"  ✗ {name}: column mismatch spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gr != er:
+            diff = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+            msg = (f"rowcount spark={len(gr)} oracle={len(er)}"
+                   if len(gr) != len(er) else
+                   f"first diff row {diff[0]}:\n    spark : {gr[diff[0]]}\n    oracle: {er[diff[0]]}")
+            print(f"  ✗ {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"  ✓ {name}: {len(gr)} rows")
+            n_pass += 1
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
