@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.{Coerce, Flatten}
+
+/** SURVEY.md §2.2 (P1–P18) scalar/coercion shapes as verifiable queries.
+  * DuckDB notes: regexp_replace needs 'g' for Spark's replace-all semantics;
+  * epoch() is DOUBLE (cast to BIGINT); year()/month() are BIGINT (cast to
+  * INT to match Spark); json fields come out of json_extract_string.
+  */
+object ScalarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // P1/P2/A4 — JSON flatten with explicit schema; absent fields NULL-safe
+    // (biilwerk_contracts.py:124-170; churn_reasons.py:68).
+    QueryDef(
+      "q_json_flatten",
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+             |  json_extract_string(props, '$.missing') AS prop_missing,
+             |  value
+             |FROM events""".stripMargin),
+      (s, dir) => Flatten.fromJsonCols(
+          Tables.t(s, dir, "events").select("event_id", "props", "value"),
+          "props", "k int, missing string", Seq("k", "missing"))
+        .select(col("event_id"), col("k").as("prop_k"),
+          col("missing").as("prop_missing"), col("value"))),
+
+    // P8/P9 — error-tolerant numeric coercion + fillna/int-cast
+    // (pd.to_numeric(errors='coerce'); fillna(0).astype(int)).
+    QueryDef(
+      "q_coerce_numeric",
+      Some("""SELECT doc_id,
+             |  try_cast(raw AS DOUBLE) AS parsed,
+             |  CAST(coalesce(try_cast(raw AS DOUBLE), 0) AS BIGINT) AS filled
+             |FROM (SELECT doc_id,
+             |        CASE WHEN doc_id % 10 = 0 THEN 'n.a.'
+             |             ELSE CAST(n_chars AS VARCHAR) END AS raw
+             |      FROM documents)""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit("n.a."))
+            .otherwise(col("n_chars").cast("string")).as("raw"))
+        .select(col("doc_id"),
+          Coerce.toNumeric(col("raw")).as("parsed"),
+          Coerce.fillIntCast(col("raw")).as("filled"))),
+
+    // P10 — timestamp conversion family: ISO formatting, dd.MM.yyyy
+    // round-trip, month-end snap, epoch seconds, year/month parts.
+    QueryDef(
+      "q_time_convert",
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS order_date,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+             |  strftime(o_orderdate, '%d.%m.%Y') AS german_date,
+             |  CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS german_parsed,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_str"),
+          date_format(col("o_orderdate"), "dd.MM.yyyy").as("german_date"),
+          Coerce.germanDateToDate(date_format(col("o_orderdate"), "dd.MM.yyyy")).as("german_parsed"),
+          last_day(col("o_orderdate")).as("month_end"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))),
+
+    // P13/P14/P16 — CASE WHEN buckets, literal/audit columns, concat
+    // (bexio_orders_de.py:247-251; shore_bexio_all.py:55-57;
+    // biilwerk_customers.py:140).
+    QueryDef(
+      "q_case_concat",
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+             |       WHEN o_orderstatus = 'O' THEN 'open'
+             |       ELSE 'pending' END AS status_label,
+             |  concat_ws('-', o_orderpriority, o_orderstatus) AS priority_code,
+             |  'engine' AS src
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", lit("finished"))
+            .when(col("o_orderstatus") === "O", lit("open"))
+            .otherwise(lit("pending")).as("status_label"),
+          concat_ws("-", col("o_orderpriority"), col("o_orderstatus")).as("priority_code"),
+          lit("engine").as("src"))),
+
+    // P11/P12 — string cleaning: whitespace collapse, SQL-literal escape,
+    // replace, case-fold (clean_text / convert_value, duplicated across ~8
+    // reference files).
+    QueryDef(
+      "q_string_clean",
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean,
+             |  replace(trim(regexp_replace(text, '\s+', ' ', 'g')), 'a', '@') AS replaced,
+             |  upper(substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 20)) AS head20,
+             |  length(text) AS n_raw
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val clean = Coerce.cleanText(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            clean.as("clean"),
+            regexp_replace(clean, "a", "@").as("replaced"),
+            upper(substring(clean, 1, 20)).as("head20"),
+            length(col("text")).cast("long").as("n_raw"))
+      }),
+
+    // S8/P9 — sheet-style all-string ingestion then typed casts
+    // (get_all_records(dtype=str) → typed columns; active_orgs.py:25-40).
+    QueryDef(
+      "q_sheet_cast",
+      Some("""SELECT CAST(CAST(n_nationkey AS VARCHAR) AS INT) AS n_nationkey,
+             |  upper(CAST(n_name AS VARCHAR)) AS n_name,
+             |  CAST(coalesce(try_cast(CAST(n_regionkey AS VARCHAR) AS DOUBLE), 0) AS BIGINT) AS n_regionkey
+             |FROM nation""".stripMargin),
+      (s, dir) => {
+        // simulate the all-string sheet payload, then coerce back to types
+        val asSheet = Tables.t(s, dir, "nation")
+          .select(Seq("n_nationkey", "n_name", "n_regionkey")
+            .map(c => col(c).cast("string").as(c)): _*)
+        asSheet.select(
+          col("n_nationkey").cast("int").as("n_nationkey"),
+          upper(col("n_name")).as("n_name"),
+          Coerce.fillIntCast(col("n_regionkey")).as("n_regionkey"))
+      })
+  )
+}
