@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{NestedQueries, RelationalQueries, ScalarQueries}
+import graft.queries.{IngestQueries, NestedQueries, RelationalQueries, ScalarQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* as QueryDef(name, oracle, run) triples so
@@ -10,7 +10,8 @@ import graft.queries.{NestedQueries, RelationalQueries, ScalarQueries}
 object SparkEntry {
 
   private[graft] def registry: Seq[QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++ NestedQueries.defs
+    RelationalQueries.defs ++ ScalarQueries.defs ++ NestedQueries.defs ++
+      IngestQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.state.Cursor
+import graft.tables.Warehouse
+
+/** §2.9 — incremental ingestion, two Spark-native forms.
+  *
+  * 1. `availableNowWindowed`: Structured Streaming with
+  *    Trigger.AvailableNow over a parquet directory — the engine's own
+  *    checkpointed exactly-once replacement for the reference's
+  *    Variable-based cursor (billwerk_invoices.py:86-99). Watermark +
+  *    tumbling-window aggregation; state is bounded by the watermark delay,
+  *    so this runs unchanged on an unbounded 100 TB stream.
+  *
+  * 2. `batchIncrement`: the literal reference protocol — read rows above
+  *    the watermark, sink idempotently, THEN advance the cursor
+  *    (at-least-once fetch + idempotent sink = exactly-once effect).
+  */
+object IncrementalStream {
+
+  /** Windowed event counts/sums with a watermark, AvailableNow trigger.
+    * Caller supplies checkpoint + output sink via the returned writer.
+    */
+  def availableNowWindowed(
+      spark: SparkSession,
+      srcGlob: String,
+      checkpoint: String,
+      window_ : String = "1 hour",
+      watermarkDelay: String = "2 hours"): (DataFrame, String) = {
+    val schema = spark.read.parquet(srcGlob).schema
+    val stream = spark.readStream.schema(schema).parquet(srcGlob)
+      // ns→µs exactly as Tables.t (nanosAsLong reads ts as long)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+    (stream, checkpoint)
+  }
+
+  /** Run the AvailableNow stream to completion into an in-memory/parquet
+    * sink and return when drained.
+    */
+  def runAvailableNow(agg: DataFrame, checkpoint: String, outPath: String): Unit = {
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Batch incremental with explicit watermark state: fetch rows with
+    * `idCol` above the cursor, append-if-absent into the warehouse table,
+    * advance the cursor to the batch max only after the write succeeds.
+    * Returns rows ingested. Re-running after a crash between sink and
+    * advance is a no-op thanks to the idempotent sink.
+    */
+  def batchIncrement(
+      src: DataFrame,
+      idCol: String,
+      wh: Warehouse,
+      table: String,
+      cursor: Cursor): Long = {
+    val from = cursor.value()
+    val batch = src.filter(col(idCol) > lit(from))
+    val stats = batch.agg(count(lit(1)), max(col(idCol))).first()
+    val n = stats.getLong(0)
+    if (n > 0) {
+      wh.appendIfAbsent(table, batch, Seq(idCol))
+      cursor.advance(stats.getLong(1))
+    }
+    n
+  }
+}
