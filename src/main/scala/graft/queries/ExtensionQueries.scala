@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.dedup.{Dedup, MinHashLSH}
+import graft.expressions.SimHash64
+import graft.multimodal.Binary
+import graft.sim.Knn
+import graft.text.{Fingerprint, LangId, TextStats}
+
+/** Training-data pipeline operators (the north-star extensions in
+  * BASELINE.json): dedup, similarity, text analysis, multimodal plumbing.
+  * Oracle SQL provided wherever DuckDB can express the computation with
+  * bit-identical scalar expression trees; approximate/sketch pipelines are
+  * verified by ScalaTest recall/consistency checks instead.
+  */
+object ExtensionQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text quality features — identical expression trees both engines.
+    QueryDef(
+      "q_text_stats",
+      Some("""SELECT doc_id,
+             |  length(text) AS n_chars_calc,
+             |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_lex_tokens,
+             |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS BIGINT) AS n_stopwords,
+             |  round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+             |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+             |FROM documents""".stripMargin),
+      (s, dir) => TextStats.features(
+          Tables.t(s, dir, "documents").select("doc_id", "text"))
+        .drop("text")),
+
+    // Composite quality score (crude pre-filter before expensive dedup).
+    QueryDef(
+      "q_quality_score",
+      Some("""SELECT doc_id, round(
+             |  least(n_tokens / 50.0, 1.0) * 0.4 + alpha_ratio * 0.4 +
+             |  least(n_stopwords / 5.0, 1.0) * 0.2, 4) AS quality
+             |FROM (SELECT doc_id,
+             |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS n_stopwords
+             |FROM documents)""".stripMargin),
+      (s, dir) => TextStats.qualityScore(
+          Tables.t(s, dir, "documents").select("doc_id", "text"))
+        .select("doc_id", "quality")),
+
+    // Exact dedup by normalized content hash.
+    QueryDef(
+      "q_dedup_exact",
+      Some("""SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+             |  min(doc_id) AS canonical_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin),
+      (s, dir) => Dedup.exact(
+        Tables.t(s, dir, "documents"), "doc_id", "text")),
+
+    // Exact word-set Jaccard pairs — ground truth for the MinHash path.
+    QueryDef(
+      "q_word_jaccard",
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_distinct(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |FROM documents)
+             |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.ws, b.ws))::DOUBLE / len(list_distinct(a.ws || b.ws)) AS jaccard
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.9""".stripMargin),
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
+
+    // MinHash+LSH near-dup (scale path) — verified by recall spec, not SQL.
+    QueryDef(
+      "q_minhash_neardup",
+      None,
+      (s, dir) => MinHashLSH.nearDuplicates(
+        Tables.t(s, dir, "documents"), "doc_id", "text")),
+
+    // SimHash via the native Catalyst expression.
+    QueryDef(
+      "q_simhash",
+      None,
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          SimHash64.simhash64(s,
+            transform(split(Dedup.normalized(col("text")), " "), t => xxhash64(t)))
+            .as("simhash"))),
+
+    // Winnowing fingerprint sketch.
+    QueryDef(
+      "q_fingerprint",
+      None,
+      (s, dir) => Fingerprint.withFingerprint(
+          Tables.t(s, dir, "documents")
+            .select(col("doc_id"), Dedup.normalized(col("text")).as("norm_text")),
+          "norm_text")
+        .select(col("doc_id"), col("fingerprint"), size(col("sketch")).as("sketch_size"))),
+
+    // Language-ID heuristic (profile argmax).
+    QueryDef(
+      "q_lang_id",
+      None,
+      (s, dir) => LangId.detect(
+          Tables.t(s, dir, "documents").select("doc_id", "text", "lang"))
+        .select("doc_id", "lang", "lang_pred", "lang_score")),
+
+    // Brute-force cosine top-k (ANN correctness baseline).
+    QueryDef(
+      "q_knn_cosine",
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |          FROM embeddings WHERE vec_id < 20),
+             |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             |          FROM embeddings)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             |       round(cos, 4) AS cos
+             |FROM (SELECT query_id, neighbor_id,
+             |        list_cosine_similarity(qv, cv) AS cos,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+             |      FROM q JOIN c ON query_id <> neighbor_id)
+             |WHERE rank <= 3""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        Knn.bruteForceTopK(
+          e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+      }),
+
+    // Embedding near-duplicate pairs (threshold from the fixture's cosine
+    // distribution — max pair cosine is ~0.51).
+    QueryDef(
+      "q_embed_neardup",
+      Some("""SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+             |WHERE cos >= 0.4""".stripMargin),
+      (s, dir) => Knn.nearDupPairs(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+
+    // Vector norms (array math sanity surface; fixtures are unit vectors).
+    QueryDef(
+      "q_embed_norm",
+      Some("""SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS norm
+             |FROM embeddings""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Knn.norm(transform(col("embedding"), _.cast("double"))), 4).as("norm"))),
+
+    // LSH-bucketed ANN (scale path) — verified by recall spec.
+    QueryDef(
+      "q_ann_lsh",
+      None,
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        Knn.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 3, numPlanes = 8, dim = 64)
+      }),
+
+    // Multimodal binary plumbing with stubbed decode.
+    QueryDef(
+      "q_multimodal",
+      None,
+      (s, dir) => Binary.decodeFeatures(
+          Binary.attachPayload(Tables.t(s, dir, "documents"), "doc_id", "text"))
+        .select("doc_id", "meta.byte_len", "meta.width", "meta.height",
+          "feat_byte_len", "feat_head", "feat_checksum"))
+  )
+}

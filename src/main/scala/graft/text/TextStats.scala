@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality analysis for training-data pipelines: length/token/punct/
+  * stopword features per document, all as codegen'd column expressions —
+  * a 100 TB corpus runs these embarrassingly parallel with zero shuffles.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the cheap counter). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexer tokenization: letter runs, digit runs, single
+    * punctuation — the usual pre-tokenizer shape for LLM token estimates.
+    */
+  val lexerPattern = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
+  def lexTokens(text: Column): Column = regexp_extract_all(text, lit(lexerPattern), lit(0))
+
+  def stopwords: Seq[String] = Seq("the", "and", "of", "to", "a")
+  private def stopwordRe = s"\\b(${stopwords.mkString("|")})\\b"
+
+  /** Per-document quality features. Ratios are rounded to 4 places so the
+    * values are engine-portable (see tools/check.py notes on rounding).
+    */
+  def features(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    df
+      .withColumn("n_chars_calc", len)
+      .withColumn("n_tokens", size(tokens(t)).cast("long"))
+      .withColumn("n_lex_tokens", size(lexTokens(t)).cast("long"))
+      .withColumn("alpha_ratio", round(alpha.cast("double") / len, 4))
+      .withColumn("n_stopwords",
+        size(regexp_extract_all(lower(t), lit(stopwordRe), lit(0))).cast("long"))
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast("double")
+          / size(tokens(t)), 4))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, word-like, has
+    * stopwords — the usual crude pre-filter before expensive dedup.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    features(df, textCol).withColumn("quality",
+      round(
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
+        col("alpha_ratio") * 0.4 +
+        least(col("n_stopwords").cast("double") / 5.0, lit(1.0)) * 0.2, 4))
+}

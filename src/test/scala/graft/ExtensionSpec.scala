@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionSpec extends SparkSpec {
+  import graft.dedup.{Dedup, MinHashLSH}
+  import graft.expressions.SimHash64
+  import graft.sim.Knn
+
+  test("exact dedup collapses injected duplicates deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   world"), (2L, "hello world"), (3L, "other text"),
+      (4L, "HELLO WORLD")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 3).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val cfg = MinHashLSH.Config(numHashes = 64, bands = 16, shingleSize = 3,
+      threshold = 0.5)
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", cfg).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("minhash candidates recall exact jaccard pairs on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b")
+    val cfg = MinHashLSH.Config(numHashes = 64, bands = 16, shingleSize = 1,
+      threshold = 0.9)
+    val lsh = MinHashLSH.nearDuplicates(docs, "doc_id", "text", cfg)
+      .select("doc_a", "doc_b")
+    val nExact = exact.count()
+    val found = exact.intersect(lsh).count()
+    assert(nExact > 0)
+    val recall = found.toDouble / nExact
+    assert(recall >= 0.8, s"recall=$recall ($found/$nExact)")
+    // verification step guarantees precision = 1 w.r.t. exact jaccard
+    assert(lsh.exceptAll(exact).isEmpty)
+  }
+
+  test("simhash: near-dup texts land close in hamming distance") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " x y"
+    val far = (200 to 260).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select(col("id"), SimHash64.simhash64(spark,
+        transform(split(col("text"), " "), t => xxhash64(t))).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 12)
+  }
+
+  test("simhash expression survives codegen (non-local plan)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val out = docs.select(col("doc_id"), SimHash64.simhash64(spark,
+      transform(split(col("text"), " "), t => xxhash64(t))).as("sh"))
+    assert(out.filter(col("sh") =!= 0L).count() > 0)
+  }
+
+  test("lsh ANN recall on clustered synthetic vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 10 well-separated centroids, 20 members each with small noise
+    val centroids = Array.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = for {
+      c <- 0 until 10; m <- 0 until 20
+    } yield {
+      val v = centroids(c).map(_ + rnd.nextGaussian() * 0.05f)
+      ((c * 20 + m).toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0)
+    val exact = Knn.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val ann = Knn.lshTopK(queries, df, "vec_id", "embedding", 5,
+      numPlanes = 6, dim = 64)
+      .select("query_id", "neighbor_id")
+    val recall = exact.intersect(ann).count().toDouble / exact.count()
+    assert(recall >= 0.8, s"ANN recall=$recall")
+  }
+
+  test("lang id picks the planted language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog went to a house of cards"),
+      (2L, "der hund und die katze ist nicht mit dem mann"),
+      (3L, "le chat est une belle chose que la vie"),
+      (4L, "el perro es una cosa que los gatos para nada"),
+      (5L, "山 川 日 月 人 口 手")).toDF("doc_id", "text")
+    val out = graft.text.LangId.detect(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr"
+      && out(4L) == "es" && out(5L) == "zh")
+  }
+
+  test("multimodal decode emits deterministic features for every row") {
+    val out = q("q_multimodal").collect()
+    assert(out.length == 500)
+    assert(out.forall(r =>
+      r.getAs[Long]("feat_byte_len") == r.getAs[Long]("byte_len")))
+    assert(out.forall(r => r.getAs[Long]("feat_checksum") > 0))
+  }
+
+  test("fingerprint: identical prefix docs share sketch hashes") {
+    import spark.implicits._
+    import graft.text.Fingerprint
+    val df = Fingerprint.withFingerprint(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again!!"),
+        (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("id", "text"), "text")
+      .select(col("id"), col("sketch").as("sk"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sim12 = m(1L).intersect(m(2L)).size.toDouble / m(1L).union(m(2L)).size
+    val sim13 = m(1L).intersect(m(3L)).size.toDouble / m(1L).union(m(3L)).size
+    assert(sim12 > 0.6 && sim13 == 0.0)
+  }
+}
