@@ -4,15 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.DotProduct
+
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine is the correctness baseline; the
   * random-hyperplane LSH variant is the scale path — queries only compare
   * against their bucket instead of the full corpus.
+  *
+  * Norms are precomputed per side BEFORE any join (one traversal per row,
+  * not per pair) and the per-pair dot product is the codegen'd
+  * [[DotProduct]] expression — the two decisions that keep pairwise scoring
+  * join-bound instead of expression-bound.
   */
 object Knn {
 
-  /** Dot product of two double arrays, sequential fold (deterministic
-    * evaluation order → reproducible floats).
+  /** Interpreted dot (higher-order functions) — fine for per-row use;
+    * never use in a pairwise join (see [[DotProduct]]).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
@@ -23,21 +30,26 @@ object Knn {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** (id, vec as double, norm) projection for one join side. */
+  private def side(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn(normAs, norm(col(vecAs)))
+
   /** Exact top-k by cosine: broadcast the (small) query side against the
     * corpus, rank per query. Ties broken by corpus id — deterministic.
-    * Corpus-side scan stays embarrassingly parallel; the only shuffle is
-    * the per-query top-k window.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val spark = queries.sparkSession
+    val q = side(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = side(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        DotProduct.dot(spark, col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -53,7 +65,8 @@ object Knn {
   }
 
   /** Sign-bit LSH bucket id for each vector: bit p = [v · plane_p > 0].
-    * Cosine-similar vectors collide with high probability.
+    * Cosine-similar vectors collide with high probability. Per-row (not
+    * per-pair) work, so the interpreted dot is acceptable here.
     */
   def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
     planes(numPlanes, dim, seed).zipWithIndex
@@ -70,15 +83,17 @@ object Knn {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int, dim: Int,
       seed: Long = 42L): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"),
-      lshBucket(col(vecCol), numPlanes, dim, seed).as("bucket"))
+    val spark = queries.sparkSession
+    val q = side(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim, seed))
+    val c = side(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("bucket", lshBucket(col("cv"), numPlanes, dim, seed))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        DotProduct.dot(spark, col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -90,11 +105,13 @@ object Knn {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    val spark = df.sparkSession
+    val a = side(df, idCol, vecCol, "id_a", "va", "na_")
+    val b = side(df, idCol, vecCol, "id_b", "vb", "nb_")
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        DotProduct.dot(spark, col("va"), col("vb")) / (col("na_") * col("nb_")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
