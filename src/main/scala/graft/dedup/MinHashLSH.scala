@@ -76,7 +76,11 @@ object MinHashLSH {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val sh = shingles(df, idCol, textCol, cfg.shingleSize).cache()
+    // no cache(): the shingle subplan ends in a distinct shuffle, and the
+    // four consumers share it via ReuseExchange. A cache() here leaked
+    // across queries and measurably degraded later jobs in the session;
+    // an eager localCheckpoint ran the pipeline at construction time.
+    val sh = shingles(df, idCol, textCol, cfg.shingleSize)
     val cand = candidates(bandSignatures(minhashSignatures(sh, cfg), cfg))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand

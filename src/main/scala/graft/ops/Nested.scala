@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
 object Nested {
 
   /** Build the nested parent→items form: one row per parent with an array of
-    * item structs. `sort_array` pins element order (collect_list order is
-    * partition-dependent) so downstream first-element plucks are
-    * deterministic. One shuffle on the parent key.
+    * item structs. With `sorted` (default), `sort_array` pins element order
+    * (collect_list order is partition-dependent) so downstream first-element
+    * plucks are deterministic; pass sorted=false when downstream consumers
+    * are order-insensitive (aggregations, re-explosion) to skip the per-row
+    * sort. One shuffle on the parent key either way.
     */
   def nest(df: DataFrame, parentKey: String, itemCols: Seq[String],
-      as: String = "items"): DataFrame =
+      as: String = "items", sorted: Boolean = true): DataFrame = {
+    val arr = collect_list(struct(itemCols.map(col): _*))
     df.groupBy(parentKey)
-      .agg(sort_array(collect_list(struct(itemCols.map(col): _*))).as(as))
+      .agg((if (sorted) sort_array(arr) else arr).as(as))
+  }
 
   /** A1/A2 — explode array-of-struct to child rows carrying parent columns
     * (bexio_orders_de.py:195-208; lex_office_invoice_items.py:212-249).

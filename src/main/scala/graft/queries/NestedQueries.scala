@@ -23,7 +23,7 @@ object NestedQueries {
              |FROM lineitem""".stripMargin),
       (s, dir) => {
         val nested = Nested.nest(
-          Tables.t(s, dir, "lineitem"), "l_orderkey", itemCols)
+          Tables.t(s, dir, "lineitem"), "l_orderkey", itemCols, sorted = false)
         Nested.explodeChild(nested, Seq("l_orderkey"), "items")
       }),
 
@@ -58,7 +58,7 @@ object NestedQueries {
              |FROM lineitem GROUP BY l_orderkey""".stripMargin),
       (s, dir) => {
         val nested = Nested.nest(
-          Tables.t(s, dir, "lineitem"), "l_orderkey", itemCols)
+          Tables.t(s, dir, "lineitem"), "l_orderkey", itemCols, sorted = false)
         nested.select(
           col("l_orderkey"),
           size(col("items")).as("n_items"),
