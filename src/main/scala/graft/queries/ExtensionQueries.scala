@@ -160,6 +160,17 @@ object ExtensionQueries {
           k = 3, numPlanes = 8, dim = 64)
       }),
 
+    // IVF ANN (coarse-quantizer cells + nprobe search) — verified by
+    // recall spec.
+    QueryDef(
+      "q_ann_ivf",
+      None,
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.sim.Ivf.topK(e.filter(col("vec_id") < 20), e, "vec_id",
+          "embedding", k = 3, numCells = 8, nprobe = 2)
+      }),
+
     // Multimodal binary plumbing with stubbed decode.
     QueryDef(
       "q_multimodal",

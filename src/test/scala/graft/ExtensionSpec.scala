@@ -93,6 +93,26 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall=$recall")
   }
 
+  test("ivf ANN recall on clustered synthetic vectors") {
+    import spark.implicits._
+    import graft.sim.Ivf
+    val rnd = new scala.util.Random(11)
+    val centroids = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = for { c <- 0 until 8; m <- 0 until 25 } yield {
+      val v = centroids(c).map(_ + rnd.nextGaussian() * 0.05)
+      ((c * 25 + m).toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val exact = Knn.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val ivf = Ivf.topK(queries, df, "vec_id", "embedding",
+        k = 5, numCells = 8, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val recall = exact.intersect(ivf).count().toDouble / exact.count()
+    assert(recall >= 0.9, s"IVF recall=$recall")
+  }
+
   test("lang id picks the planted language") {
     import spark.implicits._
     val df = Seq(
