@@ -142,6 +142,20 @@ object RelationalQueries {
         Relational.deleteInsert(target, batch, Seq("o_orderkey"))
       }),
 
+    // Skew-salted two-phase aggregation — must be indistinguishable from
+    // the plain GROUP BY (the oracle IS the unsalted SQL): the hot
+    // returnflag keys split across 8 salts map-side, partials recombine.
+    QueryDef(
+      "q_salted_agg",
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => graft.ops.Skew.saltedAgg(
+        Tables.t(s, dir, "lineitem"),
+        keys = Seq("l_returnflag"), salts = 8,
+        partials = Seq(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pn")),
+        combine = Seq(round(sum(col("ps")), 2).as("sum_qty"), sum(col("pn")).as("n")))),
+
     // G1 — SELECT DISTINCT projection (hubspot_pos_company_status_v2.py:138).
     QueryDef(
       "q_distinct",
