@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.dedup.{Dedup, MinHashLSH}
-import graft.expressions.SimHash64
+import graft.expressions.{Hashing, SimHash64}
 import graft.multimodal.Binary
 import graft.sim.Knn
 import graft.text.{Fingerprint, LangId, TextStats}
@@ -79,30 +79,71 @@ object ExtensionQueries {
       (s, dir) => MinHashLSH.nearDuplicates(
         Tables.t(s, dir, "documents"), "doc_id", "text")),
 
-    // SimHash via the native Catalyst expression.
+    // SimHash via the native Catalyst expression; token features use the
+    // sha256-derived 60-bit hash so DuckDB recomputes the identical simhash
+    // (bits 60-63 are structurally 0 on both engines).
     QueryDef(
       "q_simhash",
-      None,
+      Some("""WITH tok AS (SELECT doc_id, list_transform(
+             |    regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             |    t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS hs
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_sum(list_transform(hs, h ->
+             |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+             |FROM tok""".stripMargin),
       (s, dir) => Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           SimHash64.simhash64(s,
-            transform(split(Dedup.normalized(col("text")), " "), t => xxhash64(t)))
+            transform(split(Dedup.normalized(col("text")), " "), t => Hashing.sha60(t)))
             .as("simhash"))),
 
-    // Winnowing fingerprint sketch.
+    // Winnowing fingerprint sketch (sha60 k-gram hashes for oracle parity;
+    // fingerprint = xor-fold of the sorted-distinct sketch).
     QueryDef(
       "q_fingerprint",
-      None,
+      Some("""WITH n AS (SELECT doc_id,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+             |kg AS (SELECT doc_id, list_transform(
+             |    range(1, greatest(length(t) - 4, 1) + 1),
+             |    i -> ('0x' || substr(sha256(substr(t, i, 5)), 1, 15))::BIGINT) AS hs
+             |  FROM n),
+             |sk AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+             |    range(1, greatest(len(hs) - 3, 1) + 1),
+             |    i -> list_aggregate(hs[i:i+3], 'min')))) AS sketch
+             |  FROM kg)
+             |SELECT doc_id, list_reduce(sketch, (a, b) -> xor(a, b)) AS fingerprint,
+             |  CAST(len(sketch) AS INT) AS sketch_size
+             |FROM sk""".stripMargin),
       (s, dir) => Fingerprint.withFingerprint(
           Tables.t(s, dir, "documents")
             .select(col("doc_id"), Dedup.normalized(col("text")).as("norm_text")),
-          "norm_text")
+          "norm_text", hashFn = Hashing.sha60)
         .select(col("doc_id"), col("fingerprint"), size(col("sketch")).as("sketch_size"))),
 
-    // Language-ID heuristic (profile argmax).
+    // Language-ID heuristic (profile argmax). The oracle reproduces the
+    // argmax as max-of-structs: field order (score, lang) makes struct
+    // ordering identical to Spark's greatest(struct(s, l)).
     QueryDef(
       "q_lang_id",
-      None,
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS INT) AS s_de,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS INT) AS s_en,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|para)\b')) AS INT) AS s_es,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS INT) AS s_fr,
+             |  CAST(3 * len(regexp_extract_all(text, '[\p{Han}]')) AS INT) AS s_zh
+             |FROM documents),
+             |b AS (SELECT doc_id, lang, (list_sort([
+             |    {'s': s_de, 'l': 'de'}, {'s': s_en, 'l': 'en'},
+             |    {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'},
+             |    {'s': s_zh, 'l': 'zh'}]))[-1] AS best
+             |FROM s)
+             |SELECT doc_id, lang,
+             |  CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred,
+             |  best.s AS lang_score
+             |FROM b""".stripMargin),
       (s, dir) => LangId.detect(
           Tables.t(s, dir, "documents").select("doc_id", "text", "lang"))
         .select("doc_id", "lang", "lang_pred", "lang_score")),
@@ -171,10 +212,22 @@ object ExtensionQueries {
           "embedding", k = 3, numCells = 8, nprobe = 2)
       }),
 
-    // Multimodal binary plumbing with stubbed decode.
+    // Multimodal binary plumbing. The decode stays a stub (no codec libs in
+    // this container) but its deterministic byte features are externally
+    // checkable: DuckDB recomputes length/head/checksum over the same blob.
     QueryDef(
       "q_multimodal",
-      None,
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents)
+             |SELECT doc_id,
+             |  octet_length(b)::BIGINT AS byte_len,
+             |  CAST(doc_id % 640 AS INT) AS width,
+             |  CAST(doc_id % 480 AS INT) AS height,
+             |  octet_length(b)::BIGINT AS feat_byte_len,
+             |  CASE WHEN octet_length(b) = 0 THEN -1
+             |       ELSE ('0x' || substr(hex(b), 1, 2))::INT END AS feat_head,
+             |  COALESCE(list_sum(list_transform(range(0, octet_length(b)),
+             |    i -> ('0x' || substr(hex(b), 2*i+1, 2))::INT)), 0)::BIGINT AS feat_checksum
+             |FROM p""".stripMargin),
       (s, dir) => Binary.decodeFeatures(
           Binary.attachPayload(Tables.t(s, dir, "documents"), "doc_id", "text"))
         .select("doc_id", "meta.byte_len", "meta.width", "meta.height",

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprint {
 
-  /** Hashes of all character k-grams of `text`. */
-  def kgramHashes(text: Column, k: Int): Column =
+  /** Hashes of all character k-grams of `text`. `hashFn` defaults to the
+    * fast engine-internal xxhash64; pass [[graft.expressions.Hashing.sha60]]
+    * when an external oracle must recompute the hashes.
+    */
+  def kgramHashes(text: Column, k: Int,
+      hashFn: Column => Column = xxhash64(_)): Column =
     transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => xxhash64(substring(text, i, lit(k))))
+      i => hashFn(substring(text, i, lit(k))))
 
   /** Winnowing sketch over a MATERIALIZED hash-array column (see scaladoc). */
   def winnow(hashes: Column, w: Int): Column =
@@ -28,14 +32,17 @@ object Fingerprint {
       sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
       i => array_min(slice(hashes, i, lit(w))))))
 
-  /** Adds `sketch` (array<long>) and `fingerprint` (single 64-bit hash of
-    * the canonical sketch) columns. Equal fingerprints ⇒ near-certain
+  /** Adds `sketch` (array<long>) and `fingerprint` (xor-fold of the
+    * canonical sketch — order-independent over the sorted-distinct sketch,
+    * reproducible by any engine) columns. Equal fingerprints ⇒ near-certain
     * duplicate content; shared sketch hashes ⇒ shared substrings.
     */
   def withFingerprint(df: DataFrame, textCol: String, k: Int = 5, w: Int = 4,
-      sketchCol: String = "sketch", fpCol: String = "fingerprint"): DataFrame =
-    df.withColumn("__kg", kgramHashes(col(textCol), k))
+      sketchCol: String = "sketch", fpCol: String = "fingerprint",
+      hashFn: Column => Column = xxhash64(_)): DataFrame =
+    df.withColumn("__kg", kgramHashes(col(textCol), k, hashFn))
       .withColumn(sketchCol, winnow(col("__kg"), w))
-      .withColumn(fpCol, xxhash64(col(sketchCol)))
+      .withColumn(fpCol,
+        aggregate(col(sketchCol), lit(0L), (acc, x) => acc.bitwiseXOR(x)))
       .drop("__kg")
 }
