@@ -10,10 +10,29 @@ import org.apache.spark.sql.functions._
   * documents sharing a band bucket are ever compared, which is what makes
   * 100 TB feasible.
   *
-  * All hashing is xxhash64 with the band/permutation index mixed in — fully
-  * deterministic across runs and engines.
+  * Signatures use the classic (a·h + b) mod p permutation family over
+  * sha256-derived base hashes — fully deterministic AND reproducible by any
+  * other engine (the DuckDB oracle recomputes identical signatures from the
+  * same constants); band bucketing stays on fast engine-internal xxhash64,
+  * which only needs equality semantics, not cross-engine equality.
   */
 object MinHashLSH {
+
+  /** Modulus of the permutation family: 2^31−1 (prime). Base hashes and
+    * constants stay below it, so a·h+b < 2^62 — no int64 overflow under
+    * ANSI mode in either engine.
+    */
+  val Mod: Long = 2147483647L
+
+  /** Deterministic permutation constants (a_i, b_i), a ≠ 0. The SAME values
+    * are interpolated into the DuckDB oracle SQL, so the two engines can
+    * never drift apart silently.
+    */
+  def perms(n: Int): IndexedSeq[(Long, Long)] = {
+    val rnd = new java.util.Random(20260812L)
+    IndexedSeq.fill(n)(
+      (1L + rnd.nextInt((Mod - 1).toInt), rnd.nextInt(Mod.toInt).toLong))
+  }
 
   final case class Config(
       numHashes: Int = 64,
@@ -35,17 +54,21 @@ object MinHashLSH {
   }
 
   /** Per-document minhash signature: H min-aggregate columns (h0..hN), one
-    * per simulated permutation (shingle hashed with the slot index). The H
-    * mins are computed as map-side partial aggregates — the shuffle carries
-    * one row of H longs per document, NOT an exploded (doc, slot) row per
-    * shingle×slot (the explode formulation shuffled 64× the shingle count
-    * and ran ~3× slower).
+    * per permutation (a_i·h + b_i) mod p of the shingle's sha60 base hash.
+    * The H mins are computed as map-side partial aggregates — the shuffle
+    * carries one row of H longs per document, NOT an exploded (doc, slot)
+    * row per shingle×slot (the explode formulation shuffled 64× the
+    * shingle count and ran ~3× slower). The base hash is computed once per
+    * shingle; each slot is two integer ops on top.
     */
-  def minhashSignatures(sh: DataFrame, cfg: Config): DataFrame =
-    sh.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("shingle"))).as("h0"),
-      (1 until cfg.numHashes).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+  def minhashSignatures(sh: DataFrame, cfg: Config): DataFrame = {
+    val ps = perms(cfg.numHashes)
+    def slot(i: Int): Column =
+      min((col("__h") * ps(i)._1 + ps(i)._2) % Mod).as(s"h$i")
+    sh.withColumn("__h", graft.expressions.Hashing.sha60(col("shingle")) % Mod)
+      .groupBy("doc_id")
+      .agg(slot(0), (1 until cfg.numHashes).map(slot): _*)
+  }
 
   /** Band signatures: hash the r min-values of each band into one bucket
     * key → (doc_id, band, band_sig).
@@ -95,5 +118,47 @@ object MinHashLSH {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** DuckDB SQL computing exactly [[nearDuplicates]] over `table` — same
+    * shingles, same sha60 base hash, same permutation constants (a_i, b_i)
+    * interpolated from [[perms]], same band grouping, same exact-Jaccard
+    * verification. Band keys compare as the raw slot-value string where the
+    * Spark side compares their xxhash64 — identical equality semantics
+    * (a cross-doc 64-bit collision would additionally need Jaccard ≥
+    * threshold to survive verification).
+    */
+  def oracleSql(cfg: Config, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val values = perms(cfg.numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
+    val k = cfg.shingleSize
+    s"""WITH perms(i, a, b) AS (VALUES $values),
+       |d AS (SELECT $idCol AS doc_id,
+       |  regexp_split_to_array(lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM $table),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(toks) - ${k - 1}, 1) + 1),
+       |    i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS shingle FROM d),
+       |hs AS (SELECT doc_id, shingle,
+       |  ('0x' || substr(sha256(shingle), 1, 15))::BIGINT % $Mod AS h FROM sh),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % $Mod) AS m
+       |  FROM hs CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // ${cfg.rowsPerBand} AS band,
+       |  string_agg(m::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY doc_id, i // ${cfg.rowsPerBand}),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS ninter FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.doc_a
+       |  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
+       |  SELECT i.doc_a, i.doc_b, i.ninter::DOUBLE / (na.n + nb.n - i.ninter) AS jac
+       |  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b)
+       |WHERE jac >= ${cfg.threshold}""".stripMargin
   }
 }

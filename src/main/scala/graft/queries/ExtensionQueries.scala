@@ -72,10 +72,13 @@ object ExtensionQueries {
       (s, dir) => Dedup.jaccardPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
 
-    // MinHash+LSH near-dup (scale path) — verified by recall spec, not SQL.
+    // MinHash+LSH near-dup (scale path). The oracle recomputes the entire
+    // pipeline — sha60 permutation signatures, band buckets, exact-Jaccard
+    // verification — from the same constants, so the full hash gate applies
+    // (recall vs brute force is additionally spec-checked).
     QueryDef(
       "q_minhash_neardup",
-      None,
+      Some(MinHashLSH.oracleSql(MinHashLSH.Config())),
       (s, dir) => MinHashLSH.nearDuplicates(
         Tables.t(s, dir, "documents"), "doc_id", "text")),
 
@@ -169,17 +172,18 @@ object ExtensionQueries {
           e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
       }),
 
-    // Embedding near-duplicate pairs (threshold from the fixture's cosine
-    // distribution — max pair cosine is ~0.51).
+    // Embedding near-duplicate pairs via banded sign-LSH (threshold from
+    // the fixture's cosine distribution — max pair cosine is ~0.51). The
+    // oracle recomputes the banded pipeline from the same plane literals;
+    // recall vs the brute-force ground truth is spec-checked. r=2/b=16 fits
+    // the fixture's low threshold; production thresholds use higher r.
     QueryDef(
       "q_embed_neardup",
-      Some("""SELECT id_a, id_b, round(cos, 4) AS cos FROM (
-             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
-             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-             |WHERE cos >= 0.4""".stripMargin),
-      (s, dir) => Knn.nearDupPairs(
-        Tables.t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+      Some(Knn.nearDupBandedOracleSql(threshold = 0.4, bands = 16,
+        planesPerBand = 2, dim = 64)),
+      (s, dir) => Knn.nearDupPairsBanded(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bands = 16, planesPerBand = 2, dim = 64)),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(
@@ -191,25 +195,54 @@ object ExtensionQueries {
         .select(col("vec_id"),
           round(Knn.norm(transform(col("embedding"), _.cast("double"))), 4).as("norm"))),
 
-    // LSH-bucketed ANN (scale path) — verified by recall spec.
+    // LSH-bucketed ANN (scale path). The oracle recomputes bucket ids from
+    // the same plane literals and applies the same rank/tie rules — full
+    // hash gate; recall vs brute force is spec-checked separately.
     QueryDef(
       "q_ann_lsh",
-      None,
+      Some(Knn.lshOracleSql(k = 3, numPlanes = 8, dim = 64)),
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         Knn.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
           k = 3, numPlanes = 8, dim = 64)
       }),
 
-    // IVF ANN (coarse-quantizer cells + nprobe search) — verified by
-    // recall spec.
+    // IVF ANN (coarse-quantizer cells + nprobe search). The gated query
+    // runs iters=0 — cells from the k lowest-id seed vectors — which is
+    // fully deterministic float math both engines reproduce bit-identically;
+    // Lloyd-trained quality (iters>0, spherical k-means) is spec-checked by
+    // recall on clustered synthetic vectors.
     QueryDef(
       "q_ann_ivf",
-      None,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+             |    v AS cvec
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+             |asn AS (SELECT vec_id, v, centroid_id FROM (
+             |    SELECT e.vec_id, e.v, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
+             |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |probes AS (SELECT query_id, qv, centroid_id FROM (
+             |    SELECT q.query_id, q.qv, c.centroid_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.centroid_id) AS pr
+             |    FROM q CROSS JOIN cent c) WHERE pr <= 2),
+             |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    list_dot_product(p.qv, a.v)
+             |      / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+             |  FROM probes p JOIN asn a
+             |  ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos
+             |FROM (SELECT query_id, neighbor_id, cos,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |      FROM scored)
+             |WHERE rank <= 3""".stripMargin),
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         graft.sim.Ivf.topK(e.filter(col("vec_id") < 20), e, "vec_id",
-          "embedding", k = 3, numCells = 8, nprobe = 2)
+          "embedding", k = 3, numCells = 8, nprobe = 2, iters = 0)
       }),
 
     // Multimodal binary plumbing. The decode stays a stub (no codec libs in

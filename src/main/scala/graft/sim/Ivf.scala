@@ -1,10 +1,11 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.DotProduct
+import graft.tables.Warehouse
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
   * (k-means centroids) partitions the corpus into cells; a query scores
@@ -13,14 +14,26 @@ import graft.expressions.DotProduct
   * id at build time — at 100 TB this is the classic "cluster then search
   * within cluster" layout, with per-cell data co-located.
   *
-  * Training is Lloyd's algorithm expressed relationally: assignment is a
-  * broadcast argmax join, the update step is an elementwise mean via
-  * posexplode + groupBy(cell, dim). Deterministic: seeds are the lowest
-  * ids, ties break by centroid id.
+  * Training is Lloyd's algorithm with the centroid state held on the
+  * driver between iterations (k·dim doubles — the same structure Spark
+  * MLlib's KMeans uses): each assignment is a broadcast argmax join over
+  * the corpus, each update is one distributed aggregation collecting k
+  * rows. Keeping the k centroids driver-side resets the lineage every
+  * iteration (no re-running prior Lloyd rounds per action) and avoids the
+  * global-window seeding that previously funneled the whole corpus through
+  * a single partition. Centroids are L2-normalized after every update
+  * (spherical k-means) so the max-dot assignment remains a true
+  * nearest-by-cosine rule.
   */
 object Ivf {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def centroidDf(spark: SparkSession,
+      cs: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cs.map { case (i, v) => (i, v.toSeq) }.toDF("centroid_id", "cvec")
+  }
 
   /** Nearest-centroid assignment: broadcast the K centroids, keep the
     * argmax-dot row per input id (ties by centroid id → deterministic).
@@ -36,21 +49,23 @@ object Ivf {
       .drop("__rn", "__score", "cvec")
   }
 
-  /** Train K centroids with `iters` Lloyd iterations. Input vectors are
-    * assumed L2-comparable (the fixture embeddings are unit vectors, so
-    * max-dot == max-cosine).
+  /** Train K centroids with `iters` Lloyd iterations (iters = 0 → the
+    * seeds themselves: the k lowest-id vectors, which plans as
+    * TakeOrderedAndProject — fully parallel, no global window).
     */
   def buildCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
     val vecs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
-    val w = Window.orderBy(col("__id"))
-    var centroids = vecs
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).as("centroid_id"), col("__v").as("cvec"))
+    // k seed rows to the driver: centroids are driver-side state between
+    // iterations anyway (they get broadcast into every assignment join).
+    var state: Seq[(Int, Array[Double])] = vecs.orderBy("__id").limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+      .toSeq
     (1 to iters).foreach { _ =>
-      val assigned = assign(vecs, centroids)
-      centroids = assigned
+      val means = assign(vecs, centroidDf(spark, state))
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
         .agg(avg(col("x")).as("m"))
@@ -58,8 +73,14 @@ object Ivf {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cvec"))
+        .collect()
+      state = means.map { r: Row =>
+        val raw = r.getSeq[Double](1).toArray
+        val norm = math.sqrt(raw.map(x => x * x).sum)
+        (r.getInt(0), if (norm == 0.0) raw else raw.map(_ / norm))
+      }.toSeq.sortBy(_._1)
     }
-    centroids
+    centroidDf(spark, state)
   }
 
   /** Index the corpus: one shuffle by cell id. */
@@ -100,7 +121,9 @@ object Ivf {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** Convenience end-to-end: train, index, search. */
+  /** Convenience end-to-end: train, index, search. For search-many use
+    * [[buildIndex]]/[[searchIndex]] instead of retraining per call.
+    */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numCells: Int, nprobe: Int,
       iters: Int = 2): DataFrame = {
@@ -108,4 +131,21 @@ object Ivf {
     search(queries, index(corpus, idCol, vecCol, centroids), centroids,
       idCol, vecCol, k, nprobe)
   }
+
+  /** Build-once: persist trained centroids + the cell-partitioned corpus
+    * as warehouse tables (crash-safe snapshot swap). Search-many then reads
+    * the index instead of re-clustering the corpus per query batch.
+    */
+  def buildIndex(wh: Warehouse, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, numCells: Int, iters: Int = 2): Unit = {
+    val centroids = buildCentroids(corpus, idCol, vecCol, numCells, iters)
+    wh.overwrite(s"${name}_centroids", centroids)
+    wh.overwrite(s"${name}_index", index(corpus, idCol, vecCol, centroids))
+  }
+
+  /** Search a persisted index built by [[buildIndex]]. */
+  def searchIndex(wh: Warehouse, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    search(queries, wh.read(s"${name}_index"), wh.read(s"${name}_centroids"),
+      idCol, vecCol, k, nprobe)
 }

@@ -57,12 +57,19 @@ object Knn {
   }
 
   /** Deterministic random hyperplanes (fixed-seed PRNG, embedded as
-    * literals — no runtime randomness, resumable plans).
+    * literals — no runtime randomness, resumable plans). The same literals
+    * are interpolated into the DuckDB oracle SQL (double → shortest
+    * round-trip decimal → identical double on re-parse), so bucket
+    * assignments can never drift between engines.
     */
   private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** SQL list literal for one plane — full-precision doubles. */
+  private def planeSql(p: Array[Double]): String =
+    p.mkString("[", ", ", "]")
 
   /** Sign-bit LSH bucket id for each vector: bit p = [v · plane_p > 0].
     * Cosine-similar vectors collide with high probability. Per-row (not
@@ -100,8 +107,9 @@ object Knn {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold. Brute force here;
-    * at scale feed [[lshBucket]] groups instead of the cross join.
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, brute force.
+    * O(n²) — this is the ground-truth/spec oracle; production corpora use
+    * [[nearDupPairsBanded]], whose candidate generation is an equi-join.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -114,5 +122,107 @@ object Knn {
         DotProduct.dot(spark, col("va"), col("vb")) / (col("na_") * col("nb_")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Band key columns for banded sign-LSH: `bands` keys per vector, band b
+    * covering planes [b·r, (b+1)·r). The band index is encoded into the key
+    * (key = band·2^r + sign bits) so candidate generation is a single
+    * equi-join on one exploded key column.
+    */
+  private def bandKeys(vecCol: Column, bands: Int, planesPerBand: Int,
+      dim: Int, seed: Long): Seq[Column] = {
+    val ps = planes(bands * planesPerBand, dim, seed)
+    (0 until bands).map { b =>
+      (0 until planesPerBand).map { j =>
+        when(dot(vecCol, typedlit(ps(b * planesPerBand + j).toSeq)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b.toLong * (1L << planesPerBand))
+    }
+  }
+
+  /** Near-duplicate pairs via banded sign-LSH: a pair is a candidate iff it
+    * shares a band key (OR-amplification over `bands` bands of
+    * `planesPerBand` sign bits), then candidates are verified by exact
+    * cosine ≥ threshold. Candidate generation is an equi-join on the key —
+    * no crossJoin anywhere in the plan — and the per-vector work is
+    * `bands·planesPerBand` dot products.
+    *
+    * Recall is 1−(1−p^r)^b for collision prob p = 1−θ/π; pick r high and b
+    * to taste for production thresholds (≥0.85 cosine → r=8, b=16 gives
+    * recall ≈0.996 with 256-bucket bands). The fixture query runs r=2, b=16
+    * because its threshold (0.4) sits in the weakly-selective regime —
+    * recall ≈0.9997 there, at candidate volume comparable to all-pairs; the
+    * point of the exercised path is the plan shape, which is what changes
+    * at 100 TB.
+    */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int, planesPerBand: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val v = side(df, idCol, vecCol, "id", "v", "n")
+    val keyed = v.withColumn("key",
+      explode(array(bandKeys(col("v"), bands, planesPerBand, dim, seed): _*)))
+    val cand = keyed.select(col("key"), col("id").as("id_a"))
+      .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na_")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb_")), Seq("id_b"))
+      .withColumn("cos",
+        DotProduct.dot(spark, col("va"), col("vb")) / (col("na_") * col("nb_")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** DuckDB SQL computing exactly [[nearDupPairsBanded]] — same plane
+    * literals, same band-key encoding, same exact-cosine verification.
+    */
+  def nearDupBandedOracleSql(threshold: Double, bands: Int, planesPerBand: Int,
+      dim: Int, seed: Long = 42L, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val ps = planes(bands * planesPerBand, dim, seed)
+    val keyExprs = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(ps(b * planesPerBand + j))}) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits + ${b.toLong * (1L << planesPerBand)})"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
+       |keyed AS (SELECT id, unnest([$keyExprs]) AS key FROM e),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM keyed x JOIN keyed y ON x.key = y.key AND x.id < y.id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+       |  FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b)
+       |WHERE cos >= $threshold""".stripMargin
+  }
+
+  /** DuckDB SQL computing exactly [[lshTopK]] — same plane literals, same
+    * single-bucket join, same rank/tie rules.
+    */
+  def lshOracleSql(k: Int, numPlanes: Int, dim: Int, seed: Long = 42L,
+      queryPred: String = "vec_id < 20", table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val ps = planes(numPlanes, dim, seed)
+    val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
+       |b AS (SELECT id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT id AS query_id, v AS qv, bucket FROM b WHERE ${queryPred.replace(idCol, "id")}),
+       |scored AS (SELECT q.query_id, c.id AS neighbor_id,
+       |    list_dot_product(q.qv, c.v)
+       |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM q JOIN b c ON c.bucket = q.bucket AND c.id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 4) AS cos
+       |FROM (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM scored)
+       |WHERE rank <= $k""".stripMargin
   }
 }

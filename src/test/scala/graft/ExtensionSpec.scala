@@ -113,6 +113,38 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall=$recall")
   }
 
+  test("banded near-dup pairs: full recall vs brute force on the fixture") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = graft.sim.Knn.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b")
+    val banded = graft.sim.Knn.nearDupPairsBanded(e, "vec_id", "embedding",
+        0.4, bands = 16, planesPerBand = 2, dim = 64)
+      .select("id_a", "id_b")
+    val nExact = exact.count()
+    val found = exact.intersect(banded).count()
+    assert(nExact > 0)
+    // r=2/b=16 ⇒ theoretical recall ≈0.9997 at cos 0.4; the fixture's pair
+    // set is small enough that full recall is the expected observation.
+    val recall = found.toDouble / nExact
+    assert(recall >= 0.95, s"banded recall=$recall ($found/$nExact)")
+    // precision w.r.t. the cosine threshold is exact by construction
+    assert(banded.exceptAll(exact).isEmpty)
+  }
+
+  test("ivf persisted index: build once, search twice, identical results") {
+    import graft.sim.Ivf
+    import graft.tables.Warehouse
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-wh").toString
+    val wh = new Warehouse(spark, dir)
+    Ivf.buildIndex(wh, "emb", e, "vec_id", "embedding", numCells = 8)
+    val q = e.filter(col("vec_id") < 10)
+    val r1 = Ivf.searchIndex(wh, "emb", q, "vec_id", "embedding", k = 3, nprobe = 2)
+    val r2 = Ivf.searchIndex(wh, "emb", q, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(r1.count() > 0)
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+  }
+
   test("lang id picks the planted language") {
     import spark.implicits._
     val df = Seq(
