@@ -28,26 +28,52 @@ object Dedup {
     df.select(col(idCol),
       array_distinct(split(normalized(col(textCol)), " ")).as("words"))
 
-  /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies,
-    * chosen by vocabulary size (a planning-time scalar, like AQE's stats):
+  /** Physical strategy for [[jaccardPairs]]. */
+  sealed trait JaccardStrategy
+  /** Probe a bounded sample to pick bitmask vs inverted index. */
+  case object JaccardAuto extends JaccardStrategy
+  /** Force the ≤64-word bitmask path (falls back if vocab > 64). */
+  case object JaccardBitmask extends JaccardStrategy
+  /** Force the inverted-index path. */
+  case object JaccardInverted extends JaccardStrategy
+
+  /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies:
     *
-    * - vocab ≤ 64 → BITMASK: each word gets a bit, each document reduces to
-    *   one long; per-pair Jaccard is `popcount(a&b)/popcount(a|b)` — pure
-    *   codegen integer ops. (Per-pair array_intersect on the same data
-    *   measured ~300 s for 500 docs; this runs the 5 000-doc / 12.5M-pair
-    *   case in seconds.)
-    * - vocab > 64 → inverted index: explode distinct words, equi-join on
-    *   word, count shared words per pair. Ubiquitous-word skew at corpus
-    *   scale is handled upstream by document-frequency filtering or by
-    *   taking candidates from [[MinHashLSH]] instead.
+    * - BITMASK (vocab ≤ 64 AND few docs): each word gets a bit, each
+    *   document reduces to one long; per-pair Jaccard is
+    *   `popcount(a&b)/popcount(a|b)` — pure codegen integer ops. (Per-pair
+    *   array_intersect on the same data measured ~300 s for 500 docs; this
+    *   runs the 5 000-doc / 12.5M-pair case in seconds.) Still quadratic in
+    *   docs, so a row-count guard rejects it past `bitmaskMaxDocs`.
+    * - INVERTED INDEX: explode distinct words, equi-join on word, count
+    *   shared words per pair. `dfCap` (document-frequency cap) drops
+    *   ubiquitous words from CANDIDATE GENERATION only — survivors are
+    *   verified with exact intersection counts over ALL words, so reported
+    *   Jaccard values are exact. A pair sharing only capped (ubiquitous)
+    *   words is missed; at dedup thresholds that requires near-stopword-only
+    *   documents, and those belong to the exact-dedup path anyway.
+    *
+    * Strategy choice is an explicit parameter; `JaccardAuto` probes a
+    * bounded sample of the word table (never a full corpus scan) and only
+    * pays the exact ≤64-vocab check when the sample already looks tiny.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, strategy: JaccardStrategy = JaccardAuto,
+      dfCap: Option[Double] = None, bitmaskMaxDocs: Long = 10000L): DataFrame = {
     val w = wordSets(df, idCol, textCol)
       .select(col(idCol).as("doc_id"), explode(col("words")).as("word"))
-    val vocab = w.select("word").distinct()
-    if (vocab.count() <= 64) jaccardBitmask(w, threshold)
-    else jaccardInvertedIndex(w, threshold)
+    def bitmaskEligible: Boolean =
+      w.limit(4096).select("word").distinct().count() <= 64 &&
+        w.select("word").distinct().count() <= 64 &&
+        w.select("doc_id").distinct().count() <= bitmaskMaxDocs
+    strategy match {
+      case JaccardBitmask if bitmaskEligible => jaccardBitmask(w, threshold)
+      case JaccardBitmask => jaccardInvertedIndex(w, threshold, dfCap)
+      case JaccardInverted => jaccardInvertedIndex(w, threshold, dfCap)
+      case JaccardAuto =>
+        if (bitmaskEligible) jaccardBitmask(w, threshold)
+        else jaccardInvertedIndex(w, threshold, dfCap)
+    }
   }
 
   private def jaccardBitmask(w: DataFrame, threshold: Double): DataFrame = {
@@ -68,13 +94,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  private def jaccardInvertedIndex(w: DataFrame, threshold: Double): DataFrame = {
+  private def jaccardInvertedIndex(w: DataFrame, threshold: Double,
+      dfCap: Option[Double] = None): DataFrame = {
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = w.select(col("doc_id").as("doc_a"), col("word"))
-      .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    val inter = dfCap match {
+      case None =>
+        w.select(col("doc_id").as("doc_a"), col("word"))
+          .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        // Candidates from sub-ubiquitous words only (kills the hot-key
+        // quadratic blowup: a word in df > cap·n docs contributes O(df²)
+        // join rows); then verify candidates with exact intersection
+        // counts over ALL words so the reported Jaccard stays exact.
+        val nDocs = w.select("doc_id").distinct().count()
+        val rare = w.groupBy("word").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap * nDocs)
+          .select("word")
+        val wRare = w.join(rare, Seq("word"))
+        val cand = wRare.select(col("doc_id").as("doc_a"), col("word"))
+          .join(wRare.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        cand
+          .join(w.select(col("doc_id").as("doc_a"), col("word")), Seq("doc_a"))
+          .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -82,5 +132,54 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Resolve near-duplicate PAIRS into connected-component clusters with a
+    * deterministic canonical id — the step that makes LSH/Jaccard output
+    * actionable on a corpus: `(doc_id, canonical_id, keep)` where `keep`
+    * marks the component minimum (the row a training pipeline retains).
+    *
+    * Min-label propagation: every node starts as its own label; each round
+    * every node takes the min of its own and its neighbors' labels — one
+    * shuffle (join + groupBy) per round, converging in O(component
+    * diameter) rounds. Near-dup components are overwhelmingly
+    * cliques/stars (diameter ≤ 2); `maxRounds` bounds pathological chains.
+    * Each round is `localCheckpoint`ed: the label table (one row per doc)
+    * is the only thing materialized, lineage resets per round, and
+    * convergence is detected by the label-sum strictly decreasing (labels
+    * only ever decrease, so an unchanged sum ⇔ a fixed point). For graphs
+    * whose diameter actually grows with data (rare here) the same loop
+    * accepts the large-star/small-star contraction as a drop-in.
+    */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbor)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"),
+      (col("id") === col("label")).as("keep"))
   }
 }

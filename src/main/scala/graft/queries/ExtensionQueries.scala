@@ -72,6 +72,34 @@ object ExtensionQueries {
       (s, dir) => Dedup.jaccardPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
 
+    // Dedup cluster resolution: near-dup pairs → connected components →
+    // deterministic canonical keep/drop list. Oracle: recursive reachability
+    // CTE over the same exact-Jaccard pairs, min-id per component.
+    QueryDef(
+      "q_dedup_resolve",
+      Some("""WITH RECURSIVE w AS (SELECT doc_id,
+             |    list_distinct(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |  FROM documents),
+             |pairs AS (SELECT doc_a, doc_b FROM (
+             |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |      len(list_intersect(a.ws, b.ws))::DOUBLE / len(list_distinct(a.ws || b.ws)) AS jaccard
+             |    FROM w a JOIN w b ON a.doc_id < b.doc_id)
+             |  WHERE jaccard >= 0.9),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |      UNION SELECT doc_b, doc_a FROM pairs),
+             |r(id, lab) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN e ON r.lab = e.src)
+             |SELECT id AS doc_id, min(lab) AS canonical_id,
+             |  (id = min(lab)) AS keep
+             |FROM r GROUP BY id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        Dedup.resolveClusters(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9))
+      }),
+
     // MinHash+LSH near-dup (scale path). The oracle recomputes the entire
     // pipeline — sha60 permutation signatures, band buckets, exact-Jaccard
     // verification — from the same constants, so the full hash gate applies

@@ -50,6 +50,33 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.exceptAll(exact).isEmpty)
   }
 
+  test("resolveClusters: components get the min id, chain needs >2 rounds") {
+    import spark.implicits._
+    val docs = (1L to 8L).toDF("doc_id")
+    // chain 1-2-3-4-5 (diameter 4) + pair 6-7 + singleton 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    (1L to 5L).foreach(i => assert(out(i) == ((1L, i == 1L)), s"doc $i"))
+    assert(out(6L) == ((6L, true)) && out(7L) == ((6L, false)))
+    assert(out(8L) == ((8L, true)))
+  }
+
+  test("df-capped inverted jaccard: rare words carry candidates past a hot word") {
+    import spark.implicits._
+    // every doc carries the ubiquitous word; the planted dup pair shares its
+    // rare words, so candidates survive the cap and verification stays exact
+    val docs = ((1 to 60).map(i => (i.toLong, s"common r${i}a r${i}b r${i}c r${i}d"))
+      :+ (61L, "common r1a r1b r1c r1d")).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8,
+      strategy = Dedup.JaccardInverted)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8,
+      strategy = Dedup.JaccardInverted, dfCap = Some(0.5))
+    assert(exact.count() == 1)
+    assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
+  }
+
   test("simhash: near-dup texts land close in hamming distance") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
