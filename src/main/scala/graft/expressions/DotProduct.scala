@@ -45,9 +45,14 @@ object DotProduct {
 
   /** Static so generated code calls it directly. Sequential fold →
     * deterministic float result, same as a left-fold in any engine.
+    * Mismatched lengths raise instead of silently truncating: a dimension
+    * bug must surface, not produce a plausible-but-wrong similarity.
     */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot: mismatched vector dimensions ${n} vs ${b.numElements()}")
     var s = 0.0d
     var i = 0
     while (i < n) {

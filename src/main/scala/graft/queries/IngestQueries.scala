@@ -53,6 +53,87 @@ object IngestQueries {
           .select("o_orderkey", "flag")
       }),
 
+    // S2 — page-number loop until the transport reports the last page
+    // (lex_office_invoices.py:50-91). Bounded slice; REST pagination is
+    // inherently driver-sequential (see q_paginate note).
+    QueryDef(
+      "q_page_number",
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE event_id < 1200""".stripMargin),
+      (s, dir) => {
+        val src = Tables.t(s, dir, "events")
+          .filter(col("event_id") < 1200)
+          .select("event_id", "event_type")
+        val pages = src.orderBy("event_id").toJSON.collect().grouped(300).toSeq
+        def fetch(i: Int): Paginator.Page =
+          if (i >= pages.size) Paginator.Page(Nil, None)
+          else Paginator.Page(pages(i),
+            if (i == pages.size - 1) None else Some((i + 1).toString))
+        Paginator.toDf(s, Paginator.pageNumber(fetch))
+          .select(col("event_id").cast("long"), col("event_type"))
+      }),
+
+    // S3 — next-link follow with opaque URL cursors
+    // (hubspot get_tickets_v2.py:43-58).
+    QueryDef(
+      "q_next_link",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey < 900""".stripMargin),
+      (s, dir) => {
+        val src = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") < 900)
+          .select("c_custkey", "c_name")
+        val pages = src.orderBy("c_custkey").toJSON.collect().grouped(250).toSeq
+        def fetch(link: Option[String]): Paginator.Page = {
+          val i = link.map(_.stripPrefix("/tickets?page=").toInt).getOrElse(0)
+          if (i >= pages.size) Paginator.Page(Nil, None)
+          else Paginator.Page(pages(i),
+            if (i == pages.size - 1) None else Some(s"/tickets?page=${i + 1}"))
+        }
+        Paginator.toDf(s, Paginator.nextLink(fetch))
+          .select(col("c_custkey").cast("long"), col("c_name"))
+      }),
+
+    // S4 — single offset/limit window carve
+    // (bexio_invoice_and_line_items_de.py:62-75).
+    QueryDef(
+      "q_offset_window",
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |ORDER BY s_suppkey LIMIT 4 OFFSET 3""".stripMargin),
+      (s, dir) => {
+        val src = Tables.t(s, dir, "supplier").select("s_suppkey", "s_name")
+        val rows = src.orderBy("s_suppkey").toJSON.collect()
+        def fetch(offset: Int, limit: Int): Paginator.Page =
+          Paginator.Page(rows.slice(offset, offset + limit).toSeq, None)
+        Paginator.toDf(s, Paginator.offsetWindow(fetch, offset = 3, limit = 4))
+          .select(col("s_suppkey").cast("long"), col("s_name"))
+      }),
+
+    // S5 — starting_after cursor: the cursor is the id of the last element
+    // of the previous page (stripe_charges.py:40-60).
+    QueryDef(
+      "q_starting_after",
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_partkey < 1000""".stripMargin),
+      (s, dir) => {
+        val src = Tables.t(s, dir, "part")
+          .filter(col("p_partkey") < 1000)
+          .select("p_partkey", "p_name")
+        val all = src
+          .select(col("p_partkey"),
+            to_json(struct(col("p_partkey"), col("p_name"))).as("j"))
+          .orderBy("p_partkey").collect()
+        def fetch(after: Option[String]): Paginator.Page = {
+          val from = after.map(_.toLong).getOrElse(Long.MinValue)
+          val page = all.filter(_.getLong(0) > from).take(200)
+          if (page.isEmpty) Paginator.Page(Nil, None)
+          else Paginator.Page(page.map(_.getString(1)).toSeq,
+            Some(page.last.getLong(0).toString))
+        }
+        Paginator.toDf(s, Paginator.startingAfter(fetch))
+          .select(col("p_partkey").cast("long"), col("p_name"))
+      }),
+
     // §2.9 — incremental fetch above a high watermark
     // (billwerk_invoices.py:86-99); the watermark is derived in-plan (no
     // driver collect) and broadcast into the filter.

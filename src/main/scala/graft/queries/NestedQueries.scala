@@ -27,6 +27,27 @@ object NestedQueries {
         Nested.explodeChild(nested, Seq("l_orderkey"), "items")
       }),
 
+    // A2 — explode with MULTIPLE parent fields broadcast onto every child
+    // row (lex_office_invoice_items.py:212-249 copies invoice-level fields
+    // into each line item). Parent attributes join the nested form first;
+    // the oracle is the equivalent flat join.
+    QueryDef(
+      "q_explode_parent",
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+             |       l.l_linenumber, l.l_quantity
+             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin),
+      (s, dir) => {
+        val nested = Nested.nest(
+          Tables.t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_orderkey", Seq("l_linenumber", "l_quantity"), sorted = false)
+        val parents = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+          .join(nested, col("o_orderkey") === col("l_orderkey"))
+          .drop("l_orderkey")
+        Nested.explodeChild(parents,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"), "items")
+      }),
+
     // A3 — first-element pluck from the sorted array (first line item per
     // order; `taxs[0]['percentage']` shape).
     QueryDef(

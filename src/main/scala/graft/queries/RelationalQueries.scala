@@ -142,6 +142,33 @@ object RelationalQueries {
         Relational.deleteInsert(target, batch, Seq("o_orderkey"))
       }),
 
+    // W3/W5 under the driver gate end-to-end: the SAME upsert but through
+    // the Warehouse WRITE PATH (overwrite → manifest swap → read-back), so
+    // the storage layer itself is hash-verified, not just the transform.
+    QueryDef(
+      "q_warehouse_upsert",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM orders t
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders b
+             |  WHERE b.o_orderkey % 5 = 0 AND b.o_orderkey = t.o_orderkey)
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+             |       'R' AS o_orderstatus
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val batch = o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("o_orderstatus", lit("R"))
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-wh").toString)
+        wh.overwrite("orders", o)
+        wh.upsert("orders", batch, Seq("o_orderkey"))
+        wh.read("orders")
+      }),
+
     // Skew-salted two-phase aggregation — must be indistinguishable from
     // the plain GROUP BY (the oracle IS the unsalted SQL): the hot
     // returnflag keys split across 8 salts map-side, partials recombine.

@@ -28,6 +28,72 @@ object ScalarQueries {
         .select(col("event_id"), col("k").as("prop_k"),
           col("missing").as("prop_missing"), col("value"))),
 
+    // P2 — generic auto-flatten: nested structs → parent_child columns,
+    // depth-first (pd.json_normalize(max_level=5), churn_reasons.py:68).
+    // The struct is synthesized in-plan; the oracle is the flat projection
+    // the flatten must reduce to.
+    QueryDef(
+      "q_auto_flatten",
+      Some("""SELECT o_orderkey,
+             |  o_custkey AS payload_customer_id,
+             |  o_orderstatus AS payload_customer_status,
+             |  o_totalprice AS payload_amount
+             |FROM orders""".stripMargin),
+      (s, dir) => Flatten.flatten(
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          struct(
+            struct(col("o_custkey").as("id"),
+              col("o_orderstatus").as("status")).as("customer"),
+            col("o_totalprice").as("amount")).as("payload")))),
+
+    // P12 — numeric string cleanup: thousands separators, percentages,
+    // n.a. sentinels (import_bi_dev_ltv.py:55-59). The dirty strings are
+    // synthesized in-plan from numeric columns; the oracle states the
+    // expected round-trip values directly — an independent check that the
+    // cleanup actually inverts the formatting.
+    QueryDef(
+      "q_numeric_cleanup",
+      Some("""SELECT o_orderkey,
+             |  o_custkey::DOUBLE AS amount_clean,
+             |  round(((o_orderkey % 100) + 0.5) / 100.0, 6) AS pct_clean,
+             |  CAST(CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS BIGINT) AS cust_or_null
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+          .withColumn("th_str", format_number(col("o_custkey"), 0))
+          .withColumn("pct_str",
+            concat((col("o_orderkey") % 100).cast("string"), lit(".5%")))
+          .withColumn("na_str",
+            when(col("o_orderkey") % 10 === 0, lit("n.a."))
+              .otherwise(col("o_custkey").cast("string")))
+        o.select(
+          col("o_orderkey"),
+          Coerce.stripThousands(col("th_str")).as("amount_clean"),
+          Coerce.pctToFraction(col("pct_str")).as("pct_clean"),
+          Coerce.naToNull(col("na_str")).try_cast("long").as("cust_or_null"))
+      }),
+
+    // P10 — `MMM-yy` parse + month-end snap
+    // (import_bi_dev_gross_margin.py:52-54). Month strings synthesized
+    // in-plan; the oracle computes the month end from the parts.
+    QueryDef(
+      "q_month_end",
+      Some("""SELECT o_orderkey,
+             |  last_day(make_date(2024, CAST(o_orderkey % 12 AS INT) + 1, 1)) AS month_end
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          Coerce.monthYearToMonthEnd(
+            concat(
+              element_at(typedlit(months), (col("o_orderkey") % 12).cast("int") + 1),
+              lit("-24"))).as("month_end"))
+      }),
+
     // P8/P9 — error-tolerant numeric coercion + fillna/int-cast
     // (pd.to_numeric(errors='coerce'); fillna(0).astype(int)).
     QueryDef(

@@ -31,12 +31,18 @@ final class Cursor(spark: SparkSession, path: String) {
       } finally in.close()
     }
 
-  /** Persist a new watermark atomically (only call after sink success). */
+  /** Persist a new watermark atomically (only call after sink success).
+    * Overwrite-capable rename: no delete-then-rename window in which the
+    * watermark file is missing (a crash there would have reset the cursor
+    * and re-ingested the whole source — safe with idempotent sinks, but
+    * expensive and contrary to the atomicity claim).
+    */
   def advance(v: Long): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

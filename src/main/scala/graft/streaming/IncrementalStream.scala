@@ -70,10 +70,15 @@ object IncrementalStream {
       table: String,
       cursor: Cursor): Long = {
     val from = cursor.value()
-    val batch = src.filter(col(idCol) > lit(from))
-    val stats = batch.agg(count(lit(1)), max(col(idCol))).first()
+    // cast the cursor comparison and the max to long so any integral id
+    // type works (Row.getLong on an INT column would ClassCastException)
+    val batch = src.filter(col(idCol).cast("long") > lit(from))
+    val stats = batch.agg(count(lit(1)), max(col(idCol).cast("long"))).first()
     val n = stats.getLong(0)
     if (n > 0) {
+      // the batch plan is evaluated again inside the sink — deliberate:
+      // it is a pushed-down parquet filter read, and persisting it here
+      // would pin batch-sized state for a marginal saving
       wh.appendIfAbsent(table, batch, Seq(idCol))
       cursor.advance(stats.getLong(1))
     }

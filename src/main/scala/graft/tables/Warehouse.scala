@@ -1,88 +1,160 @@
 package graft.tables
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Parquet-backed warehouse with crash-safe snapshot-swap writes.
+/** Parquet-backed warehouse with crash-safe manifest-snapshot writes.
   *
   * The reference mutates BigQuery tables in place with DML
   * (`DELETE ... ; INSERT ...`, see reference bexio_orders_de.py:122-161 and
   * stripe_charges.py:26-36). Parquet has no DELETE, and overwriting a
   * directory you are simultaneously reading from is the classic Spark
-  * self-overwrite trap — so every mutation here materializes a NEW snapshot
-  * directory and then atomically repoints a small `_LATEST` marker file.
-  * Readers resolve the marker first; a crash mid-write leaves the previous
-  * snapshot fully intact. This scales: the marker is O(1), snapshots are
-  * plain parquet dirs readable by a 1000-executor cluster.
+  * self-overwrite trap — so every mutation here materializes NEW data and
+  * atomically repoints a small `_LATEST` marker file.
   *
-  * Layout: `root/<table>/snap-<n>/part-*.parquet` + `root/<table>/_LATEST`
-  * (contains "snap-<n>").
+  * A snapshot is a MANIFEST (`snap-<n>.manifest`): the list of immutable
+  * data directories whose union is the table. That makes `append` O(batch):
+  * it writes only the new rows as a fresh `data-<n>` dir and a new manifest
+  * referencing old dirs + new dir — a 100 TB table takes a daily history
+  * append without being rewritten. `overwrite`/`upsert` start a fresh dir
+  * list. Readers resolve the marker, then read the manifest's dirs; a crash
+  * mid-write leaves the previous manifest fully intact.
+  *
+  * The marker swap is a single overwrite-capable rename
+  * (`FileContext.rename(..., Options.Rename.OVERWRITE)`) — there is no
+  * delete-then-rename window in which `_LATEST` does not exist. If a
+  * marker is nevertheless lost (external interference), readers recover by
+  * resolving the newest manifest on disk rather than treating the table as
+  * missing — a lost marker must never silently discard table history.
+  *
+  * Layout: `root/<table>/data-<n>/part-*.parquet`
+  *       + `root/<table>/snap-<n>.manifest` (newline-separated data dirs)
+  *       + `root/<table>/_LATEST` (contains "snap-<n>.manifest").
   */
 final class Warehouse(spark: SparkSession, root: String) {
 
-  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path(root).getFileSystem(conf)
   private def tableDir(table: String) = new Path(root, table)
   private def marker(table: String) = new Path(tableDir(table), "_LATEST")
 
-  def exists(table: String): Boolean = fs.exists(marker(table))
-
-  private def currentSnap(table: String): Option[String] = {
-    val m = marker(table)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-      } finally in.close()
-    }
+  private def readSmallFile(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
   }
 
-  def path(table: String): String =
-    currentSnap(table) match {
-      case Some(s) => new Path(tableDir(table), s).toString
+  private def writeSmallFileAtomic(dest: Path, content: String): Unit = {
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // overwrite-capable rename: no window where `dest` is missing
+    FileContext.getFileContext(dest.toUri, conf)
+      .rename(tmp, dest, Options.Rename.OVERWRITE)
+  }
+
+  private def manifestsOnDisk(table: String): Seq[String] = {
+    val dir = tableDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".manifest"))
+      .sorted.toSeq
+  }
+
+  /** Current manifest name: the marker, or — marker-loss recovery — the
+    * newest manifest present on disk.
+    */
+  private def currentManifest(table: String): Option[String] = {
+    val m = marker(table)
+    if (fs.exists(m)) Some(readSmallFile(m).trim)
+    else manifestsOnDisk(table).lastOption
+  }
+
+  def exists(table: String): Boolean = currentManifest(table).isDefined
+
+  private def snapId(name: String): Int =
+    name.stripPrefix("snap-").stripPrefix("data-")
+      .stripSuffix(".manifest").toInt
+
+  /** The data directories whose union is the current table state. */
+  def paths(table: String): Seq[String] =
+    currentManifest(table) match {
+      case Some(mf) =>
+        readSmallFile(new Path(tableDir(table), mf))
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(d => new Path(tableDir(table), d).toString)
       case None => sys.error(s"warehouse table not found: $table")
     }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = spark.read.parquet(paths(table): _*)
 
-  /** Write df as the next snapshot and swap the marker. Keeps exactly one
-    * prior snapshot for post-crash debugging; older ones are pruned.
+  /** Write `df` as a fresh data dir and commit a manifest whose dir list is
+    * `priorDirs(newDir)`. The swap publishes everything atomically.
     */
-  def overwrite(table: String, df: DataFrame): Unit = {
-    val next = "snap-%06d".format(currentSnap(table).map(_.drop(5).toInt + 1).getOrElse(0))
-    val dest = new Path(tableDir(table), next)
-    df.write.mode("overwrite").parquet(dest.toString)
-    val tmp = new Path(tableDir(table), "_LATEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes("UTF-8")) finally out.close()
-    fs.delete(marker(table), false)
-    fs.rename(tmp, marker(table))
-    prune(table, keep = Set(next, "snap-%06d".format(next.drop(5).toInt - 1)))
+  private def commit(table: String, df: DataFrame,
+      priorDirs: String => Seq[String]): Unit = {
+    val prev = currentManifest(table)
+    val next = prev.map(snapId(_) + 1).getOrElse(0)
+    val dataName = "data-%06d".format(next)
+    df.write.mode("overwrite")
+      .parquet(new Path(tableDir(table), dataName).toString)
+    val mfName = "snap-%06d.manifest".format(next)
+    writeSmallFileAtomic(
+      new Path(tableDir(table), mfName), priorDirs(dataName).mkString("\n"))
+    writeSmallFileAtomic(marker(table), mfName)
+    prune(table, keepManifests = Set(mfName) ++ prev)
   }
 
-  private def prune(table: String, keep: Set[String]): Unit = {
+  /** Keep the latest + one prior manifest (post-crash debugging) and every
+    * data dir either references; delete the rest.
+    */
+  private def prune(table: String, keepManifests: Set[String]): Unit = {
     val dir = tableDir(table)
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+    if (!fs.exists(dir)) return
+    val keepData = keepManifests.flatMap { mf =>
+      val p = new Path(dir, mf)
+      if (fs.exists(p))
+        readSmallFile(p).split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    }
+    fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("snap-") && !keep.contains(n)) fs.delete(st.getPath, true)
+      val stale =
+        (n.startsWith("snap-") && n.endsWith(".manifest") && !keepManifests(n)) ||
+          (n.startsWith("data-") && !keepData(n))
+      if (stale) fs.delete(st.getPath, true)
     }
   }
 
+  /** Full refresh (reference W1 snapshot swap): the new manifest references
+    * only the fresh data dir.
+    */
+  def overwrite(table: String, df: DataFrame): Unit =
+    commit(table, df, newDir => Seq(newDir))
+
   /** Append-only load (reference W2: NDJSON chunk appends,
-    * billwerk_invoices.py:101-135). Appends into a fresh snapshot via
-    * union so readers never observe a half-appended table.
+    * billwerk_invoices.py:101-135). O(batch): only the new rows are
+    * written; prior data dirs are referenced, never rewritten.
     */
   def append(table: String, df: DataFrame): Unit =
     if (!exists(table)) overwrite(table, df)
-    else overwrite(table, read(table).unionByName(df, allowMissingColumns = true))
+    else {
+      val prior = paths(table).map(p => new Path(p).getName)
+      commit(table, df, newDir => prior :+ newDir)
+    }
 
   /** Delete+insert upsert by natural key (reference W3/W5,
     * bexio_orders_de.py:122-161; stripe_charges.py:26-36):
     * rows of `table` whose key appears in `batch` are replaced.
     * Anti-join is the keep-rows formulation of `DELETE WHERE key IN (...)`;
     * at scale the batch side is typically small → AQE broadcasts it.
+    * Inherently O(table): the kept rows are rewritten (partition-pruned
+    * upserts would need a partitioned manifest — not needed yet).
     */
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, batch)
@@ -90,7 +162,7 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   /** Insert-if-absent on a composite key (reference J2 NOT EXISTS dedup,
     * stripe_dispute.py:32-45): only batch rows whose full key is new are
-    * appended — idempotent under re-runs.
+    * appended — idempotent under re-runs, O(batch) like `append`.
     */
   def appendIfAbsent(table: String, batch: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, batch.dropDuplicates(keys))

@@ -16,7 +16,8 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("orders").count() == o.count())
     wh.overwrite("orders", o.limit(10))
     assert(wh.read("orders").count() == 10)
-    assert(wh.path("orders").endsWith("snap-000001"))
+    assert(wh.paths("orders") == Seq(wh.paths("orders").head))
+    assert(wh.paths("orders").head.endsWith("data-000001"))
   }
 
   test("upsert replaces keyed rows, append adds, appendIfAbsent dedups") {
@@ -45,8 +46,44 @@ class WarehouseSpec extends SparkSpec {
     wh.upsert("x", o, Seq("o_orderkey"))
     assert(wh.read("x").count() == 100)
     (1 to 3).foreach(_ => wh.overwrite("x", o))
-    val snaps = new java.io.File(s"$root/x").listFiles()
-      .map(_.getName).filter(_.startsWith("snap-"))
-    assert(snaps.length <= 2, s"expected pruning, got ${snaps.toSeq}")
+    val files = new java.io.File(s"$root/x").listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".manifest")) <= 2,
+      s"expected manifest pruning, got ${files.toSeq}")
+    assert(files.count(_.startsWith("data-")) <= 2,
+      s"expected data pruning, got ${files.toSeq}")
+  }
+
+  test("append is O(batch): prior data files are not rewritten") {
+    val root = freshRoot()
+    val wh = new Warehouse(spark, root)
+    val o = spark.read.parquet(s"$sf/orders.parquet").limit(1000)
+    wh.overwrite("t", o)
+    val firstDir = new java.io.File(wh.paths("t").head)
+    def fileState(d: java.io.File): Map[String, (Long, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val before = fileState(firstDir)
+    assert(before.nonEmpty)
+    wh.append("t", o.limit(50))
+    wh.append("t", o.limit(20))
+    // same dir still referenced, same files, same bytes, same mtimes
+    assert(wh.paths("t").head == firstDir.toString)
+    assert(wh.paths("t").size == 3)
+    assert(fileState(firstDir) == before, "append rewrote prior data files")
+    assert(wh.read("t").count() == 1070)
+  }
+
+  test("a lost _LATEST marker recovers to the newest manifest, not data loss") {
+    val root = freshRoot()
+    val wh = new Warehouse(spark, root)
+    val o = spark.read.parquet(s"$sf/orders.parquet").limit(100)
+    wh.overwrite("t", o)
+    wh.append("t", o.limit(10))
+    new java.io.File(s"$root/t/_LATEST").delete()
+    assert(wh.exists("t"), "missing marker must not read as missing table")
+    assert(wh.read("t").count() == 110)
+    // a subsequent append must build on the recovered state
+    wh.append("t", o.limit(5))
+    assert(wh.read("t").count() == 115)
   }
 }
