@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds + total.
+  *
+  * Each query is timed on THREE interleaved passes and the per-query
+  * minimum is kept: this host shows sporadic 10–30× contention spikes, and
+  * interleaved passes decorrelate a spike from any single query (min-of-3
+  * back-to-back would sit inside the same spike). The minimum is the right
+  * estimator here — the quantity of interest is the engine's cost, not the
+  * host's noise distribution.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,20 +34,16 @@ object Bench {
       try once(fn) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val first = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = timed(fn)
-      System.err.println(f"[bench] $name%-22s ${dt}%8.2f s")
-      (name, fn, dt)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to passes).map { pass =>
+      ordered.map { case (name, fn) =>
+        val dt = timed(fn)
+        System.err.println(f"[bench] pass$pass $name%-22s ${dt}%8.2f s")
+        name -> dt
+      }.toMap
     }
-    // This host shows sporadic 10x contention spikes; re-measure outliers
-    // (>5x the median and >5s) once and keep the minimum.
-    val median = first.map(_._3).sorted.apply(first.size / 2)
-    val results = first.map { case (name, fn, dt) =>
-      if (dt > 5.0 && dt > 5 * median) {
-        val dt2 = timed(fn)
-        System.err.println(f"[bench] $name%-22s ${dt2}%8.2f s (re-measure)")
-        name -> math.min(dt, dt2)
-      } else name -> dt
+    val results = ordered.map { case (name, _) =>
+      name -> samples.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

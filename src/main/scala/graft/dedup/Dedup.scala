@@ -77,10 +77,14 @@ object Dedup {
   }
 
   private def jaccardBitmask(w: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bits = w.select("word").distinct()
-      .withColumn("bit", row_number().over(Window.orderBy("word")) - 1)
-    val masks = w.join(broadcast(bits), Seq("word"))
+    // the caller guarantees vocab ≤ 64: assign bits driver-side (a global
+    // row_number window here moved all words to one partition and was the
+    // repo's last unpartitioned-window warning) and inline them as a
+    // literal map — codegen'd lookup, zero extra shuffle
+    val bitOf: Map[String, Int] = w.select("word").distinct()
+      .orderBy("word").collect().map(_.getString(0)).zipWithIndex.toMap
+    val masks = w
+      .withColumn("bit", element_at(typedlit(bitOf), col("word")))
       .groupBy("doc_id")
       .agg(bit_or(expr("shiftleft(1L, bit)")).as("mask"))
     val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
@@ -153,8 +157,13 @@ object Dedup {
     */
   def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the pair list once: it is consumed in both union branches
+    // AND every round, and its producer (a near-dup pair pipeline) is
+    // typically the most expensive plan in the job — evaluating it per
+    // branch per round would dominate runtime
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .distinct()
       .withColumn("label", col("id"))

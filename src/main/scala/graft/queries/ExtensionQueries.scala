@@ -126,6 +126,9 @@ object ExtensionQueries {
              |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
              |FROM tok""".stripMargin),
       (s, dir) => Tables.t(s, dir, "documents")
+        // the fixture table is one small file = one partition; this op is
+        // row-local, so parallelism is purely a partition-count decision
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           SimHash64.simhash64(s,
             transform(split(Dedup.normalized(col("text")), " "), t => Hashing.sha60(t)))
@@ -150,6 +153,7 @@ object ExtensionQueries {
              |FROM sk""".stripMargin),
       (s, dir) => Fingerprint.withFingerprint(
           Tables.t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism)
             .select(col("doc_id"), Dedup.normalized(col("text")).as("norm_text")),
           "norm_text", hashFn = Hashing.sha60)
         .select(col("doc_id"), col("fingerprint"), size(col("sketch")).as("sketch_size"))),

@@ -35,6 +35,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot(") || p.contains("graft_dot"), p)
   }
 
+  test("q_embed_neardup plans no cartesian product (banded equi-join)") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ann_ivf plans no unpartitioned global window") {
+    // a Window with an empty partition spec funnels the corpus through one
+    // task; seeding must plan as TakeOrderedAndProject instead
+    val sp = q("q_ann_ivf").queryExecution.sparkPlan
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+  }
+
   test("q_upsert reads only the projected columns") {
     val p = q("q_upsert").queryExecution.sparkPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
