@@ -63,9 +63,13 @@ object Dedup {
     val w = wordSets(df, idCol, textCol)
       .select(col(idCol).as("doc_id"), explode(col("words")).as("word"))
     def bitmaskEligible: Boolean =
-      w.limit(4096).select("word").distinct().count() <= 64 &&
-        w.select("word").distinct().count() <= 64 &&
-        w.select("doc_id").distinct().count() <= bitmaskMaxDocs
+      // bounded sample first: a big vocabulary disqualifies without ever
+      // scanning the corpus; only a tiny-looking vocab pays the exact pass
+      w.limit(4096).select("word").distinct().count() <= 64 && {
+        val exact = w.agg(countDistinct(col("word")),
+          countDistinct(col("doc_id"))).first()
+        exact.getLong(0) <= 64 && exact.getLong(1) <= bitmaskMaxDocs
+      }
     strategy match {
       case JaccardBitmask if bitmaskEligible => jaccardBitmask(w, threshold)
       case JaccardBitmask => jaccardInvertedIndex(w, threshold, dfCap)

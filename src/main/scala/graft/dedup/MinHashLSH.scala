@@ -34,11 +34,23 @@ object MinHashLSH {
       (1L + rnd.nextInt((Mod - 1).toInt), rnd.nextInt(Mod.toInt).toLong))
   }
 
+  /** `maxBucketSize`: optional skew guard for candidate generation — a
+    * band bucket shared by B documents contributes O(B²) candidate pairs,
+    * and at corpus scale a degenerate bucket (boilerplate-heavy shingle
+    * sets) can dominate the self-join. Buckets above the cap are dropped
+    * from candidate generation only; such buckets carry little signal (the
+    * documents agree on a whole band of min-hashes with thousands of
+    * others), and every surviving candidate is still exact-verified, so
+    * precision is unaffected — the cap trades bounded recall loss on
+    * boilerplate clusters for a bounded join. None (default) = exact
+    * LSH semantics, what the oracle-gated query runs.
+    */
   final case class Config(
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.8) {
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
@@ -83,10 +95,22 @@ object MinHashLSH {
       posexplode(array(bandCols: _*)).as(Seq("band", "band_sig")))
   }
 
-  /** Candidate pairs: documents sharing any band bucket. */
-  def candidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+  /** Candidate pairs: documents sharing any band bucket (buckets above
+    * `maxBucketSize` excluded when set — see [[Config]]).
+    */
+  def candidates(bands: DataFrame,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = bands.groupBy("band", "band_sig")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
+        bands.join(sizes, Seq("band", "band_sig"))
+      case None => bands
+    }
+    val a = pruned.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -104,7 +128,8 @@ object MinHashLSH {
     // across queries and measurably degraded later jobs in the session;
     // an eager localCheckpoint ran the pipeline at construction time.
     val sh = shingles(df, idCol, textCol, cfg.shingleSize)
-    val cand = candidates(bandSignatures(minhashSignatures(sh, cfg), cfg))
+    val cand = candidates(bandSignatures(minhashSignatures(sh, cfg), cfg),
+      cfg.maxBucketSize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

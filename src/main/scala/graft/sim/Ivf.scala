@@ -36,17 +36,26 @@ object Ivf {
   }
 
   /** Nearest-centroid assignment: broadcast the K centroids, keep the
-    * argmax-dot row per input id (ties by centroid id → deterministic).
+    * argmax-dot row per input id (ties by smaller centroid id →
+    * deterministic, via max over (score, −centroid_id)).
+    *
+    * max_by instead of a row_number window: the broadcast join expands
+    * every corpus row to K candidates INSIDE its partition, and the
+    * partial (map-side) aggregate collapses them back to one row before
+    * anything shuffles — the shuffle carries |corpus| rows, not
+    * K·|corpus| as the window formulation did. On the corpus-wide
+    * operation of the index build, that factor is the difference at scale.
     */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__score").desc, col("centroid_id"))
     vecs.crossJoin(broadcast(centroids))
       .withColumn("__score", DotProduct.dot(spark, col("__v"), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__score", "cvec")
+      .groupBy("__id")
+      .agg(max_by(
+        struct(col("centroid_id"), col("__v")),
+        struct(col("__score"), (-col("centroid_id")).as("__nc"))).as("__best"))
+      .select(col("__id"), col("__best.__v").as("__v"),
+        col("__best.centroid_id").as("centroid_id"))
   }
 
   /** Train K centroids with `iters` Lloyd iterations (iters = 0 → the

@@ -33,6 +33,25 @@ class ExtensionSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
   }
 
+  test("minhash bucket cap prunes hot buckets but keeps planted near-dups") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    // 30 identical boilerplate docs: every band bucket they form has size 30
+    val boiler = (1 to 30).map(i => (100L + i, "alpha beta gamma delta epsilon"))
+    val docs = (Seq((1L, base), (2L, near)) ++ boiler).toDF("doc_id", "text")
+    val cfg = MinHashLSH.Config(threshold = 0.5, maxBucketSize = Some(10))
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", cfg).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L))
+    assert(!pairs.exists(_.getAs[Long]("doc_a") > 100L),
+      "boilerplate cluster should be pruned by the bucket cap")
+    // uncapped finds the boilerplate clique
+    val all = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      cfg.copy(maxBucketSize = None)).collect()
+    assert(all.count(_.getAs[Long]("doc_a") > 100L) == 30 * 29 / 2)
+  }
+
   test("minhash candidates recall exact jaccard pairs on the fixture corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9)

@@ -31,6 +31,27 @@ class IncrementalSpec extends SparkSpec {
     assert(cur.value() == 999L)
   }
 
+  test("streaming dedup keeps one row per content hash within the horizon") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-sdd").toString
+    // duplicate every doc: same text, shifted event time within the horizon
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+    docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+      .write.parquet(s"$dir/src")
+    val schema = spark.read.parquet(s"$dir/src").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/src")
+    val deduped = StreamDedup.dedupStream(stream, "text", "ts")
+    StreamDedup.runAvailableNow(deduped, s"$dir/cp", s"$dir/out")
+    val out = spark.read.parquet(s"$dir/out")
+    val distinctHashes = docs
+      .select(sha2(graft.dedup.Dedup.normalized(col("text")), 256)).distinct().count()
+    assert(out.count() == distinctHashes,
+      s"expected $distinctHashes unique docs, got ${out.count()}")
+    assert(out.select("content_hash").distinct().count() == out.count())
+  }
+
   test("availableNow streaming drains the events table into windowed aggs") {
     val dir = Files.createTempDirectory("graft-stream").toString
     // FileStreamSource requires a directory — stage the single-file fixture
