@@ -68,4 +68,42 @@ object Binary {
     while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
     (len, head, sum)
   }
+
+  /** STUB image resize: a real implementation decodes `payload`, resizes,
+    * and re-encodes; the stub only rewrites the metadata struct (the
+    * payload is opaque). The Spark-side contract — meta-struct rewrite,
+    * payload passthrough, row-local, codegen-friendly — is exactly what a
+    * JNI-backed resize exposes.
+    */
+  def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.withColumn("meta", struct(
+      col("meta.mime"),
+      col("meta.byte_len"),
+      lit(width).as("width"),
+      lit(height).as("height")))
+
+  /** STUB video frame sampling: emit one row per sampled "frame" — every
+    * `step`-th byte offset of the payload stands in for a decoded frame,
+    * with the byte value as the frame's stub feature. The shape is the
+    * real thing: a generator (explode of the sample positions) multiplies
+    * rows per asset, per-frame decode is row-local, and a downstream
+    * pipeline treats frames exactly like documents. Swap `frame_feat` for
+    * a real decoder's output at the same schema position.
+    */
+  def frameSample(df: DataFrame, step: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    require(step > 0, "step must be > 0")
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(ceil(length(col(payloadCol)).cast("double") / step)
+            .cast("int") - 1, lit(0)))))
+      .withColumn("frame_offset", col("frame_idx") * step)
+      .withColumn("frame_feat",
+        when(length(col(payloadCol)) === 0, lit(-1))
+          .otherwise(
+            // byte value at frame_offset via the hex representation —
+            // the same arithmetic the DuckDB oracle applies to the blob
+            conv(expr(s"substr(hex($payloadCol), frame_offset * 2 + 1, 2)"),
+              16, 10).cast("int")))
+  }
 }

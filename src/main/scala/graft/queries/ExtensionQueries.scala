@@ -277,6 +277,48 @@ object ExtensionQueries {
           "embedding", k = 3, numCells = 8, nprobe = 2, iters = 0)
       }),
 
+    // Context-window chunking: overlapping token windows (size 32, stride
+    // 24) exploded to one row per chunk — the training-data step between
+    // cleaning and tokenization. Pure integer window arithmetic → exact
+    // SQL twin.
+    QueryDef(
+      "q_chunk_tokens",
+      Some("""WITH d AS (SELECT doc_id,
+             |    regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |    CAST(ceil(greatest(len(toks) - 32, 0)::DOUBLE / 24) AS INT) + 1 AS nwin
+             |  FROM d),
+             |c AS (SELECT doc_id, toks, unnest(range(0, nwin)) AS chunk_idx FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
+             |  CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_tokens
+             |FROM c""".stripMargin),
+      (s, dir) => graft.text.Chunker.chunkTokens(
+        Tables.t(s, dir, "documents").select("doc_id", "text"),
+        "text", Seq("doc_id"), chunkSize = 32, stride = 24)),
+
+    // Multimodal frame sampling: one row per sampled frame position, stub
+    // per-frame feature = byte at the offset (oracle recomputes it from
+    // the blob). The generator/explode shape is what real video sampling
+    // plans; only the decode body is the stub.
+    QueryDef(
+      "q_frame_sample",
+      Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents),
+             |f AS (SELECT doc_id, b, unnest(range(0,
+             |    greatest(CAST(ceil(octet_length(b)::DOUBLE / 64) AS INT), 1))) AS frame_idx
+             |  FROM p)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  CAST(frame_idx * 64 AS INT) AS frame_offset,
+             |  CASE WHEN octet_length(b) = 0 THEN -1
+             |       ELSE ('0x' || substr(hex(b), CAST(frame_idx * 128 + 1 AS INT), 2))::INT
+             |  END AS frame_feat
+             |FROM f""".stripMargin),
+      (s, dir) => Binary.frameSample(
+          Binary.attachPayload(Tables.t(s, dir, "documents"), "doc_id", "text"),
+          step = 64)
+        .select("doc_id", "frame_idx", "frame_offset", "frame_feat")),
+
     // Multimodal binary plumbing. The decode stays a stub (no codec libs in
     // this container) but its deterministic byte features are externally
     // checkable: DuckDB recomputes length/head/checksum over the same blob.

@@ -24,6 +24,48 @@ class PropertySpec extends SparkSpec {
       rowsGen.apply(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
       .filter(_.nonEmpty)
 
+  test("resolveClusters matches a union-find reference on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(for {
+        a <- Gen.choose(0L, 29L)
+        b <- Gen.choose(0L, 29L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    (1 to 5).flatMap(i =>
+      edgeGen.apply(Gen.Parameters.default.withSize(25), Seed(100L + i)))
+      .filter(_.nonEmpty)
+      .foreach { edges =>
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map((0L to 29L).map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = (0L to 29L).map(i => i -> find(i)).toMap
+        val docs = (0L to 29L).toDF("doc_id")
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val got = graft.dedup.Dedup.resolveClusters(docs, "doc_id", pairs, maxRounds = 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+  }
+
+  test("chunkTokens covers every token when stride <= chunkSize") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "single")).toDF("doc_id", "text")
+    val chunks = graft.text.Chunker.chunkTokens(df, "text", Seq("doc_id"),
+      chunkSize = 32, stride = 24).collect()
+    val covered = chunks.filter(_.getLong(0) == 1L)
+      .flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"t$i").toSet)
+    // short docs yield exactly one (possibly short) chunk
+    assert(chunks.count(_.getLong(0) == 2L) == 1)
+    assert(chunks.find(_.getLong(0) == 2L).get.getInt(3) == 3)
+  }
+
   test("nest ∘ explode is the multiset identity for arbitrary inputs") {
     import spark.implicits._
     samples(5).foreach { rows =>
