@@ -10,6 +10,17 @@ import graft.ingest.{Enrich, Paginator}
   */
 object IngestQueries {
 
+  /** Test transport for S7: deterministically fails the FIRST attempt for
+    * every 13th key, succeeds on retry. Executor-local attempt memory —
+    * exactly the shape of a transient upstream 5xx.
+    */
+  private val attempted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] val flakyOnce: String => String = { key =>
+    if (key.toLong % 13 == 0 && attempted.add(key))
+      throw new RuntimeException(s"transient failure for $key")
+    s"""{"flag":${key.toLong % 3}}"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1 — keyset-cursor paginated ingest (billwerk_invoices.py:49-82).
@@ -132,6 +143,25 @@ object IngestQueries {
         }
         Paginator.toDf(s, Paginator.startingAfter(fetch))
           .select(col("p_partkey").cast("long"), col("p_name"))
+      }),
+
+    // S7 — retry + error channel UNDER the hash gate: the stub transport
+    // fails the first attempt for every 13th key (per-JVM attempt memory),
+    // the per-partition retry loop recovers, and the final output must be
+    // byte-identical to the never-failing oracle. Keys ending the run in
+    // the quarantine column would surface as a hash mismatch.
+    QueryDef(
+      "q_enrich_retry",
+      Some("""SELECT o_orderkey, CAST(o_orderkey % 3 AS INT) AS flag
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey")
+        val enriched = Enrich.perKeyFetch(
+          o, "o_orderkey", IngestQueries.flakyOnce, partitions = 8,
+          policy = Enrich.Policy(maxRetries = 3))
+        enriched
+          .withColumn("flag", expr("from_json(detail, 'flag int').flag"))
+          .select("o_orderkey", "flag")
       }),
 
     // §2.9 — incremental fetch above a high watermark

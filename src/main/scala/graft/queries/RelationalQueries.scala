@@ -169,6 +169,26 @@ object RelationalQueries {
         wh.read("orders")
       }),
 
+    // W2 under the gate end-to-end: manifest-append two batches onto a base
+    // snapshot and read the union back — the multi-data-dir manifest read
+    // itself is what gets hash-verified.
+    QueryDef(
+      "q_warehouse_append",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-wha").toString)
+        wh.overwrite("orders", o)
+        wh.append("orders", o.filter(col("o_orderkey") % 7 === 0))
+        wh.append("orders", o.filter(col("o_orderkey") % 11 === 0))
+        wh.read("orders")
+      }),
+
     // Skew-salted two-phase aggregation — must be indistinguishable from
     // the plain GROUP BY (the oracle IS the unsalted SQL): the hot
     // returnflag keys split across 8 salts map-side, partials recombine.
