@@ -166,7 +166,7 @@ object MinHashLSH {
        |    range(1, greatest(len(toks) - ${k - 1}, 1) + 1),
        |    i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS shingle FROM d),
        |hs AS (SELECT doc_id, shingle,
-       |  ('0x' || substr(sha256(shingle), 1, 15))::BIGINT % $Mod AS h FROM sh),
+       |  ${graft.expressions.Hashing.sha60Sql("shingle")} % $Mod AS h FROM sh),
        |sig AS (SELECT doc_id, i, min((a * h + b) % $Mod) AS m
        |  FROM hs CROSS JOIN perms GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, i // ${cfg.rowsPerBand} AS band,
