@@ -227,6 +227,24 @@ object ExtensionQueries {
         .select(col("vec_id"),
           round(Knn.norm(transform(col("embedding"), _.cast("double"))), 4).as("norm"))),
 
+    // Mean-pool chunk embeddings into a per-group vector (the
+    // chunk-embeddings → document-embedding step). Both engines fold the
+    // id-sorted member list strictly left-to-right, so the float result is
+    // reproducible; elements rounded for the array-wise compare.
+    QueryDef(
+      "q_embed_pool",
+      Some("""WITH m AS (SELECT vec_id % 40 AS grp, vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |g AS (SELECT grp, list(v ORDER BY vec_id) AS vs FROM m GROUP BY grp)
+             |SELECT grp, list_transform(
+             |    list_reduce(vs, (a, b) -> list_transform(range(1, 65), d -> a[d] + b[d])),
+             |    x -> round(x / len(vs), 6)) AS pooled
+             |FROM g""".stripMargin),
+      (s, dir) => Knn.meanPool(
+        Tables.t(s, dir, "embeddings")
+          .withColumn("grp", col("vec_id") % 40),
+        "grp", "vec_id", "embedding", dim = 64)),
+
     // LSH-bucketed ANN (scale path). The oracle recomputes bucket ids from
     // the same plane literals and applies the same rank/tie rules — full
     // hash gate; recall vs brute force is spec-checked separately.

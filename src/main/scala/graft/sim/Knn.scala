@@ -107,6 +107,28 @@ object Knn {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Mean-pool member vectors per group — the chunk-embeddings → document
+    * embedding step of a training pipeline. Deterministic across runs and
+    * engines: members are collected per group, sorted by id, and folded
+    * SEQUENTIALLY (collect_list order is partition-dependent, and float
+    * addition is not associative — an unsorted fold or a per-dimension
+    * shuffle aggregate would be bit-nondeterministic). Group cardinality
+    * is assumed bounded (chunks per document), which is what makes the
+    * per-group collect safe at corpus scale.
+    */
+  def meanPool(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    val zeros = typedlit(Seq.fill(dim)(0.0d))
+    df.groupBy(groupCol)
+      .agg(sort_array(collect_list(struct(col(idCol).as("i"),
+        asDouble(col(vecCol)).as("v")))).as("__m"))
+      .select(col(groupCol),
+        transform(
+          aggregate(col("__m"), zeros,
+            (acc, s) => zip_with(acc, s.getField("v"), (a, x) => a + x)),
+          x => round(x / size(col("__m")), 6)).as("pooled"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, brute force.
     * O(n²) — this is the ground-truth/spec oracle; production corpora use
     * [[nearDupPairsBanded]], whose candidate generation is an equi-join.
