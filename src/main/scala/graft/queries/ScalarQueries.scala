@@ -94,6 +94,21 @@ object ScalarQueries {
               lit("-24"))).as("month_end"))
       }),
 
+    // P17 — struct → JSON string (json.dumps(CustomFields),
+    // biilwerk_contracts.py:167). Non-null fields only: Spark's to_json
+    // omits null fields where DuckDB's emits them, so nullable payloads
+    // are a schema decision, not a serializer one.
+    QueryDef(
+      "q_struct_json",
+      Some("""SELECT o_orderkey,
+             |  to_json(struct_pack(o_orderkey := o_orderkey,
+             |                      o_orderstatus := o_orderstatus))::VARCHAR AS payload_json
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders").select(
+        col("o_orderkey"),
+        Coerce.structToJson(
+          struct(col("o_orderkey"), col("o_orderstatus"))).as("payload_json"))),
+
     // P8/P9 — error-tolerant numeric coercion + fillna/int-cast
     // (pd.to_numeric(errors='coerce'); fillna(0).astype(int)).
     QueryDef(
