@@ -28,6 +28,22 @@ object Dedup {
     df.select(col(idCol),
       array_distinct(split(normalized(col(textCol)), " ")).as("words"))
 
+  /** Distinct character n-gram set per document — the shingle family for
+    * short/no-whitespace text (CJK, code, URLs) where word tokens don't
+    * exist. Row-local: `sequence` + `transform` over the normalized string,
+    * no UDF. Documents shorter than n yield an empty set.
+    */
+  def charNgramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val t = normalized(col(textCol))
+    val grams = when(length(t) >= n,
+        array_distinct(transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), grams.as("grams"))
+  }
+
   /** Physical strategy for [[jaccardPairs]]. */
   sealed trait JaccardStrategy
   /** Probe a bounded sample to pick bitmask vs inverted index. */
@@ -59,9 +75,20 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, strategy: JaccardStrategy = JaccardAuto,
-      dfCap: Option[Double] = None, bitmaskMaxDocs: Long = 10000L): DataFrame = {
-    val w = wordSets(df, idCol, textCol)
-      .select(col(idCol).as("doc_id"), explode(col("words")).as("word"))
+      dfCap: Option[Double] = None, bitmaskMaxDocs: Long = 10000L): DataFrame =
+    jaccardPairsFeatures(
+      wordSets(df, idCol, textCol)
+        .select(col(idCol).as("doc_id"), explode(col("words")).as("word")),
+      threshold, strategy, dfCap, bitmaskMaxDocs)
+
+  /** Exact Jaccard over an arbitrary exploded feature table
+    * `(doc_id, word)` — words, char n-grams, shingle hashes, anything
+    * set-valued. Same strategy machinery as [[jaccardPairs]].
+    */
+  def jaccardPairsFeatures(features: DataFrame, threshold: Double,
+      strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
+      bitmaskMaxDocs: Long = 10000L): DataFrame = {
+    val w = features
     def bitmaskEligible: Boolean =
       // bounded sample first: a big vocabulary disqualifies without ever
       // scanning the corpus; only a tiny-looking vocab pays the exact pass

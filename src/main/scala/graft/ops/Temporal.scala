@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the reference's SQL layer gets "for free" from BigQuery
+  * and a training-data pipeline needs at corpus scale: as-of (most recent
+  * earlier fact) and interval/range containment. Spark has no native ASOF
+  * or RANGE join operator, so both are re-expressed as shuffle-bounded
+  * compositions of built-ins — no cross join, no per-row subquery.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the most recent right row of
+    * the same key with `rightTs <= leftTs` (inclusive). Implemented as the
+    * union-tag trick: tag both sides, sort each key's timeline once, and
+    * carry the latest right payload forward with
+    * `last(payload, ignoreNulls) OVER (... ROWS UNBOUNDED PRECEDING)`.
+    *
+    * ONE shuffle (by `key`), no range explosion, no per-left-row probe —
+    * the plan that survives a 100 TB timeline, unlike the
+    * broadcast-subquery or point-in-interval crossJoin formulations.
+    * At equal timestamps the right row sorts first (side 0 < 1), so the
+    * match is inclusive. Right rows must be unique per (key, ts) for a
+    * deterministic payload — pre-aggregate the right side if not.
+    *
+    * Right payload columns keep their names; callers project/rename
+    * afterwards (left columns win on collision — avoid overlapping names).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTs).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select(col(key), col("__ts"), col("__side"),
+        col("__p"), struct(left.columns.map(col): _*).as("__l"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+        lit(0).as("__side"), payload.as("__p"))
+      .withColumn("__l",
+        lit(null).cast(l.select(col("__l")).schema.head.dataType))
+
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Interval containment join WITHOUT an equi key: left points land in
+    * right `[start, end)` intervals. Both sides are bucketed on
+    * `bucketWidth`-sized time cells: each point belongs to exactly one
+    * bucket, each interval is exploded to every bucket it overlaps, and the
+    * join becomes a plain equi-join on the bucket id plus an exact range
+    * filter. Shuffle volume is O(points + intervals · span/bucketWidth),
+    * and per-bucket density — not corpus size — bounds the worst task, the
+    * property that keeps this viable at 100 TB where a theta-join would be
+    * a broadcast-nested-loop over everything.
+    *
+    * `pointCol`, `startCol`, `endCol` are long (e.g. epoch micros);
+    * `end` is exclusive.
+    */
+  def rangeJoin(left: DataFrame, pointCol: String,
+      right: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    val r = right
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol) / bucketWidth),
+        floor((col(endCol) - 1) / bucketWidth))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -230,20 +230,26 @@ object ExtensionQueries {
     // Mean-pool chunk embeddings into a per-group vector (the
     // chunk-embeddings → document-embedding step). Both engines fold the
     // id-sorted member list strictly left-to-right, so the float result is
-    // reproducible; elements rounded for the array-wise compare.
+    // reproducible. The pooled vector is exploded to scalar (grp, dim, val)
+    // rows: the driver's compare sorts rows column-wise and cannot hash an
+    // array cell, so arrays must never appear in a gated result.
     QueryDef(
       "q_embed_pool",
       Some("""WITH m AS (SELECT vec_id % 40 AS grp, vec_id, embedding::DOUBLE[] AS v
              |  FROM embeddings),
-             |g AS (SELECT grp, list(v ORDER BY vec_id) AS vs FROM m GROUP BY grp)
-             |SELECT grp, list_transform(
+             |g AS (SELECT grp, list(v ORDER BY vec_id) AS vs FROM m GROUP BY grp),
+             |p AS (SELECT grp, list_transform(
              |    list_reduce(vs, (a, b) -> list_transform(range(1, 65), d -> a[d] + b[d])),
              |    x -> round(x / len(vs), 6)) AS pooled
-             |FROM g""".stripMargin),
+             |FROM g)
+             |SELECT grp, CAST(unnest(range(0, len(pooled))) AS INT) AS dim,
+             |  unnest(pooled) AS val
+             |FROM p""".stripMargin),
       (s, dir) => Knn.meanPool(
         Tables.t(s, dir, "embeddings")
           .withColumn("grp", col("vec_id") % 40),
-        "grp", "vec_id", "embedding", dim = 64)),
+        "grp", "vec_id", "embedding", dim = 64)
+        .select(col("grp"), posexplode(col("pooled")).as(Seq("dim", "val")))),
 
     // LSH-bucketed ANN (scale path). The oracle recomputes bucket ids from
     // the same plane literals and applies the same rank/tie rules — full

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.Temporal
+import graft.streaming.{IncrementalStream, Sessionize}
+
+/** Temporal / window / analytical operators: as-of join, range join,
+  * rolling windows, sessionization, deciles, a star-schema rollup, exact
+  * group quantiles, and a real Structured Streaming windowed aggregation
+  * under the oracle gate. Timestamps are compared as epoch microseconds
+  * (`unix_micros` ↔ DuckDB `epoch_us`, both truncating the fixture's
+  * nanosecond column identically).
+  */
+object TemporalQueries {
+
+  /** events projected to (event_id, user_id, ts_us, event_type, value). */
+  private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: every event gets the most recent purchase (inclusive) by
+    // the same user. The union-tag plan shuffles ONCE on user_id; the
+    // oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    // formulation of the same semantics.
+    QueryDef(
+      "q_asof_join",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type FROM events),
+             |p AS (SELECT user_id, ts_us, max(event_id) AS purchase_id
+             |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+             |  p.purchase_id, p.ts_us AS purchase_ts_us
+             |FROM e ASOF LEFT JOIN p
+             |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).drop("value")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us")
+          .agg(max("event_id").as("purchase_id"))
+          .withColumn("purchase_ts_us", col("ts_us"))
+        Temporal.asofJoin(e, purchases, "user_id", "ts_us", "ts_us")
+      }),
+
+    // Range join without an equi key: purchases landing inside 10-minute
+    // windows opened by error events. Bucketed equi-join plan vs the
+    // oracle's theta join.
+    QueryDef(
+      "q_range_join",
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type
+             |    FROM events),
+             |p AS (SELECT event_id AS purchase_id, ts_us FROM e
+             |  WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id AS error_id, ts_us AS start_us FROM e
+             |  WHERE event_type = 'error')
+             |SELECT purchase_id, error_id, p.ts_us - start_us AS lag_us
+             |FROM p JOIN r
+             |  ON p.ts_us >= start_us AND p.ts_us < start_us + 600000000""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val points = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts_us"))
+        val intervals = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            col("ts_us").as("start_us"),
+            (col("ts_us") + 600000000L).as("end_us"))
+        Temporal.rangeJoin(points, "ts_us", intervals,
+            "start_us", "end_us", bucketWidth = 600000000L)
+          .select(col("purchase_id"), col("error_id"),
+            (col("ts_us") - col("start_us")).as("lag_us"))
+      }),
+
+    // Rolling 5-event window per user (sum/max/count) — the per-key
+    // sliding-frame shape (PARTITION BY keeps it parallel; total order by
+    // (ts, id) makes the frame deterministic).
+    QueryDef(
+      "q_rolling_agg",
+      Some("""SELECT event_id, user_id, ts_us,
+             |  round(sum(value) OVER w, 2) AS roll_sum5,
+             |  max(value) OVER w AS roll_max5,
+             |  CAST(count(*) OVER w AS INT) AS roll_n5
+             |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        ev(s, dir).select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          round(sum("value").over(w), 2).as("roll_sum5"),
+          max("value").over(w).as("roll_max5"),
+          count(lit(1)).over(w).cast("int").as("roll_n5"))
+      }),
+
+    // Gap-based sessionization (30-min inactivity closes a session) via the
+    // SAME flatMapGroupsWithState code the streaming path runs — batch
+    // execution sees each key once and emits every session. Oracle: the
+    // classic lag + cumulative-break-sum SQL formulation.
+    QueryDef(
+      "q_sessionize",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+             |    FROM events),
+             |s AS (SELECT user_id, tsu, event_type,
+             |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+             |        ORDER BY tsu) > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (SELECT user_id, tsu, event_type,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s)
+             |SELECT user_id, min(tsu) AS session_start, max(tsu) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    AS INT) AS n_purchases
+             |FROM g GROUP BY user_id, sid""".stripMargin),
+      (s, dir) =>
+        Sessionize.sessionizeBatch(s, dir, gapMicros = 1800000000L).toDF()),
+
+    // Decile bucketing within each nation (ntile over a PARTITIONED window
+    // — a global ntile would funnel the corpus through one task).
+    QueryDef(
+      "q_ntile_decile",
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             |  CAST(ntile(10) OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey) AS INT) AS decile
+             |FROM customer""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("c_nationkey")
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))))),
+
+    // Star-schema rollup (TPC-H Q3/Q5 shape): revenue by nation for one
+    // market segment. Dimensions broadcast; the one shuffle is the
+    // lineitem↔orders join + final small aggregation. Revenue summed in
+    // integer cents — micro-batch/partition order can never move the hash.
+    QueryDef(
+      "q_star_join",
+      Some("""SELECT n.n_name,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+             |    AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+             |GROUP BY n.n_name""".stripMargin),
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("rev_cents"))
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderstatus") =!= "F")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val n = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum("rev_cents").as("revenue_cents"))
+      }),
+
+    // Exact group-wise quantiles (median / p90, linear interpolation) —
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // interpolation definition.
+    QueryDef(
+      "q_percentile",
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n"))),
+
+    // REAL Structured Streaming under the hash gate: watermarked hourly
+    // windows over the events stream, AvailableNow, read back from the
+    // checkpointed sink. Append mode withholds windows the final watermark
+    // ( = max event time, delay 0) hasn't passed; the oracle applies the
+    // same cutoff.
+    QueryDef(
+      "q_stream_window",
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT (tsu // 3600000000) * 3600000000 AS win_start_us,
+             |    event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS value_cents
+             |  FROM e GROUP BY 1, 2)
+             |SELECT win_start_us, event_type, n, value_cents FROM w
+             |WHERE win_start_us + 3600000000 <= (SELECT max(tsu) FROM e)""".stripMargin),
+      (s, dir) => IncrementalStream.windowedCountsGated(s, dir))
+  )
+}

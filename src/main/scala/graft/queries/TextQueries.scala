@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.ops.Sampling
+import graft.text.{Redact, Tfidf}
+
+/** Corpus analytics round 3: TF-IDF, n-gram census, char-n-gram Jaccard,
+  * deterministic split assignment, PII scrubbing. All row-local or
+  * two-aggregation shapes; every oracle recomputes the identical scalar
+  * expression trees in DuckDB.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF top-3 terms per document (smoothed idf, partitioned window).
+    QueryDef(
+      "q_tfidf",
+      Some("""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             |  WHERE term <> '' GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+             |  WHERE term <> '' GROUP BY 1),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t
+             |  WHERE term <> ''),
+             |s AS (SELECT doc_id, tf.term,
+             |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             |    round(tf.tf * ln((nd.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+             |SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY tfidf DESC, term) AS rnk FROM s)
+             |WHERE rnk <= 3""".stripMargin),
+      (s, dir) => Tfidf.topTerms(
+          Tables.t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 3)
+        .drop("tf", "df", "n_docs")
+        .select("doc_id", "term", "tfidf", "rnk")),
+
+    // Global top-20 word bigrams (TakeOrdered, no full sort).
+    QueryDef(
+      "q_top_ngrams",
+      Some("""WITH d AS (SELECT regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM d)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY 1
+             |ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+      (s, dir) => Tfidf.topBigrams(
+        Tables.t(s, dir, "documents").select("text"), "text", k = 20)),
+
+    // Character-trigram Jaccard near-dup pairs on a bounded id slice —
+    // the shingle family for text without word boundaries. Same
+    // inverted-index machinery as q_word_jaccard via
+    // Dedup.jaccardPairsFeatures.
+    QueryDef(
+      "q_ngram_jaccard",
+      Some("""WITH n AS (SELECT doc_id,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, length(t) - 1), i -> substr(t, i, 3))) AS gs FROM n)
+             |SELECT doc_a, doc_b, round(j, 4) AS jaccard
+             |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.gs, b.gs))::DOUBLE
+             |      / len(list_distinct(a.gs || b.gs)) AS j
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+             |WHERE j >= 0.8""".stripMargin),
+      (s, dir) => Dedup.jaccardPairsFeatures(
+        Dedup.charNgramSets(
+            Tables.t(s, dir, "documents").filter(col("doc_id") < 300),
+            "doc_id", "text", n = 3)
+          .select(col("doc_id"), explode(col("grams")).as("word")),
+        threshold = 0.8, strategy = Dedup.JaccardInverted)),
+
+    // Deterministic 80/10/10 train/val/test assignment by sha-derived
+    // bucket — reproducible on any engine, any partitioning.
+    QueryDef(
+      "q_split_sample",
+      Some("""SELECT doc_id, CAST(b AS INT) AS bucket,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+             |FROM documents)""".stripMargin),
+      (s, dir) => Sampling.hashSplit(
+        Tables.t(s, dir, "documents").select("doc_id"), "doc_id")),
+
+    // PII scrubbing. The fixture corpus carries no PII, so the query first
+    // derives a deterministic contact-laden variant (same expression both
+    // engines), then redacts emails and phone-shaped spans and counts the
+    // removals — exercising the scrub on text guaranteed to match.
+    QueryDef(
+      "q_pii_redact",
+      Some("""WITH p AS (SELECT doc_id,
+             |    substr(text, 1, 40) || ' contact user' || doc_id ||
+             |    '@mail.example or +41 79 ' || (doc_id * 7) AS t
+             |  FROM documents),
+             |r AS (SELECT doc_id, t,
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS no_email
+             |  FROM p)
+             |SELECT doc_id,
+             |  regexp_replace(no_email, '\+?[0-9][0-9 -]{5,}[0-9]', '<PHONE>', 'g')
+             |    AS redacted,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    + len(regexp_extract_all(no_email, '\+?[0-9][0-9 -]{5,}[0-9]'))
+             |    AS INT) AS n_redacted
+             |FROM r""".stripMargin),
+      (s, dir) => {
+        val pii = concat(
+          substring(col("text"), 1, 40), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example or +41 79 "),
+          (col("doc_id") * 7).cast("string"))
+        val base = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), pii.as("t"))
+        val (scrubbed, n) = Redact.scrub(col("t"))
+        base.select(col("doc_id"), scrubbed.as("redacted"), n.as("n_redacted"))
+      })
+  )
+}

@@ -57,6 +57,35 @@ object IncrementalStream {
     q.awaitTermination()
   }
 
+  /** Watermarked tumbling-window aggregation run as a REAL Structured
+    * Streaming job (AvailableNow trigger, checkpointed, append mode) and
+    * read back — the form the driver's oracle gate can hash-compare
+    * against a batch SQL twin. Append mode only emits windows the final
+    * watermark (max event time − delay) has passed; the batch oracle
+    * applies the same cutoff. Money is summed in integer cents so the
+    * result is invariant to micro-batch boundaries and aggregation order.
+    */
+  def windowedCountsGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    // FileStreamSource wants a landing DIRECTORY (the deployment shape:
+    // files arrive in a dir); the fixture is a single file — stage it.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+    val agg = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("value_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+    runAvailableNow(agg, s"$tmp/chk", s"$tmp/out")
+    spark.read.parquet(s"$tmp/out")
+  }
+
   /** Batch incremental with explicit watermark state: fetch rows with
     * `idCol` above the cursor, append-if-absent into the warehouse table,
     * advance the cursor to the batch max only after the write succeeds.
