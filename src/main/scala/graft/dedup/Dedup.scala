@@ -35,23 +35,34 @@ object Dedup {
     */
   def charNgramSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val t = normalized(col(textCol))
+    // normalized() MUST be materialized as its own column: inlined into
+    // the transform lambda, Catalyst re-evaluates the whole regex chain
+    // for every gram — O(len²) per document (the Fingerprint lesson;
+    // measured ~2 s/pass → ~60 ms on the 300-doc fixture slice)
+    val t = col("__t")
     val grams = when(length(t) >= n,
         array_distinct(transform(
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), grams.as("grams"))
+    df.withColumn("__t", normalized(col(textCol)))
+      .select(col(idCol), grams.as("grams"))
   }
 
   /** Physical strategy for [[jaccardPairs]]. */
   sealed trait JaccardStrategy
   /** Probe a bounded sample to pick bitmask vs inverted index. */
   case object JaccardAuto extends JaccardStrategy
-  /** Force the ≤64-word bitmask path (falls back if vocab > 64). */
+  /** Force the bounded-vocabulary bitmask path (falls back if vocab or
+    * doc count exceed the caps). */
   case object JaccardBitmask extends JaccardStrategy
   /** Force the inverted-index path. */
   case object JaccardInverted extends JaccardStrategy
+
+  /** Vocabulary cap for the (multi-word) bitmask path: vocab ≤ 64·k words
+    * packs each document into k longs. 1024 ⇒ ≤16 longs per doc.
+    */
+  val maskMaxVocab = 1024
 
   /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies:
     *
@@ -78,7 +89,11 @@ object Dedup {
       dfCap: Option[Double] = None, bitmaskMaxDocs: Long = 10000L): DataFrame =
     jaccardPairsFeatures(
       wordSets(df, idCol, textCol)
-        .select(col(idCol).as("doc_id"), explode(col("words")).as("word")),
+        // explode_outer + null filter: inner explode makes
+        // InferFiltersFromGenerate clone the word-set expression into a
+        // pre-shuffle filter that re-runs the normalization per row
+        .select(col(idCol).as("doc_id"), explode_outer(col("words")).as("word"))
+        .filter(col("word").isNotNull),
       threshold, strategy, dfCap, bitmaskMaxDocs)
 
   /** Exact Jaccard over an arbitrary exploded feature table
@@ -89,42 +104,84 @@ object Dedup {
       strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
       bitmaskMaxDocs: Long = 10000L): DataFrame = {
     val w = features
-    def bitmaskEligible: Boolean =
-      // bounded sample first: a big vocabulary disqualifies without ever
-      // scanning the corpus; only a tiny-looking vocab pays the exact pass
-      w.limit(4096).select("word").distinct().count() <= 64 && {
-        val exact = w.agg(countDistinct(col("word")),
-          countDistinct(col("doc_id"))).first()
-        exact.getLong(0) <= 64 && exact.getLong(1) <= bitmaskMaxDocs
-      }
     strategy match {
-      case JaccardBitmask if bitmaskEligible => jaccardBitmask(w, threshold)
-      case JaccardBitmask => jaccardInvertedIndex(w, threshold, dfCap)
       case JaccardInverted => jaccardInvertedIndex(w, threshold, dfCap)
-      case JaccardAuto =>
-        if (bitmaskEligible) jaccardBitmask(w, threshold)
-        else jaccardInvertedIndex(w, threshold, dfCap)
+      case JaccardAuto | JaccardBitmask =>
+        // bounded sample first: a big vocabulary disqualifies without ever
+        // scanning the corpus; only a small-looking vocab pays more
+        val sampleSmall =
+          w.limit(65536).select("word").distinct().count() <= maskMaxVocab
+        if (!sampleSmall) jaccardInvertedIndex(w, threshold, dfCap)
+        else {
+          // materialize ONCE: the exact eligibility pass, the vocab
+          // collect and both mask builds all consume the feature table —
+          // recomputing the upstream shingling per action dominated the
+          // fixture runtime before this
+          val wc = w.localCheckpoint()
+          val exact = wc.agg(countDistinct(col("word")),
+            countDistinct(col("doc_id"))).first()
+          if (exact.getLong(0) <= maskMaxVocab &&
+              exact.getLong(1) <= bitmaskMaxDocs)
+            jaccardBitmask(wc, threshold)
+          else jaccardInvertedIndex(wc, threshold, dfCap)
+        }
     }
   }
 
   private def jaccardBitmask(w: DataFrame, threshold: Double): DataFrame = {
-    // the caller guarantees vocab ≤ 64: assign bits driver-side (a global
-    // row_number window here moved all words to one partition and was the
-    // repo's last unpartitioned-window warning) and inline them as a
-    // literal map — codegen'd lookup, zero extra shuffle
+    // the caller guarantees vocab ≤ maskMaxVocab: assign bits driver-side
+    // (a global row_number window here moved all words to one partition and
+    // was the repo's last unpartitioned-window warning) and inline them as
+    // a literal map — codegen'd lookup, zero extra shuffle. Each document
+    // packs into ceil(vocab/64) longs; per-pair Jaccard is pure popcount
+    // arithmetic (the same data via per-pair array_intersect measured
+    // ~300 s for 500 docs; via the inverted-index join on a degenerate
+    // 377-gram vocabulary, ~27M join rows — this path is ~thousandths).
+    // `w` arrives materialized (localCheckpoint in the caller) — the vocab
+    // collect and both mask-build sides consume it repeatedly
     val bitOf: Map[String, Int] = w.select("word").distinct()
       .orderBy("word").collect().map(_.getString(0)).zipWithIndex.toMap
-    val masks = w
-      .withColumn("bit", element_at(typedlit(bitOf), col("word")))
-      .groupBy("doc_id")
-      .agg(bit_or(expr("shiftleft(1L, bit)")).as("mask"))
-    val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
-    val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
-    a.crossJoin(broadcast(b))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
-          / bit_count(col("ma").bitwiseOR(col("mb"))))
+    val nWords = math.max(1, (bitOf.size + 63) / 64)
+    val withBit = w.withColumn("bit", element_at(typedlit(bitOf), col("word")))
+    val pairs =
+      if (nWords == 1) {
+        // single-long fast path: scalar codegen ops, no arrays
+        val masks = withBit.groupBy("doc_id")
+          .agg(bit_or(expr("shiftleft(1L, bit)")).as("mask"))
+        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
+        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
+              / bit_count(col("ma").bitwiseOR(col("mb"))))
+      } else {
+        // multi-word masks: bit b lives in long b/64 at position b%64
+        val masks = withBit
+          .withColumn("wi", (col("bit") / 64).cast("int"))
+          .groupBy("doc_id", "wi")
+          .agg(bit_or(expr("shiftleft(1L, bit % 64)")).as("m"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("wi"), col("m"))))
+            .as("mm"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(nWords - 1)),
+              i => coalesce(element_at(col("mm"), i), lit(0L))).as("mask"))
+        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
+        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("inter", aggregate(
+            zip_with(col("ma"), col("mb"),
+              (x, y) => bit_count(x.bitwiseAND(y))),
+            lit(0), (acc, v) => acc + v))
+          .withColumn("uni", aggregate(
+            zip_with(col("ma"), col("mb"),
+              (x, y) => bit_count(x.bitwiseOR(y))),
+            lit(0), (acc, v) => acc + v))
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      }
+    pairs
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }

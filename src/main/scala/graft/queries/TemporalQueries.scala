@@ -172,9 +172,10 @@ object TemporalQueries {
             sum("rev_cents").as("revenue_cents"))
       }),
 
-    // Exact group-wise quantiles (median / p90, linear interpolation) —
-    // Spark `percentile` and DuckDB `quantile_cont` share the
-    // interpolation definition.
+    // Exact group-wise quantiles (median / p90, linear interpolation,
+    // the `quantile_cont` definition) — computed via graft's sort-based
+    // window formulation, which spills instead of buffering whole groups
+    // in executor memory like the `percentile` aggregate.
     QueryDef(
       "q_percentile",
       Some("""SELECT l_returnflag,
@@ -182,12 +183,13 @@ object TemporalQueries {
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-      (s, dir) => Tables.t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-          count(lit(1)).as("n"))),
+      (s, dir) => graft.ops.Quantiles.groupQuantiles(
+          Tables.t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+          "l_returnflag", "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"), col("n"))),
 
     // REAL Structured Streaming under the hash gate: watermarked hourly
     // windows over the events stream, AvailableNow, read back from the

@@ -56,9 +56,10 @@ object TextQueries {
         Tables.t(s, dir, "documents").select("text"), "text", k = 20)),
 
     // Character-trigram Jaccard near-dup pairs on a bounded id slice —
-    // the shingle family for text without word boundaries. Same
-    // inverted-index machinery as q_word_jaccard via
-    // Dedup.jaccardPairsFeatures.
+    // the shingle family for text without word boundaries. JaccardAuto
+    // picks the multi-word bitmask here (377-gram vocab → 6 longs/doc);
+    // the inverted-index path on this degenerate vocabulary was measured
+    // at ~27M join rows / ~7 s.
     QueryDef(
       "q_ngram_jaccard",
       Some("""WITH n AS (SELECT doc_id,
@@ -74,10 +75,18 @@ object TextQueries {
              |WHERE j >= 0.8""".stripMargin),
       (s, dir) => Dedup.jaccardPairsFeatures(
         Dedup.charNgramSets(
-            Tables.t(s, dir, "documents").filter(col("doc_id") < 300),
+            Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
+              // one-file fixture = one partition; shingling is the
+              // row-local hot loop, so spread it first
+              .repartition(s.sparkContext.defaultParallelism),
             "doc_id", "text", n = 3)
-          .select(col("doc_id"), explode(col("grams")).as("word")),
-        threshold = 0.8, strategy = Dedup.JaccardInverted)),
+          // explode_outer: plain explode triggers InferFiltersFromGenerate,
+          // which duplicates the whole gram expression into a pre-shuffle
+          // filter (measured 1.7 s/pass of pure recompute); the outer
+          // variant infers nothing — drop the null rows on the attribute
+          .select(col("doc_id"), explode_outer(col("grams")).as("word"))
+          .filter(col("word").isNotNull),
+        threshold = 0.8)),
 
     // Deterministic 80/10/10 train/val/test assignment by sha-derived
     // bucket — reproducible on any engine, any partitioning.
