@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.Fuzzy
+
+/** Analytic / reshaping operators round 3b: unpivot (wide→long melt),
+  * ROLLUP subtotals, semi-structured JSON extraction, and fuzzy
+  * (edit-distance) matching. Money/ints summed exactly; JSON scalars
+  * extracted with the same path expressions both engines.
+  */
+object AnalyticQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Wide→long melt of the four lineitem measures (the inverse of the
+    // conditional-sum pivot) via Spark's native unpivot — one generator,
+    // zero shuffle.
+    QueryDef(
+      "q_unpivot",
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             |       l_quantity AS val FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |FROM lineitem""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")),
+
+    // ROLLUP subtotal hierarchy over returnflag×linestatus with grouping
+    // flags (the reporting shape BI layers ask of a warehouse). Counts and
+    // integer-cents sums — exact under any grouping-set evaluation order.
+    QueryDef(
+      "q_rollup",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |    AS BIGINT) AS price_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("price_cents"))),
+
+    // Semi-structured extraction: pull a typed scalar out of the events
+    // JSON props column and aggregate it — the schema-on-read step every
+    // event pipeline starts with.
+    QueryDef(
+      "q_json_props",
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             |    AS sum_k,
+             |  round(sum(CAST(json_extract(props, '$.k') AS INT))::DOUBLE
+             |    / count(*), 4) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          round(sum(col("k").cast("long")).cast("double") / count(lit(1)), 4)
+            .as("avg_k"))),
+
+    // Fuzzy identity matching: customer-name pairs within edit distance 1
+    // on a bounded slice. Candidates are length-blocked equi-join (the
+    // oracle is the unblocked theta join — same result, quadratic plan).
+    QueryDef(
+      "q_fuzzy_match",
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer
+             |  WHERE c_custkey < 200)
+             |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin),
+      (s, dir) => Fuzzy.editDistancePairs(
+        Tables.t(s, dir, "customer").filter(col("c_custkey") < 200)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", maxDist = 1))
+  )
+}
