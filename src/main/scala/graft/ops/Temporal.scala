@@ -52,6 +52,24 @@ object Temporal {
       .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** SCD Type-2 historization: turn a change log (one row per key per
+    * change event) into versioned dimension rows with `[valid_from,
+    * valid_to)` intervals and a current flag — the distributed analogue of
+    * the reference's history tables (append + latest-per-key), but with
+    * full interval semantics so point-in-time joins (`asofJoin`) can hit
+    * any version. One shuffle: a window partitioned BY KEY (never global);
+    * `tieBreak` totally orders simultaneous changes so the version chain
+    * is deterministic. `valid_to` is null on the open (current) version.
+    */
+  def scd2(changeLog: DataFrame, key: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    changeLog
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Interval containment join WITHOUT an equi key: left points land in
     * right `[start, end)` intervals. Both sides are bucketed on
     * `bucketWidth`-sized time cells: each point belongs to exactly one
