@@ -29,26 +29,44 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try once(fn) catch { case _: Throwable => () }
     }
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must never masquerade as a fast timing: record it
+    // as failed (None) and exit nonzero so a broken query turns the bench
+    // artifact red instead of shaving the total.
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try once(fn) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { once(fn); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        None
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = (1 to passes).map { pass =>
       ordered.map { case (name, fn) =>
-        val dt = timed(fn)
-        System.err.println(f"[bench] pass$pass $name%-22s ${dt}%8.2f s")
+        val dt = timed(name, fn)
+        System.err.println(f"[bench] pass$pass $name%-22s ${dt.fold("  failed")(d => f"$d%8.2f")} s")
         name -> dt
       }.toMap
     }
     val results = ordered.map { case (name, _) =>
-      name -> samples.map(_(name)).min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      val ts = samples.flatMap(_(name))
+      name -> (if (ts.isEmpty) None else Some(ts.min))
+    }
+    val failed = results.collect { case (n, None) => n }
+    val total = results.flatMap(_._2).sum
+    // Total printed FIRST on its own line: a bounded tail capture of this
+    // stream must never lose the headline number to mid-JSON truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("\"failed\"")(_.toString)
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

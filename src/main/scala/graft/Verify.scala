@@ -22,12 +22,19 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // Failures must be LOUD: a broken query writes no output dir, so the
+    // driver's compare would silently skip it (no red row). Record every
+    // failure in errors.json and exit nonzero so the artifact distinguishes
+    // "query removed" from "query broken".
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name failed: $msg")
+          errors.put(name, msg)
         }
       }
     }
@@ -48,6 +55,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (!errors.isEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keySet().asScala.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -38,7 +38,7 @@ object BehaviorQueries {
       (s, dir) => Temporal.scd2(
         Tables.t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
-          unix_micros(col("o_orderdate")).as("ts_us")),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us")),
         "o_custkey", "ts_us", "o_orderkey")
         .drop("ts_us")),
 

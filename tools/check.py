@@ -46,6 +46,17 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
+    # A registered oracle with no output dir means the Spark query CRASHED
+    # (Verify records why in errors.json) — that must be a red row, not a
+    # silently absent one.
+    errors = {}
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            errors = json.load(f)
+    for name in sorted((set(oracle) | set(errors)) - set(names)):
+        print(f"  ✗ {name}: NO OUTPUT — {errors.get(name, 'query produced no result dir')}")
+        n_fail += 1
     for name in names:
         got = con.execute(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
