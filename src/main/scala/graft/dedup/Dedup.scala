@@ -64,6 +64,13 @@ object Dedup {
     */
   val maskMaxVocab = 1024
 
+  /** Document cap for the bitmask path. The bitmask candidate stage is a
+    * broadcast crossJoin — quadratic in documents no matter how cheap the
+    * per-pair popcount is. 2000 docs ⇒ ≤2M mask pairs, a bounded flat cost;
+    * past that the prefix-filtered inverted index (equally exact) wins.
+    */
+  val defaultBitmaskMaxDocs = 2000L
+
   /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies:
     *
     * - BITMASK (vocab ≤ 64 AND few docs): each word gets a bit, each
@@ -72,13 +79,16 @@ object Dedup {
     *   array_intersect on the same data measured ~300 s for 500 docs; this
     *   runs the 5 000-doc / 12.5M-pair case in seconds.) Still quadratic in
     *   docs, so a row-count guard rejects it past `bitmaskMaxDocs`.
-    * - INVERTED INDEX: explode distinct words, equi-join on word, count
-    *   shared words per pair. `dfCap` (document-frequency cap) drops
-    *   ubiquitous words from CANDIDATE GENERATION only — survivors are
-    *   verified with exact intersection counts over ALL words, so reported
-    *   Jaccard values are exact. A pair sharing only capped (ubiquitous)
-    *   words is missed; at dedup thresholds that requires near-stopword-only
-    *   documents, and those belong to the exact-dedup path anyway.
+    * - INVERTED INDEX with PREFIX FILTERING (exact): each document indexes
+    *   only its rarest `n − ceil(t·n) + 1` features under a global
+    *   (df, feature) order; any pair with J ≥ t provably shares an indexed
+    *   feature, so candidate recall is 1.0 while the equi-join touches a
+    *   small fraction of the feature rows. Survivors are verified with
+    *   exact intersection counts over ALL features — reported Jaccard
+    *   values are exact. `dfCap` additionally drops ubiquitous features
+    *   from the index (a pair sharing only capped features is missed; at
+    *   dedup thresholds that requires near-stopword-only documents, which
+    *   belong to the exact-dedup path anyway).
     *
     * Strategy choice is an explicit parameter; `JaccardAuto` probes a
     * bounded sample of the word table (never a full corpus scan) and only
@@ -86,7 +96,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, strategy: JaccardStrategy = JaccardAuto,
-      dfCap: Option[Double] = None, bitmaskMaxDocs: Long = 10000L): DataFrame =
+      dfCap: Option[Double] = None,
+      bitmaskMaxDocs: Long = defaultBitmaskMaxDocs): DataFrame =
     jaccardPairsFeatures(
       wordSets(df, idCol, textCol)
         // explode_outer + null filter: inner explode makes
@@ -102,16 +113,22 @@ object Dedup {
     */
   def jaccardPairsFeatures(features: DataFrame, threshold: Double,
       strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
-      bitmaskMaxDocs: Long = 10000L): DataFrame = {
+      bitmaskMaxDocs: Long = defaultBitmaskMaxDocs): DataFrame = {
     val w = features
     strategy match {
-      case JaccardInverted => jaccardInvertedIndex(w, threshold, dfCap)
+      case JaccardInverted =>
+        // materialize ONCE: the feature table feeds df counts, sizes, the
+        // prefix index and both verification sides — ReuseExchange does not
+        // unify them (column pruning pushes different projections below
+        // each exchange), so without this the upstream shingling re-runs
+        // per consumer
+        jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
       case JaccardAuto | JaccardBitmask =>
         // bounded sample first: a big vocabulary disqualifies without ever
         // scanning the corpus; only a small-looking vocab pays more
         val sampleSmall =
           w.limit(65536).select("word").distinct().count() <= maskMaxVocab
-        if (!sampleSmall) jaccardInvertedIndex(w, threshold, dfCap)
+        if (!sampleSmall) jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
         else {
           // materialize ONCE: the exact eligibility pass, the vocab
           // collect and both mask builds all consume the feature table —
@@ -186,37 +203,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Inverted-index Jaccard with PREFIX FILTERING (Chaudhuri/Bayardo
+    * set-similarity join): J(a,b) ≥ t ⇒ |a∩b| ≥ ⌈t·|a|⌉, so if a's
+    * features are sorted under a global total order, a pair at threshold
+    * MUST share one of a's first |a| − ⌈t·|a|⌉ + 1 features — indexing only
+    * that prefix (sorted by ascending document frequency, so the indexed
+    * features are the rarest) keeps candidate recall at exactly 1.0 while
+    * the self-join touches ~(1−t) of the feature rows, and those the least
+    * skewed ones. Candidates are then verified with exact intersection
+    * counts over ALL features. `dfCap` additionally drops features with
+    * df > cap·nDocs from the index (documented recall trade on
+    * boilerplate-only pairs; verification stays exact).
+    *
+    * `w` must arrive materialized (localCheckpoint in the caller): df
+    * counts, sizes, the prefix index and both verification sides all
+    * consume it.
+    */
   private def jaccardInvertedIndex(w: DataFrame, threshold: Double,
       dfCap: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = dfCap match {
-      case None =>
-        w.select(col("doc_id").as("doc_a"), col("word"))
-          .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
+    val dfTable = w.groupBy("word").agg(count(lit(1)).as("__df"))
+    val indexed = dfCap match {
       case Some(cap) =>
-        // Candidates from sub-ubiquitous words only (kills the hot-key
-        // quadratic blowup: a word in df > cap·n docs contributes O(df²)
-        // join rows); then verify candidates with exact intersection
-        // counts over ALL words so the reported Jaccard stays exact.
         val nDocs = w.select("doc_id").distinct().count()
-        val rare = w.groupBy("word").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap * nDocs)
-          .select("word")
-        val wRare = w.join(rare, Seq("word"))
-        val cand = wRare.select(col("doc_id").as("doc_a"), col("word"))
-          .join(wRare.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-          .distinct()
-        cand
-          .join(w.select(col("doc_id").as("doc_a"), col("word")), Seq("doc_a"))
-          .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
+        dfTable.filter(col("__df") <= cap * nDocs)
+      case None => dfTable
     }
+    // per-doc rarity rank; (df, word) is a total order shared globally
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("__df"), col("word"))
+    val prefix = w.join(indexed, Seq("word"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(byRarity))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "word")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("word"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("word")), Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val inter = cand
+      .join(w.select(col("doc_id").as("doc_a"), col("word")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("word")), Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))

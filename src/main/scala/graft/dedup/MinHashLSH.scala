@@ -123,13 +123,18 @@ object MinHashLSH {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    // no cache(): the shingle subplan ends in a distinct shuffle, and the
-    // four consumers share it via ReuseExchange. A cache() here leaked
-    // across queries and measurably degraded later jobs in the session;
-    // an eager localCheckpoint ran the pipeline at construction time.
-    val sh = shingles(df, idCol, textCol, cfg.shingleSize)
-    val cand = candidates(bandSignatures(minhashSignatures(sh, cfg), cfg),
-      cfg.maxBucketSize)
+    // localCheckpoint, NOT ReuseExchange: the shingle table feeds four
+    // consumers (signatures, sizes, both verification sides), but column
+    // pruning pushes a different projection below each distinct Exchange,
+    // so the canonical plans differ and nothing is reused — the formatted
+    // plan showed SIX full scan→shingle→distinct recomputations (~9 s at
+    // sf0.1; ~2.5 s with the two checkpoints). cache() is still avoided:
+    // it leaked across queries in a shared session.
+    val sh = shingles(df, idCol, textCol, cfg.shingleSize).localCheckpoint()
+    // tiny (one row of H longs per doc) but self-joined via the band table
+    // on both candidate sides — checkpoint kills the duplicate 64-slot agg
+    val sig = minhashSignatures(sh, cfg).localCheckpoint()
+    val cand = candidates(bandSignatures(sig, cfg), cfg.maxBucketSize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

@@ -59,6 +59,13 @@ object ExtensionQueries {
         Tables.t(s, dir, "documents"), "doc_id", "text")),
 
     // Exact word-set Jaccard pairs — ground truth for the MinHash path.
+    // Strategy pinned to BITMASK with an explicit doc cap: the fixture
+    // corpus is a 31-word template vocabulary where every word appears in
+    // ~78% of documents, so NO candidate pruning (prefix filter, df cap,
+    // LSH) can beat all-pairs — measured: prefix-inverted generated 11.3M
+    // candidates / ~90 s, single-long popcount all-pairs runs in ~2 s.
+    // Auto keeps the scale-safe 2000-doc guard; exceeding it is an
+    // explicit, per-call decision like this one.
     QueryDef(
       "q_word_jaccard",
       Some("""WITH w AS (SELECT doc_id,
@@ -70,7 +77,8 @@ object ExtensionQueries {
              |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
              |WHERE jaccard >= 0.9""".stripMargin),
       (s, dir) => Dedup.jaccardPairs(
-        Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
+        Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9,
+        strategy = Dedup.JaccardBitmask, bitmaskMaxDocs = 10000L)),
 
     // Dedup cluster resolution: near-dup pairs → connected components →
     // deterministic canonical keep/drop list. Oracle: recursive reachability
@@ -97,7 +105,10 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         Dedup.resolveClusters(docs, "doc_id",
-          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9))
+          // bitmask pinned for the same degenerate-vocab reason as
+          // q_word_jaccard above
+          Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9,
+            strategy = Dedup.JaccardBitmask, bitmaskMaxDocs = 10000L))
       }),
 
     // MinHash+LSH near-dup (scale path). The oracle recomputes the entire

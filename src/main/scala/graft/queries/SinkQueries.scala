@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+import graft.tables.Warehouse
+
+/** Round-4 sink gating: the side-effecting write paths that were
+  * ScalaTest-only (W1 full refresh, W5 staging merge, W7 reverse-ETL
+  * property maps, W8 CSV export, streaming dedup) re-expressed as
+  * read-back queries so the driver's DuckDB hash gate verifies the
+  * STORAGE layer end-to-end, not just the transform. Pattern follows
+  * q_warehouse_append / q_warehouse_upsert: run the real write machinery
+  * into a temp warehouse/dir, read the result back, hash that.
+  */
+object SinkQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W1 — full refresh (reference biilwerk_subscriptions.py:110-118:
+    // truncate-and-reload snapshot swap). Two overwrites; the read-back
+    // must see ONLY the second snapshot — stale data dirs must be
+    // unreachable through the new manifest.
+    QueryDef(
+      "q_warehouse_refresh",
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val wh = new Warehouse(s, tmp("graft-q-whr"))
+        wh.overwrite("cust", c.drop("c_mktsegment")) // stale snapshot
+        wh.overwrite("cust", c.filter(col("c_mktsegment") === "BUILDING")
+          .drop("c_mktsegment")) // the refresh
+        wh.read("cust")
+      }),
+
+    // W5 — staging-table merge (reference stripe_charges.py:123-132: load
+    // the batch into a staging table, then MERGE into the target). The
+    // staging table itself goes through the warehouse — the merge reads it
+    // BACK from storage, so both tables' round-trips are under the gate.
+    QueryDef(
+      "q_staging_merge",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM orders t
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders b
+             |  WHERE b.o_orderkey % 3 = 0 AND b.o_orderkey = t.o_orderkey)
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |       'M' AS o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val batch = o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_orderstatus", lit("M"))
+        val wh = new Warehouse(s, tmp("graft-q-whm"))
+        wh.overwrite("target", o)
+        wh.overwrite("staging", batch)
+        wh.upsert("target", wh.read("staging"), Seq("o_orderkey"))
+        wh.read("target")
+      }),
+
+    // W7/G4 — reverse ETL: fold (entity, property, value) rows into
+    // first-write-wins property maps (the {id: {prop: val}} dict the
+    // reference POSTs, hubspot_bm_contact.py:101-132), assign each entity
+    // a deterministic batch (sha-bucket — batch membership must not depend
+    // on partitioning, unlike the reference's arrival-order batches),
+    // persist through the warehouse, and gate the exploded read-back.
+    QueryDef(
+      "q_reverse_etl",
+      Some("""SELECT user_id,
+             |  ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 32
+             |    AS batch_id,
+             |  event_type AS property, min(value) AS value
+             |FROM events GROUP BY user_id, event_type""".stripMargin),
+      (s, dir) => {
+        val maps = graft.reverse.BatchSink.propertyMaps(
+          Tables.t(s, dir, "events"), "user_id", "event_type", "value")
+        val rows = maps.select(col("user_id"),
+            (graft.expressions.Hashing.sha60(col("user_id")) % 32).as("batch_id"),
+            explode(col("properties")).as(Seq("property", "value")))
+        val wh = new Warehouse(s, tmp("graft-q-whp"))
+        wh.overwrite("props", rows)
+        wh.read("props")
+      }),
+
+    // W8 — CSV export (pipe delimiter, quote-on-need) and RE-READ with an
+    // explicit schema: delimiter/quoting/type round-trip is what is
+    // verified. The injected `note` column forces quoting (embedded pipe,
+    // comma and double-quote).
+    QueryDef(
+      "q_csv_export",
+      Some("""SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey,
+             |  c_acctbal, c_mktsegment || '|x,"y"' AS note
+             |FROM customer""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft-q-csv")
+        Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"),
+            concat(col("c_mktsegment"), lit("|x,\"y\"")).as("note"))
+          .write.mode("overwrite")
+          .option("sep", "|").option("quote", "\"").option("header", "true")
+          .csv(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("c_custkey", LongType),
+            StructField("c_name", StringType),
+            StructField("c_nationkey", IntegerType),
+            StructField("c_acctbal", DoubleType),
+            StructField("note", StringType))))
+          .option("sep", "|").option("quote", "\"").option("header", "true")
+          .csv(out)
+      }),
+
+    // Streaming exact dedup under the gate: the duplicate feed (the same
+    // document file landing twice) drains through a REAL checkpointed
+    // AvailableNow stream with dropDuplicatesWithinWatermark, and the
+    // sink's read-back must equal DISTINCT content hashes — one row per
+    // distinct content regardless of how many times it arrived. Only the
+    // hash is gated: which duplicate row survives is arrival order.
+    QueryDef(
+      "q_stream_dedup",
+      Some("""SELECT DISTINCT
+             |  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |    AS content_hash
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val src = s"$dir/documents.parquet"
+        val base = tmp("graft-q-sdd")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          java.nio.file.Paths.get(s"$base/in/docs-1.parquet"))
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          java.nio.file.Paths.get(s"$base/in/docs-2.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(schema).parquet(s"$base/in")
+          // deterministic synthetic event time — documents carry none.
+          // Offset a day past the epoch: the watermark initializes at
+          // 1970-01-01T00:00:00, and a row AT the initial watermark
+          // (doc_id 0) would be discarded as late before ever reaching
+          // the dedup state.
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+        val deduped = graft.streaming.StreamDedup
+          .dedupStream(stream, "text", "ts")
+          .select("content_hash")
+        graft.streaming.StreamDedup.runAvailableNow(
+          deduped, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      }),
+
+    // S9 — column-pruned scan + deterministic carve (reference
+    // bexio_orders_de.py:312-318: SELECT cols FROM table LIMIT n). The
+    // projection must reach the parquet scan (PlanSpec asserts ReadSchema);
+    // this row puts the same shape under the value gate.
+    QueryDef(
+      "q_sql_pruned",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100))
+  )
+}

@@ -56,10 +56,13 @@ object TextQueries {
         Tables.t(s, dir, "documents").select("text"), "text", k = 20)),
 
     // Character-trigram Jaccard near-dup pairs on a bounded id slice —
-    // the shingle family for text without word boundaries. JaccardAuto
-    // picks the multi-word bitmask here (377-gram vocab → 6 longs/doc);
-    // the inverted-index path on this degenerate vocabulary was measured
-    // at ~27M join rows / ~7 s.
+    // the shingle family for text without word boundaries. Pins the
+    // prefix-filtered inverted index: the scale-correct plan (candidate
+    // equi-join on each doc's rarest ~(1−t)·n grams, exact recall), unlike
+    // the bitmask path whose candidate stage is a broadcast crossJoin —
+    // fine at ≤2000 docs, quadratic past that. The naive full inverted
+    // join on this degenerate 377-gram vocabulary measured ~27M join
+    // rows; the prefix index cuts that to the rare-gram rows only.
     QueryDef(
       "q_ngram_jaccard",
       Some("""WITH n AS (SELECT doc_id,
@@ -86,7 +89,7 @@ object TextQueries {
           // variant infers nothing — drop the null rows on the attribute
           .select(col("doc_id"), explode_outer(col("grams")).as("word"))
           .filter(col("word").isNotNull),
-        threshold = 0.8)),
+        threshold = 0.8, strategy = Dedup.JaccardInverted)),
 
     // Deterministic 80/10/10 train/val/test assignment by sha-derived
     // bucket — reproducible on any engine, any partitioning.

@@ -52,6 +52,25 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows.isEmpty, sp.toString)
   }
 
+  test("q_ngram_jaccard plans no cross join (prefix-filtered inverted index)") {
+    // the scale-correct route: candidates come from an equi-join on each
+    // doc's rarest grams, never a crossJoin over documents
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_fuzzy_match plans no cross join (q-gram prefix + length blocking)") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_sql_pruned reads only two columns from the scan") {
+    val p = q("q_sql_pruned").queryExecution.sparkPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
+  }
+
   test("q_upsert reads only the projected columns") {
     val p = q("q_upsert").queryExecution.sparkPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
