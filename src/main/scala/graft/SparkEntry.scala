@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, BehaviorQueries, ExtensionQueries, IngestQueries, NestedQueries, RelationalQueries, ScalarQueries, SinkQueries, SqlQueries, TemporalQueries, TextQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, BreadthQueries, ExtensionQueries, IngestQueries, NestedQueries, RelationalQueries, ScalarQueries, SinkQueries, SqlQueries, StreamQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* as QueryDef(name, oracle, run) triples so
@@ -13,7 +13,8 @@ object SparkEntry {
     RelationalQueries.defs ++ ScalarQueries.defs ++ NestedQueries.defs ++
       IngestQueries.defs ++ ExtensionQueries.defs ++ SqlQueries.defs ++
       TemporalQueries.defs ++ TextQueries.defs ++ AnalyticQueries.defs ++
-      BehaviorQueries.defs ++ SinkQueries.defs
+      BehaviorQueries.defs ++ SinkQueries.defs ++ BreadthQueries.defs ++
+      StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Sha2, Substring}
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.expressions.{DotProduct, SimHash64}
+
+/** graft's SQL surface: the native Catalyst expressions exposed as SQL
+  * functions, so `spark.sql("... graft_dot(a, b) ...")` works the same as
+  * the Column API.
+  *
+  * Two registration paths, same builders:
+  *
+  *  - [[GraftExtensions]] — a `SparkSessionExtensions` injector for
+  *    cluster deployment (`spark.sql.extensions=graft.plans.GraftExtensions`
+  *    in spark-defaults); functions exist in every session from startup.
+  *  - [[GraftFunctions.register]] — per-session registration for an
+  *    already-running session (tests, notebooks).
+  */
+object GraftFunctions {
+
+  /** sha60 as an expression tree (the same composition as
+    * `Hashing.sha60`): conv(substr(sha2(cast(x as string), 256), 1, 15),
+    * 16, 10) cast to long. Built from catalyst nodes so the registry
+    * builder needs no column wrapper.
+    */
+  private def sha60Expr(e: Expression): Expression =
+    Cast(
+      Conv(
+        Substring(Sha2(Cast(e, StringType), Literal(256)), Literal(1), Literal(15)),
+        Literal(16), Literal(10)),
+      LongType)
+
+  /** (name, builder) for every graft SQL function. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_sha60" -> (exprs => sha60Expr(exprs.head)))
+
+  /** Register all graft functions into a live session's registry. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

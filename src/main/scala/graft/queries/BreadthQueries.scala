@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.ops.Skew
+import graft.tables.Warehouse
+
+/** Round-4 breadth: warehouse time travel / CDC, bucketed (shuffle-free)
+  * joins, native pivot, window-function and grouping-set coverage, set
+  * operations, null-safe joins, scalar subqueries, array/string/regex
+  * functions, salted-join equivalence, and a typed Dataset Aggregator.
+  * Every query carries a DuckDB oracle.
+  */
+object BreadthQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Warehouse TIME TRAVEL: manifests are retained (latest + prior), so
+    // reading "the table as of the previous commit" is a metadata-only
+    // operation — the same mechanism as Iceberg/Delta VERSION AS OF. The
+    // gate reads the PRE-append snapshot after an append landed.
+    QueryDef(
+      "q_time_travel",
+      Some("SELECT o_orderkey, o_totalprice FROM orders"),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val wh = new Warehouse(s, tmp("graft-q-tt"))
+        wh.overwrite("t", o)
+        wh.append("t", o.filter(col("o_orderkey") % 7 === 0))
+        wh.readSnapshot("t", wh.snapshots("t").head)
+      }),
+
+    // Warehouse CDC: full-row diff between two retained snapshots —
+    // updates surface as delete+insert, untouched rows do not appear.
+    QueryDef(
+      "q_snapshot_diff",
+      Some("""SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+             |  'R' AS o_orderstatus, 'insert' AS change
+             |FROM orders WHERE o_orderkey % 5 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete' AS change
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        val batch = o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("o_orderstatus", lit("R"))
+        val wh = new Warehouse(s, tmp("graft-q-cdc"))
+        wh.overwrite("t", o)
+        wh.upsert("t", batch, Seq("o_orderkey"))
+        val snaps = wh.snapshots("t")
+        wh.snapshotDiff("t", snaps.head, snaps.last)
+      }),
+
+    // BUCKETED co-located join: both sides written bucketBy(8) on the join
+    // key — the scan itself reports hash partitioning, so the sort-merge
+    // join runs WITHOUT a shuffle on either side (PlanSpec asserts no
+    // Exchange below the join). This is the 100 TB pattern for repeated
+    // fact-dim joins: pay the partitioning once at write time.
+    QueryDef(
+      "q_bucketed_join",
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-bkt")
+        Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").option("path", s"$base/o")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_bkt_orders")
+        Tables.t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").option("path", s"$base/c")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_bkt_cust")
+        s.table("graft_bkt_orders")
+          // merge hint: without it the small dim side would broadcast and
+          // the bucketing demonstration would be vacuous
+          .join(s.table("graft_bkt_cust").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      }),
+
+    // Native pivot with an explicit value list (deterministic columns).
+    QueryDef(
+      "q_pivot_native",
+      Some("""SELECT user_id,
+             |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+             |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+             |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(round(sum(col("value")), 2))),
+
+    // Window-function breadth: lag/lead + distribution ranks over a
+    // UNIQUE per-user order (ties would make percent_rank nondeterministic).
+    QueryDef(
+      "q_window_funcs",
+      Some("""SELECT event_id, user_id, value,
+             |  lag(value) OVER w AS prev_value,
+             |  lead(value) OVER w AS next_value,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+      }),
+
+    // GROUPING SETS with grouping flags (the reference's subtotal reports).
+    QueryDef(
+      "q_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  round(sum(l_quantity), 2) AS sum_qty,
+                |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+                |FROM lineitem_gsets
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      }),
+
+    // Set operations: INTERSECT / EXCEPT (distinct set semantics in both
+    // engines).
+    QueryDef(
+      "q_intersect_except",
+      Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             | INTERSECT
+             | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def ck(st: String) =
+          o.filter(col("o_orderstatus") === st).select("o_custkey")
+        ck("O").intersect(ck("F")).except(ck("P"))
+      }),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other, unlike plain `=`.
+    QueryDef(
+      "q_nullsafe_join",
+      Some("""SELECT k, count(*) AS n FROM
+             |  (SELECT nullif(c_nationkey % 5, 2) AS k FROM customer) a
+             |  JOIN (SELECT DISTINCT nullif(s_nationkey % 5, 2) AS kb
+             |        FROM supplier) b
+             |  ON a.k IS NOT DISTINCT FROM b.kb
+             |GROUP BY k""".stripMargin),
+      (s, dir) => {
+        val a = Tables.t(s, dir, "customer")
+          .select(expr("nullif(c_nationkey % 5, 2)").as("k"))
+        val b = Tables.t(s, dir, "supplier")
+          .select(expr("nullif(s_nationkey % 5, 2)").as("kb")).distinct()
+        a.join(b, col("k") <=> col("kb"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+      }),
+
+    // Scalar subquery in a filter (above-average carve).
+    QueryDef(
+      "q_above_avg",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin),
+      (s, dir) => {
+        Tables.t(s, dir, "orders").createOrReplaceTempView("orders_scalar_sq")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_scalar_sq
+                |WHERE o_totalprice >
+                |  (SELECT avg(o_totalprice) FROM orders_scalar_sq)""".stripMargin)
+      }),
+
+    // Array function breadth: per-vector top-3 dimensions via
+    // sort+reverse+slice, exploded to scalar rows for the gate.
+    QueryDef(
+      "q_array_ops",
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_sort(embedding::DOUBLE[], 'DESC') AS l FROM embeddings)
+             |SELECT vec_id, CAST(unnest(range(0, 3)) AS INT) AS i,
+             |  round(unnest(l[1:3]), 4) AS v
+             |FROM e""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(
+          slice(reverse(array_sort(transform(col("embedding"), _.cast("double")))),
+            1, 3)).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("int").as("i"),
+          round(col("v"), 4).as("v"))),
+
+    // String function breadth (lpad / reverse / replace / split_part).
+    QueryDef(
+      "q_string_funcs",
+      Some("""SELECT c_custkey,
+             |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+             |  reverse(c_name) AS rev_name,
+             |  replace(c_name, 'Customer', 'C') AS short_name,
+             |  split_part(c_name, '#', 2) AS name_num,
+             |  CAST(length(c_mktsegment) AS INT) AS seg_len
+             |FROM customer""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+          reverse(col("c_name")).as("rev_name"),
+          expr("replace(c_name, 'Customer', 'C')").as("short_name"),
+          expr("split_part(c_name, '#', 2)").as("name_num"),
+          length(col("c_mktsegment")).as("seg_len"))),
+
+    // Regex extraction breadth: leftmost capture group + match count.
+    // Both engines return '' for a no-match extract.
+    QueryDef(
+      "q_regex_extract",
+      Some("""SELECT doc_id,
+             |  regexp_extract(lower(text), '(s[a-z]+)', 1) AS first_s_word,
+             |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+             |FROM documents""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(lower(col("text")), "(s[a-z]+)", 1).as("first_s_word"),
+          size(expr("regexp_extract_all(text, '[0-9]+')")).as("n_numbers"))),
+
+    // Fixed-width histogram binning (capped top bucket).
+    QueryDef(
+      "q_histogram",
+      Some("""SELECT CAST(least(floor(value / 50), 6) AS INT) AS bucket,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(least(floor(col("value") / 50), lit(6)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+
+    // Salted equi-join must be indistinguishable from the plain join (the
+    // oracle IS the unsalted SQL): hot l_suppkey rows spread across 8
+    // salts, the dim side replicates 8×.
+    QueryDef(
+      "q_salted_join",
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey""".stripMargin),
+      (s, dir) => Skew.saltedJoin(
+          Tables.t(s, dir, "lineitem").select("l_suppkey", "l_quantity"),
+          Tables.t(s, dir, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          Seq("l_suppkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // NDJSON round trip (the reference's chunked NDJSON landing format,
+    // billwerk_invoices-style): write line-delimited JSON, re-read with an
+    // explicit schema, gate the values — JSON string escaping and numeric
+    // round-trip are what is verified.
+    QueryDef(
+      "q_ndjson_scan",
+      Some("SELECT doc_id, lang, n_chars, text FROM documents"),
+      (s, dir) => {
+        val out = tmp("graft-q-ndjson")
+        Tables.t(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars", "text")
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+          .json(out)
+      }),
+
+    // Corrupt-record quarantine (the error channel every real ingest
+    // needs): deterministic NDJSON feed where every 10th record is
+    // malformed; PERMISSIVE parsing routes bad lines to a corrupt-record
+    // column instead of failing the job, and the gate checks the
+    // good/quarantined split.
+    QueryDef(
+      "q_corrupt_quarantine",
+      Some("""SELECT count(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS n_good,
+             |  count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS n_quarantined
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft-q-corrupt")
+        Tables.t(s, dir, "documents")
+          .select(when(col("doc_id") % 10 === 0,
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"n_chars\":")))
+            .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        // localCheckpoint: Spark disallows filtering on the corrupt-record
+        // column of a lazily-parsed JSON scan without materializing first
+        val parsed = s.read
+          .schema("doc_id LONG, n_chars LONG, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(out)
+          .localCheckpoint()
+        parsed.agg(
+          count(when(col("_corrupt").isNull, lit(1))).as("n_good"),
+          count(when(col("_corrupt").isNotNull, lit(1))).as("n_quarantined"))
+      }),
+
+    // The native Catalyst expressions exposed as SQL functions
+    // (GraftFunctions / SparkSessionExtensions): graft_sha60 callable from
+    // spark.sql, recomputed by the oracle from the shared definition.
+    QueryDef(
+      "q_native_fn_sql",
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(sha256(text), 1, 15))::BIGINT % 1000000 AS h
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.t(s, dir, "documents").createOrReplaceTempView("documents_fn")
+        s.sql("SELECT doc_id, graft_sha60(text) % 1000000 AS h FROM documents_fn")
+      }),
+
+    // Typed Dataset Aggregator (case-class encoders, map-side partials):
+    // weighted mean price per returnflag.
+    QueryDef(
+      "q_typed_agg",
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             |    AS wavg_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+          .as[(String, Double, Double)]
+        ds.groupByKey(_._1)
+          .agg(new graft.ops.Typed.WeightedMean().toColumn.name("wavg_price"))
+          .toDF("l_returnflag", "wavg_price")
+          .select(col("l_returnflag"), round(col("wavg_price"), 4).as("wavg_price"))
+      })
+  )
+}

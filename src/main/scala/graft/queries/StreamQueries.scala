@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.tables.Warehouse
+
+/** Round-4 streaming depth, both under the hash gate like q_stream_window:
+  * a foreachBatch MERGE sink (the production streaming-upsert pattern) and
+  * a stream-static enrichment join. Each stages the fixture into a landing
+  * dir, runs a real checkpointed AvailableNow query, and gates the sink's
+  * read-back.
+  */
+object StreamQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // foreachBatch merge: events land as TWO files processed as separate
+    // micro-batches (maxFilesPerTrigger=1); each batch merges
+    // keep-latest-per-user into the warehouse. The final table must equal
+    // the batch QUALIFY row_number()=1 — regardless of which batch ran
+    // first, because the merge rule is order-independent.
+    QueryDef(
+      "q_stream_upsert",
+      Some("""SELECT user_id, event_id AS last_event_id,
+             |       event_type AS last_event_type, value AS last_value
+             |FROM events
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-smerge")
+        val raw = s.read.parquet(s"$dir/events.parquet") // ts stays raw ns-long
+        raw.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.parquet(s"$base/s0")
+        raw.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.parquet(s"$base/s1")
+        // flatten each slice's single part file into the landing dir (a
+        // flat dir of plain files — no partition-discovery surprises)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        Seq("s0", "s1").foreach { sl =>
+          val part = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$base/$sl"))
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$base/in/$sl.parquet"))
+        }
+        val stream = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("user_id", "event_id", "event_type", "value", "ts")
+        val wh = new Warehouse(s, s"$base/wh")
+        graft.streaming.StreamMerge.runMergeLatest(
+          stream, s"$base/chk", wh, "latest",
+          keys = Seq("user_id"),
+          order = Seq(col("ts").desc, col("event_id").desc))
+        wh.read("latest")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"),
+            col("value").as("last_value"))
+      }),
+
+    // Stream-static enrichment: the event stream joins a static broadcast
+    // dimension mid-flight (the reference's per-row lookup enrich, done as
+    // a join). Append mode, no aggregation — rows flow through enriched.
+    QueryDef(
+      "q_stream_enrich",
+      Some("""SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-senrich")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val dim = Tables.t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val enriched = s.readStream.schema(schema).parquet(s"$base/in")
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select("event_id", "user_id", "c_mktsegment", "value")
+        graft.streaming.IncrementalStream.runAvailableNow(
+          enriched, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      })
+  )
+}

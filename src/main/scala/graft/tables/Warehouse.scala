@@ -93,6 +93,41 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def read(table: String): DataFrame = spark.read.parquet(paths(table): _*)
 
+  /** Manifests currently retained, oldest→newest (prune keeps the latest
+    * plus one prior — enough for time travel to the previous commit and
+    * post-crash debugging without unbounded storage growth).
+    */
+  def snapshots(table: String): Seq[String] = manifestsOnDisk(table)
+
+  /** Time travel: read the table as of an older retained manifest. The
+    * manifest lists immutable data dirs, so a snapshot read is just "use
+    * that dir list" — zero data copying, the same mechanism Iceberg/Delta
+    * time travel uses at the metadata layer.
+    */
+  def readSnapshot(table: String, manifest: String): DataFrame = {
+    val mf = new Path(tableDir(table), manifest)
+    require(fs.exists(mf), s"snapshot not retained: $table/$manifest")
+    val dirs = readSmallFile(mf).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map(d => new Path(tableDir(table), d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** CDC between two retained snapshots: full-row diff as (change, row)
+    * with change ∈ {insert, delete} — an update appears as delete+insert.
+    * Two anti-joins over immutable snapshot reads; no state beyond the
+    * manifests themselves.
+    */
+  def snapshotDiff(table: String, fromManifest: String,
+      toManifest: String): DataFrame = {
+    val a = readSnapshot(table, fromManifest)
+    val b = readSnapshot(table, toManifest)
+    import org.apache.spark.sql.functions.lit
+    b.join(a, b.columns.toSeq, "left_anti").withColumn("change", lit("insert"))
+      .unionByName(
+        a.join(b, a.columns.toSeq, "left_anti").withColumn("change", lit("delete")))
+  }
+
   /** Write `df` as a fresh data dir and commit a manifest whose dir list is
     * `priorDirs(newDir)`. The swap publishes everything atomically.
     */

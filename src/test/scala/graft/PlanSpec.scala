@@ -71,6 +71,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
   }
 
+  test("q_bucketed_join: sort-merge join with NO shuffle below it") {
+    // both sides bucketed on the join key at write time → the scans
+    // already satisfy the join's distribution; an Exchange under the SMJ
+    // would mean bucketing was ignored
+    // AdaptiveSparkPlanExec hides its inner plan from collect(), but the
+    // printed tree lists children AFTER their parent — so everything after
+    // the SortMergeJoin line is its subtree (the agg's Exchange sits above)
+    val p = q("q_bucketed_join").queryExecution.executedPlan.toString
+    val i = p.indexOf("SortMergeJoin")
+    assert(i >= 0, p)
+    val below = p.substring(i)
+    assert(!below.contains("Exchange"), p)
+    assert(below.contains("Bucketed: true"), p)
+  }
+
   test("q_upsert reads only the projected columns") {
     val p = q("q_upsert").queryExecution.sparkPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
