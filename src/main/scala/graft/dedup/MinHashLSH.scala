@@ -55,30 +55,43 @@ object MinHashLSH {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  /** Distinct word-k-shingles per document: (id, shingle). */
+  /** Distinct word-k-shingles per document: (id, shingle). Per-document
+    * uniqueness comes from `array_distinct` BEFORE the explode — no
+    * corpus-wide distinct shuffle is needed (an earlier version paid one).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = split(Dedup.normalized(col(textCol)), " ")
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
     df.select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("shingle"))
-      .distinct()
   }
 
-  /** Per-document minhash signature: H min-aggregate columns (h0..hN), one
-    * per permutation (a_i·h + b_i) mod p of the shingle's sha60 base hash.
+  /** Shingles reduced to their 60-bit sha-derived identity: (doc_id, __h).
+    * Everything downstream — signatures, set sizes, intersection counts —
+    * operates on the 8-byte hash instead of the multi-word shingle string,
+    * which shrinks every shuffle; a cross-document sha60 collision
+    * (~n²/2⁶¹) is the accepted identity approximation, applied identically
+    * in the SQL oracle.
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .select(col("doc_id"),
+        graft.expressions.Hashing.sha60(col("shingle")).as("__h"))
+
+  /** Per-document minhash signature over (doc_id, __h): H min-aggregate
+    * columns (h0..hN), one per permutation (a_i·(h mod p) + b_i) mod p.
     * The H mins are computed as map-side partial aggregates — the shuffle
     * carries one row of H longs per document, NOT an exploded (doc, slot)
     * row per shingle×slot (the explode formulation shuffled 64× the
-    * shingle count and ran ~3× slower). The base hash is computed once per
-    * shingle; each slot is two integer ops on top.
+    * shingle count and ran ~3× slower). Each slot is three integer ops.
     */
-  def minhashSignatures(sh: DataFrame, cfg: Config): DataFrame = {
+  def minhashSignatures(hashed: DataFrame, cfg: Config): DataFrame = {
     val ps = perms(cfg.numHashes)
     def slot(i: Int): Column =
-      min((col("__h") * ps(i)._1 + ps(i)._2) % Mod).as(s"h$i")
-    sh.withColumn("__h", graft.expressions.Hashing.sha60(col("shingle")) % Mod)
-      .groupBy("doc_id")
+      min(((col("__h") % Mod) * ps(i)._1 + ps(i)._2) % Mod).as(s"h$i")
+    hashed.groupBy("doc_id")
       .agg(slot(0), (1 until cfg.numHashes).map(slot): _*)
   }
 
@@ -125,20 +138,20 @@ object MinHashLSH {
       cfg: Config = Config()): DataFrame = {
     // localCheckpoint, NOT ReuseExchange: the shingle table feeds four
     // consumers (signatures, sizes, both verification sides), but column
-    // pruning pushes a different projection below each distinct Exchange,
-    // so the canonical plans differ and nothing is reused — the formatted
-    // plan showed SIX full scan→shingle→distinct recomputations (~9 s at
-    // sf0.1; ~2.5 s with the two checkpoints). cache() is still avoided:
-    // it leaked across queries in a shared session.
-    val sh = shingles(df, idCol, textCol, cfg.shingleSize).localCheckpoint()
+    // pruning pushes a different projection below each Exchange, so the
+    // canonical plans differ and nothing is reused — the formatted plan
+    // showed SIX full scan→shingle recomputations (~9 s at sf0.1; ~2.5 s
+    // with the two checkpoints). cache() is still avoided: it leaked
+    // across queries in a shared session.
+    val sh = hashedShingles(df, idCol, textCol, cfg.shingleSize).localCheckpoint()
     // tiny (one row of H longs per doc) but self-joined via the band table
     // on both candidate sides — checkpoint kills the duplicate 64-slot agg
     val sig = minhashSignatures(sh, cfg).localCheckpoint()
     val cand = candidates(bandSignatures(sig, cfg), cfg.maxBucketSize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("__h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("__h")), Seq("doc_b", "__h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -151,12 +164,13 @@ object MinHashLSH {
   }
 
   /** DuckDB SQL computing exactly [[nearDuplicates]] over `table` — same
-    * shingles, same sha60 base hash, same permutation constants (a_i, b_i)
+    * shingles, same sha60 base hash (set identity AND permutation input,
+    * mirroring [[hashedShingles]]), same permutation constants (a_i, b_i)
     * interpolated from [[perms]], same band grouping, same exact-Jaccard
-    * verification. Band keys compare as the raw slot-value string where the
-    * Spark side compares their xxhash64 — identical equality semantics
-    * (a cross-doc 64-bit collision would additionally need Jaccard ≥
-    * threshold to survive verification).
+    * verification over the hashes. Band keys compare as the raw slot-value
+    * string where the Spark side compares their xxhash64 — identical
+    * equality semantics (a cross-doc 64-bit collision would additionally
+    * need Jaccard ≥ threshold to survive verification).
     */
   def oracleSql(cfg: Config, table: String = "documents",
       idCol: String = "doc_id", textCol: String = "text"): String = {
@@ -167,12 +181,12 @@ object MinHashLSH {
        |d AS (SELECT $idCol AS doc_id,
        |  regexp_split_to_array(lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))), ' ') AS toks
        |  FROM $table),
-       |sh AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, greatest(len(toks) - ${k - 1}, 1) + 1),
        |    i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS shingle FROM d),
-       |hs AS (SELECT doc_id, shingle,
-       |  ${graft.expressions.Hashing.sha60Sql("shingle")} % $Mod AS h FROM sh),
-       |sig AS (SELECT doc_id, i, min((a * h + b) % $Mod) AS m
+       |hs AS (SELECT doc_id,
+       |  ${graft.expressions.Hashing.sha60Sql("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id, i, min((a * (h % $Mod) + b) % $Mod) AS m
        |  FROM hs CROSS JOIN perms GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, i // ${cfg.rowsPerBand} AS band,
        |  string_agg(m::VARCHAR, ',' ORDER BY i) AS bkey
@@ -180,10 +194,10 @@ object MinHashLSH {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
        |inter AS (SELECT doc_a, doc_b, count(*) AS ninter FROM cand
-       |  JOIN sh sa ON sa.doc_id = cand.doc_a
-       |  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+       |  JOIN hs sa ON sa.doc_id = cand.doc_a
+       |  JOIN hs sb ON sb.doc_id = cand.doc_b AND sb.h = sa.h
        |  GROUP BY doc_a, doc_b)
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM (
        |  SELECT i.doc_a, i.doc_b, i.ninter::DOUBLE / (na.n + nb.n - i.ninter) AS jac

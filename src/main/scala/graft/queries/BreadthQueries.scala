@@ -263,6 +263,59 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Bloom-pruned semi-join: the probe side is filtered by a distributed
+    // Bloom filter INSIDE its scan stage before any shuffle; the trailing
+    // exact semi-join removes false positives, so the result equals the
+    // plain semi-join (which is the oracle).
+    QueryDef(
+      "q_bloom_prune",
+      Some("""SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem l
+             |WHERE EXISTS (SELECT 1 FROM supplier s
+             |  WHERE s.s_suppkey % 10 = 3 AND s.s_suppkey = l.l_suppkey)""".stripMargin),
+      (s, dir) => graft.ops.BloomPrune.semiJoin(
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_quantity"), "l_suppkey",
+        Tables.t(s, dir, "supplier")
+          .filter(col("s_suppkey") % 10 === 3), "s_suppkey")),
+
+    // Repetition detection (Gopher-style quality rule): most-repeated
+    // trigram count + its share of all trigrams, per document.
+    QueryDef(
+      "q_repetition",
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, len(toks) - 1),
+             |    i -> array_to_string(toks[i:i+2], ' '))) AS tri
+             |  FROM t WHERE len(toks) >= 3),
+             |c AS (SELECT doc_id, tri, count(*) AS n FROM g GROUP BY 1, 2)
+             |SELECT doc_id, max(n) AS max_rep,
+             |  round(max(n)::DOUBLE / sum(n), 4) AS rep_ratio
+             |FROM c GROUP BY doc_id""".stripMargin),
+      (s, dir) => graft.text.TextStats.repetition(
+        Tables.t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")),
+
+    // Symmetric int8 embedding quantization (the storage/serving step for
+    // vector indexes): per-vector scale = 127/max|v|, values rounded into
+    // [-127, 127], exploded to scalar rows for the gate.
+    QueryDef(
+      "q_quantize_int8",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+             |SELECT vec_id, round(127.0 / m, 6) AS scale,
+             |  CAST(unnest(range(0, len(v))) AS INT) AS dim,
+             |  CAST(unnest(list_transform(v, x -> round(x * 127.0 / m))) AS INT) AS q
+             |FROM s""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), _.cast("double")))
+        .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), round(lit(127.0) / col("m"), 6).as("scale"),
+          posexplode(transform(col("v"),
+            x => round(x * lit(127.0) / col("m")).cast("int"))).as(Seq("dim", "q")))),
+
     // NDJSON round trip (the reference's chunked NDJSON landing format,
     // billwerk_invoices-style): write line-delimited JSON, re-read with an
     // explicit schema, gate the values — JSON string escaping and numeric

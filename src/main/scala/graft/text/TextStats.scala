@@ -43,6 +43,30 @@ object TextStats {
   /** Composite quality score in [0,1]: long-enough, word-like, has
     * stopwords — the usual crude pre-filter before expensive dedup.
     */
+  /** Repetition detection (the Gopher-rules quality signal a training
+    * pipeline filters on): per document, the most-repeated word trigram's
+    * count and its share of all trigrams. Boilerplate/spam shows
+    * rep_ratio near 1; organic prose stays low. Shuffles on (doc, trigram)
+    * then (doc) — both partitioned by document, no global state.
+    * Documents with fewer than 3 tokens carry no trigram and are omitted.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // toks materialized as a column: inlined into the transform lambda,
+    // Catalyst re-evaluates the split per trigram (the Fingerprint lesson)
+    val t = df.withColumn("__toks",
+        split(graft.dedup.Dedup.normalized(col(textCol)), " "))
+      .filter(size(col("__toks")) >= 3)
+    val tri = t.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), size(col("__toks")) - 2),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(3))))).as("tri"))
+    tri.groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).as("max_rep"), sum(col("__n")).as("n_tri"))
+      .select(col(idCol), col("max_rep"),
+        round(col("max_rep").cast("double") / col("n_tri"), 4).as("rep_ratio"))
+  }
+
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
     features(df, textCol).withColumn("quality",
       round(
