@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,15 @@ object Temporal {
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
+
+  /** Point-in-time lookup over an SCD2 dimension ([[scd2]] output): the
+    * version whose `[valid_from, valid_to)` interval contains `atTs` —
+    * at most one row per key by construction of the version chain. A pure
+    * filter: no shuffle, pushes down to the dimension scan.
+    */
+  def scd2AsOf(dim: DataFrame, atTs: Column): DataFrame =
+    dim.filter(col("valid_from") <= atTs &&
+      (col("valid_to").isNull || col("valid_to") > atTs))
 
   /** Interval containment join WITHOUT an equi key: left points land in
     * right `[start, end)` intervals. Both sides are bucketed on

@@ -156,6 +156,97 @@ object SinkQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // Compaction (Delta/Iceberg OPTIMIZE): three appends fragment the
+    // table into three data dirs; compact rewrites them into one behind
+    // the atomic swap. The gate proves values are untouched; WarehouseSpec
+    // asserts the dir count actually dropped to 1.
+    QueryDef(
+      "q_compact",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val wh = new Warehouse(s, tmp("graft-q-cmp"))
+        wh.overwrite("t", o)
+        wh.append("t", o.filter(col("o_orderkey") % 7 === 0))
+        wh.append("t", o.filter(col("o_orderkey") % 11 === 0))
+        wh.compact("t")
+        wh.read("t")
+      }),
+
+    // Schema evolution on append (BigQuery schema relaxation): a later
+    // batch carries an extra column; mergeSchema surfaces the superset
+    // with NULLs for the rows that predate it.
+    QueryDef(
+      "q_schema_evolution",
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CAST(NULL AS VARCHAR) AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderstatus
+             |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val wh = new Warehouse(s, tmp("graft-q-sev"))
+        wh.overwrite("t", o.select("o_orderkey", "o_totalprice"))
+        wh.append("t", o.filter(col("o_orderkey") % 9 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+        wh.read("t")
+      }),
+
+    // Incremental aggregate-view maintenance: two batches of partial
+    // (sum, count) aggregates merged into a warehouse table; the final
+    // read must equal the full-history aggregation without ever having
+    // scanned full history in one job.
+    QueryDef(
+      "q_incr_agg",
+      Some("""SELECT user_id, round(sum(value), 2) AS total, count(*) AS n
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        def partial(p: org.apache.spark.sql.Column) = ev.filter(p)
+          .groupBy("user_id")
+          .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+        val wh = new Warehouse(s, tmp("graft-q-iagg"))
+        graft.tables.IncrementalAgg.mergePartials(
+          wh, "agg", partial(col("event_id") % 2 === 0), Seq("user_id"))
+        graft.tables.IncrementalAgg.mergePartials(
+          wh, "agg", partial(col("event_id") % 2 === 1), Seq("user_id"))
+        wh.read("agg")
+          .select(col("user_id"), round(col("total"), 2).as("total"), col("n"))
+      }),
+
+    // SCD2 point-in-time lookup: the dimension version current as of a
+    // fixed timestamp — at most one row per key; a pure pushed-down filter.
+    QueryDef(
+      "q_scd2_asof",
+      Some("""WITH ch AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+             |    epoch_us(o_orderdate) AS ts_us FROM orders),
+             |dim AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+             |  ts_us AS valid_from,
+             |  lead(ts_us) OVER (PARTITION BY o_custkey
+             |    ORDER BY ts_us, o_orderkey) AS valid_to
+             |FROM ch)
+             |SELECT o_custkey, o_orderkey, o_orderpriority, valid_from, valid_to
+             |FROM dim
+             |WHERE valid_from <= epoch_us(TIMESTAMP '1995-06-01 00:00:00')
+             |  AND (valid_to IS NULL
+             |       OR valid_to > epoch_us(TIMESTAMP '1995-06-01 00:00:00'))""".stripMargin),
+      (s, dir) => {
+        val dim = graft.ops.Temporal.scd2(
+          Tables.t(s, dir, "orders").select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us")),
+          "o_custkey", "ts_us", "o_orderkey")
+        graft.ops.Temporal.scd2AsOf(dim,
+          unix_micros(lit("1995-06-01 00:00:00").cast("timestamp")))
+          .select("o_custkey", "o_orderkey", "o_orderpriority",
+            "valid_from", "valid_to")
+      }),
+
     // S9 — column-pruned scan + deterministic carve (reference
     // bexio_orders_de.py:312-318: SELECT cols FROM table LIMIT n). The
     // projection must reach the parquet scan (PlanSpec asserts ReadSchema);

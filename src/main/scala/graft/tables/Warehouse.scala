@@ -91,7 +91,12 @@ final class Warehouse(spark: SparkSession, root: String) {
       case None => sys.error(s"warehouse table not found: $table")
     }
 
-  def read(table: String): DataFrame = spark.read.parquet(paths(table): _*)
+  /** mergeSchema: data dirs may carry evolved schemas (an append can add
+    * columns — see [[append]]); the union read surfaces the superset with
+    * NULLs for rows predating a column, like BigQuery's schema relaxation.
+    */
+  def read(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths(table): _*)
 
   /** Manifests currently retained, oldest→newest (prune keeps the latest
     * plus one prior — enough for time travel to the previous commit and
@@ -194,6 +199,13 @@ final class Warehouse(spark: SparkSession, root: String) {
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, batch)
     else overwrite(table, graft.ops.Relational.deleteInsert(read(table), batch, keys))
+
+  /** Compaction: rewrite the current dir list (accumulated by many small
+    * appends) into ONE fresh data dir behind the usual atomic swap —
+    * Delta/Iceberg OPTIMIZE. Readers of the old manifest are unaffected;
+    * the swap retires the fragmented dirs. Values are untouched.
+    */
+  def compact(table: String): Unit = overwrite(table, read(table))
 
   /** Insert-if-absent on a composite key (reference J2 NOT EXISTS dedup,
     * stripe_dispute.py:32-45): only batch rows whose full key is new are

@@ -52,6 +52,38 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("jaccard strategies agree with each other and local brute force") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val corpusGen: Gen[List[(Long, String)]] = Gen.listOfN(18, for {
+      n <- Gen.choose(3, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    (1 to 4).foreach { seed =>
+      val docs = corpusGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = docs.toDF("doc_id", "text")
+      def run(st: Dedup.JaccardStrategy) =
+        Dedup.jaccardPairs(df, "doc_id", "text", 0.5, strategy = st)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2))).toSet
+      val viaBitmask = run(Dedup.JaccardBitmask)
+      val viaInverted = run(Dedup.JaccardInverted)
+      // local brute force over distinct word sets
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= 0.5
+      } yield (a, b, math.rint(j * 10000) / 10000)).toSet
+      assert(viaBitmask == brute, s"seed=$seed bitmask")
+      assert(viaInverted == brute, s"seed=$seed inverted")
+    }
+  }
+
   test("chunkTokens covers every token when stride <= chunkSize") {
     import spark.implicits._
     val df = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),

@@ -73,6 +73,30 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("t").count() == 1070)
   }
 
+  test("compact collapses appended dirs to one; values and schema survive") {
+    val wh = new Warehouse(spark, freshRoot())
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    wh.overwrite("t", o)
+    wh.append("t", o.limit(5))
+    wh.append("t", o.limit(3))
+    assert(wh.paths("t").size == 3)
+    val before = wh.read("t").count()
+    wh.compact("t")
+    assert(wh.paths("t").size == 1)
+    assert(wh.read("t").count() == before)
+  }
+
+  test("schema evolution: append with an extra column surfaces NULL-padded superset") {
+    val wh = new Warehouse(spark, freshRoot())
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    wh.overwrite("t", o.select("o_orderkey", "o_totalprice").limit(10))
+    wh.append("t", o.select("o_orderkey", "o_totalprice", "o_orderstatus").limit(4))
+    val r = wh.read("t")
+    assert(r.columns.toSet == Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(r.filter(col("o_orderstatus").isNull).count() == 10)
+  }
+
   test("a lost _LATEST marker recovers to the newest manifest, not data loss") {
     val root = freshRoot()
     val wh = new Warehouse(spark, root)
