@@ -247,6 +247,47 @@ object SinkQueries {
             "valid_from", "valid_to")
       }),
 
+    // Partition-local upsert: the batch touches only the 'purchase'
+    // partition, so only that partition is rewritten — every other
+    // partition survives as a manifest line referencing the original
+    // immutable dir (WarehouseSpec asserts the files are byte-identical).
+    // The O(affected partitions) upsert a daily 100 TB load needs.
+    QueryDef(
+      "q_partitioned_upsert",
+      Some("""SELECT event_id, user_id, event_type,
+             |  CASE WHEN event_type = 'purchase' THEN value * 2
+             |       ELSE value END AS value
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val batch = ev.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2)
+        val wh = new Warehouse(s, tmp("graft-q-pup"))
+        wh.overwritePartitioned("ev", ev, "event_type")
+        wh.upsertPartitioned("ev", batch, Seq("event_id"), "event_type")
+        wh.read("ev")
+      }),
+
+    // Hive-partitioned layout + partition pruning: data written
+    // partitionBy(event_type), the filter resolves AT THE FILE LISTING —
+    // non-matching partitions are never opened (PlanSpec asserts the
+    // PartitionFilters entry). The layout decision that turns a 100 TB
+    // scan into a 1-partition scan.
+    QueryDef(
+      "q_partition_pruning",
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft-q-part")
+        Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "value", "event_type")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value")
+      }),
+
     // S9 — column-pruned scan + deterministic carve (reference
     // bexio_orders_de.py:312-318: SELECT cols FROM table LIMIT n). The
     // projection must reach the parquet scan (PlanSpec asserts ReadSchema);

@@ -151,7 +151,10 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Keep the latest + one prior manifest (post-crash debugging) and every
-    * data dir either references; delete the rest.
+    * data dir either references; delete the rest. A manifest line may be a
+    * whole data dir ("data-000001") or a partition dir inside one
+    * ("data-000001/__part=x") — a top-level dir survives if ANY line
+    * references it or something under it.
     */
   private def prune(table: String, keepManifests: Set[String]): Unit = {
     val dir = tableDir(table)
@@ -166,7 +169,8 @@ final class Warehouse(spark: SparkSession, root: String) {
       val n = st.getPath.getName
       val stale =
         (n.startsWith("snap-") && n.endsWith(".manifest") && !keepManifests(n)) ||
-          (n.startsWith("data-") && !keepData(n))
+          (n.startsWith("data-") &&
+            !keepData.exists(l => l == n || l.startsWith(n + "/")))
       if (stale) fs.delete(st.getPath, true)
     }
   }
@@ -199,6 +203,88 @@ final class Warehouse(spark: SparkSession, root: String) {
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, batch)
     else overwrite(table, graft.ops.Relational.deleteInsert(read(table), batch, keys))
+
+  // ---- Partitioned tables -------------------------------------------
+  //
+  // Data dirs are hive-partitioned on `__part` — a STRING COPY of the
+  // partition column, so the files themselves keep the full original
+  // schema (no partition-inference needed at read). The manifest lists
+  // PARTITION directories ("data-000001/__part=click"), which is what
+  // makes the upsert O(affected partitions): untouched partitions stay as
+  // manifest lines pointing at immutable old dirs, only the affected
+  // partitions are rewritten into the fresh dir. Constraints: partition
+  // values must be directory-name-safe strings (no nulls), and a key's
+  // partition value must be immutable (a row "moving" partitions would
+  // leave its old version behind — same rule every partition-keyed store
+  // has).
+
+  private def partitionLines(table: String, dataName: String): Seq[String] = {
+    val d = new Path(tableDir(table), dataName)
+    fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith("__part=")).sorted.toSeq
+      .map(p => s"$dataName/$p")
+  }
+
+  private def partValueOf(line: String): String =
+    line.substring(line.indexOf("__part=") + "__part=".length)
+
+  /** Write `df` hive-partitioned and commit `priorLines(newPartitionLines)`
+    * as the manifest.
+    */
+  private def commitPartitioned(table: String, df: DataFrame, partCol: String,
+      priorLines: Seq[String] => Seq[String]): Unit = {
+    val prev = currentManifest(table)
+    val next = prev.map(snapId(_) + 1).getOrElse(0)
+    val dataName = "data-%06d".format(next)
+    df.withColumn("__part", org.apache.spark.sql.functions.col(partCol).cast("string"))
+      .write.mode("overwrite").partitionBy("__part")
+      .parquet(new Path(tableDir(table), dataName).toString)
+    val mfName = "snap-%06d.manifest".format(next)
+    writeSmallFileAtomic(new Path(tableDir(table), mfName),
+      priorLines(partitionLines(table, dataName)).mkString("\n"))
+    writeSmallFileAtomic(marker(table), mfName)
+    prune(table, keepManifests = Set(mfName) ++ prev)
+  }
+
+  /** Full refresh of a partitioned table. */
+  def overwritePartitioned(table: String, df: DataFrame, partCol: String): Unit =
+    commitPartitioned(table, df, partCol, newLines => newLines)
+
+  /** Partition-local upsert: rows of `table` whose `keys` appear in
+    * `batch` are replaced, and ONLY the partitions present in the batch
+    * are rewritten — cost is O(affected partitions + batch), not
+    * O(table). The daily-upsert shape at 100 TB: a day's batch touches a
+    * handful of partitions; the other ten thousand stay as manifest lines
+    * referencing immutable old dirs.
+    */
+  def upsertPartitioned(table: String, batch: DataFrame, keys: Seq[String],
+      partCol: String): Unit =
+    if (!exists(table)) overwritePartitioned(table, batch, partCol)
+    else {
+      import org.apache.spark.sql.functions.col
+      // distinct partition values of the batch: bounded by partition
+      // count, a deliberate driver-side list (it becomes the keep/rewrite
+      // decision on manifest LINES, not data)
+      val parts = batch.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val affected = paths(table)
+        .filter(p => parts.contains(partValueOf(p)))
+      val current =
+        if (affected.isEmpty) batch.limit(0) // batch opens brand-new partitions
+        else spark.read.option("mergeSchema", "true")
+          .parquet(affected: _*)
+          .select(batch.columns.map(col): _*)
+      val merged = graft.ops.Relational.deleteInsert(current, batch, keys)
+      commitPartitioned(table, merged, partCol,
+        newLines => paths(table)
+          .map(p => relativeLine(table, p))
+          .filterNot(l => parts.contains(partValueOf(l))) ++ newLines)
+    }
+
+  private def relativeLine(table: String, absolute: String): String = {
+    val base = tableDir(table).toString + "/"
+    absolute.stripPrefix(base)
+  }
 
   /** Compaction: rewrite the current dir list (accumulated by many small
     * appends) into ONE fresh data dir behind the usual atomic swap —

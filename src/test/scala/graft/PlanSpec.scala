@@ -86,6 +86,15 @@ class PlanSpec extends SparkSpec {
     assert(below.contains("Bucketed: true"), p)
   }
 
+  test("q_partition_pruning resolves the filter at the file listing") {
+    val p = q("q_partition_pruning").queryExecution.sparkPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.contains("event_type#") , p)
+    // the partition column never appears in the parquet ReadSchema — it
+    // comes from the directory name, not file bytes
+    assert(!p.contains("ReadSchema: struct<event_type"), p)
+  }
+
   test("q_upsert reads only the projected columns") {
     val p = q("q_upsert").queryExecution.sparkPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +

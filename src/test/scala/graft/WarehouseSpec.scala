@@ -97,6 +97,40 @@ class WarehouseSpec extends SparkSpec {
     assert(r.filter(col("o_orderstatus").isNull).count() == 10)
   }
 
+  test("partitioned upsert rewrites ONLY affected partitions") {
+    val root = freshRoot()
+    val wh = new Warehouse(spark, root)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    wh.overwritePartitioned("ev", ev, "event_type")
+    val before = wh.paths("ev").map(p => p -> fileSnapshot(p)).toMap
+    val batch = ev.filter(col("event_type") === "purchase")
+      .withColumn("value", col("value") * 2)
+    wh.upsertPartitioned("ev", batch, Seq("event_id"), "event_type")
+    val after = wh.paths("ev")
+    // untouched partitions keep the ORIGINAL dirs, byte-identical
+    val untouched = after.filterNot(_.contains("__part=purchase"))
+    assert(untouched.nonEmpty && untouched.forall(before.contains))
+    untouched.foreach(p => assert(fileSnapshot(p) == before(p), p))
+    // the purchase partition moved to a fresh dir
+    val touched = after.filter(_.contains("__part=purchase"))
+    assert(touched.nonEmpty && touched.forall(!before.contains(_)))
+    // values: purchases doubled, everything else identical
+    val r = wh.read("ev")
+    assert(r.count() == ev.count())
+    val expect = ev.withColumn("value",
+      when(col("event_type") === "purchase", col("value") * 2)
+        .otherwise(col("value")))
+    assert(r.exceptAll(expect).isEmpty && expect.exceptAll(r).isEmpty)
+  }
+
+  private def fileSnapshot(dir: String): Set[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(st =>
+      (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
+  }
+
   test("a lost _LATEST marker recovers to the newest manifest, not data loss") {
     val root = freshRoot()
     val wh = new Warehouse(spark, root)
