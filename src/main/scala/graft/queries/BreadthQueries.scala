@@ -263,6 +263,21 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Class-rebalancing stratified downsample: per-class keep percentages
+    // via the deterministic sha bucket (reproducible on any engine, zero
+    // shuffle, no count pass).
+    QueryDef(
+      "q_stratified_sample",
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE ('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+             |  CASE event_type WHEN 'purchase' THEN 100 WHEN 'click' THEN 25
+             |       WHEN 'view' THEN 10 ELSE 50 END""".stripMargin),
+      (s, dir) => graft.ops.Sampling.stratifiedHash(
+        Tables.t(s, dir, "events").select("event_id", "event_type"),
+        "event_id", "event_type",
+        Seq("purchase" -> 100, "click" -> 25, "view" -> 10),
+        defaultPct = 50)),
+
     // Bloom-pruned semi-join: the probe side is filtered by a distributed
     // Bloom filter INSIDE its scan stage before any shuffle; the trailing
     // exact semi-join removes false positives, so the result equals the

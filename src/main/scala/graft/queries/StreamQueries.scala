@@ -64,6 +64,43 @@ object StreamQueries {
             col("value").as("last_value"))
       }),
 
+    // STREAM-STREAM inner join with watermarks + an event-time range
+    // constraint (purchase within 30 min after a click, per user) — the
+    // state-cleanup contract Structured Streaming requires. Inner joins
+    // emit matches eagerly, so the AvailableNow drain produces exactly the
+    // batch-join result the oracle computes.
+    QueryDef(
+      "q_stream_join",
+      Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-ssj")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def side(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema).parquet(s"$base/in")
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .filter(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        val joined = side("click", "click_id", "click_ts")
+          .join(side("purchase", "purchase_id", "purchase_ts")
+              .withColumnRenamed("user_id", "p_user_id"),
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          .select("user_id", "click_id", "purchase_id")
+        graft.streaming.IncrementalStream.runAvailableNow(
+          joined, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      }),
+
     // Stream-static enrichment: the event stream joins a static broadcast
     // dimension mid-flight (the reference's per-row lookup enrich, done as
     // a join). Append mode, no aggregation — rows flow through enriched.
