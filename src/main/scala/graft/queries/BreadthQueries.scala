@@ -263,6 +263,81 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Full outer join with a compound join condition — both sides produce
+    // NULL-padded unmatched rows.
+    QueryDef(
+      "q_outer_join",
+      Some("""SELECT n.n_nationkey, n.n_name, s.s_suppkey
+             |FROM nation n FULL JOIN supplier s
+             |  ON n.n_nationkey = s.s_nationkey AND s.s_suppkey % 3 = 0""".stripMargin),
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation").select("n_nationkey", "n_name")
+        val sup = Tables.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        n.join(sup,
+            n("n_nationkey") === sup("s_nationkey") && sup("s_suppkey") % 3 === 0,
+            "full")
+          .select(n("n_nationkey"), n("n_name"), sup("s_suppkey"))
+      }),
+
+    // Calendar date spine (the BI zero-filling pattern): generated day
+    // sequence LEFT JOIN daily counts, missing days surface as 0.
+    QueryDef(
+      "q_date_spine",
+      Some("""WITH spine AS (SELECT unnest(generate_series(
+             |    DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS d),
+             |o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+             |  FROM orders
+             |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+             |  GROUP BY 1)
+             |SELECT spine.d, COALESCE(o.n, 0) AS n
+             |FROM spine LEFT JOIN o USING (d)""".stripMargin),
+      (s, dir) => {
+        val spine = s.range(1).select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-03-31")))).as("d"))
+        val daily = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1995-04-01")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(daily, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      }),
+
+    // Vocabulary build + token-id mapping (the tokenizer-prep step): the
+    // global top-20 vocabulary ranked (count DESC, word), every token
+    // mapped to its id, OOV → -1. The vocab is collected to the driver
+    // (20 rows by construction) and joined as a LITERAL MAP — a codegen'd
+    // lookup, zero extra shuffle, the right plan whenever the vocab fits
+    // the driver.
+    QueryDef(
+      "q_vocab_ids",
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+             |    unnest(toks) AS w FROM d),
+             |vc AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS INT)
+             |    AS token_id
+             |  FROM vc ORDER BY n DESC, w LIMIT 20)
+             |SELECT tok.doc_id, tok.pos, COALESCE(vocab.token_id, -1) AS token_id
+             |FROM tok LEFT JOIN vocab USING (w)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val toksCol = split(graft.dedup.Dedup.normalized(col("text")), " ")
+        val tok = docs.withColumn("__toks", toksCol)
+          .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos0", "w")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("w"))
+        val top = tok.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(20)
+          .collect().map(_.getString(0))
+        val vocabMap: Map[String, Int] = top.zipWithIndex
+          .map { case (w, i) => w -> (i + 1) }.toMap
+        tok.select(col("doc_id"), col("pos"),
+          coalesce(element_at(typedlit(vocabMap), col("w")), lit(-1))
+            .as("token_id"))
+      }),
+
     // Class-rebalancing stratified downsample: per-class keep percentages
     // via the deterministic sha bucket (reproducible on any engine, zero
     // shuffle, no count pass).

@@ -269,6 +269,25 @@ object SinkQueries {
         wh.read("ev")
       }),
 
+    // Partition-local DELETE (right-to-be-forgotten): remove a key set
+    // touching only the 'purchase' partition; all other partitions keep
+    // their immutable dirs.
+    QueryDef(
+      "q_partitioned_delete",
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE NOT (event_type = 'purchase' AND user_id % 2 = 0)""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val wh = new Warehouse(s, tmp("graft-q-pdel"))
+        wh.overwritePartitioned("ev", ev, "event_type")
+        wh.deletePartitioned("ev",
+          ev.filter(col("event_type") === "purchase" && col("user_id") % 2 === 0)
+            .select("event_id", "event_type"),
+          Seq("event_id"), "event_type")
+        wh.read("ev")
+      }),
+
     // Hive-partitioned layout + partition pruning: data written
     // partitionBy(event_type), the filter resolves AT THE FILE LISTING —
     // non-matching partitions are never opened (PlanSpec asserts the

@@ -281,6 +281,31 @@ final class Warehouse(spark: SparkSession, root: String) {
           .filterNot(l => parts.contains(partValueOf(l))) ++ newLines)
     }
 
+  /** Partition-local DELETE (the right-to-be-forgotten shape): rows of
+    * `table` whose `keys` appear in `keyBatch` are removed; only the
+    * partitions present in `keyBatch` are rewritten. A partition whose
+    * rows are all deleted simply stops appearing in the manifest.
+    * `keyBatch` must carry `partCol` alongside the key columns.
+    */
+  def deletePartitioned(table: String, keyBatch: DataFrame, keys: Seq[String],
+      partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(exists(table), s"warehouse table not found: $table")
+    val parts = keyBatch.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = paths(table).filter(p => parts.contains(partValueOf(p)))
+    if (affected.nonEmpty) {
+      val current = spark.read.option("mergeSchema", "true")
+        .parquet(affected: _*)
+      val kept = current.join(
+        keyBatch.select(keys.map(col): _*), keys, "left_anti")
+      commitPartitioned(table, kept, partCol,
+        newLines => paths(table)
+          .map(p => relativeLine(table, p))
+          .filterNot(l => parts.contains(partValueOf(l))) ++ newLines)
+    }
+  }
+
   private def relativeLine(table: String, absolute: String): String = {
     val base = tableDir(table).toString + "/"
     absolute.stripPrefix(base)
