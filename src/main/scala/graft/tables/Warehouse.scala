@@ -262,6 +262,8 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (!exists(table)) overwritePartitioned(table, batch, partCol)
     else {
       import org.apache.spark.sql.functions.col
+      require(paths(table).forall(_.contains("__part=")),
+        s"$table is not a partitioned table - use upsert()")
       // distinct partition values of the batch: bounded by partition
       // count, a deliberate driver-side list (it becomes the keep/rewrite
       // decision on manifest LINES, not data)
@@ -291,6 +293,8 @@ final class Warehouse(spark: SparkSession, root: String) {
       partCol: String): Unit = {
     import org.apache.spark.sql.functions.col
     require(exists(table), s"warehouse table not found: $table")
+    require(paths(table).forall(_.contains("__part=")),
+      s"$table is not a partitioned table - use upsert()/deleteInsert")
     val parts = keyBatch.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = paths(table).filter(p => parts.contains(partValueOf(p)))

@@ -8,6 +8,52 @@ class IncrementalSpec extends SparkSpec {
   import graft.streaming.IncrementalStream
   import graft.tables.Warehouse
 
+  test("StreamMerge absorbs redelivery: the same file landing twice changes nothing") {
+    val base = Files.createTempDirectory("graft-smerge-re").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.limit(200).coalesce(1).write.parquet(s"$base/s0")
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/s0"))
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    // the SAME content delivered twice (two distinct files = two batches)
+    Files.copy(part, java.nio.file.Paths.get(s"$base/in/a.parquet"))
+    Files.copy(part, java.nio.file.Paths.get(s"$base/in/b.parquet"))
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val wh = new Warehouse(spark, s"$base/wh")
+    graft.streaming.StreamMerge.runMergeLatest(stream, s"$base/chk", wh,
+      "latest", Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+    val got = wh.read("latest")
+    val expect = graft.ops.Relational.latestPerKey(
+      spark.read.parquet(s"$base/in/a.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .select("user_id", "event_id", "event_type", "value", "ts"),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("IncrementalAgg: three partial merges equal the full-history aggregation") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-iagg").toString)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def partial(m: Int) = ev.filter(col("event_id") % 3 === m)
+      .groupBy("user_id")
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+    (0 to 2).foreach(m =>
+      graft.tables.IncrementalAgg.mergePartials(wh, "agg", partial(m), Seq("user_id")))
+    val got = wh.read("agg")
+      .select(col("user_id"), round(col("total"), 2).as("total"), col("n"))
+    val expect = ev.groupBy("user_id")
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("cursor round-trips and advances atomically") {
     val dir = Files.createTempDirectory("graft-cur").toString
     val c = new Cursor(spark, s"$dir/wm")
