@@ -263,6 +263,50 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Selector aggregates: max_by/min_by (DuckDB arg_max/arg_min) over a
+    // UNIQUE ordering column, so the selection is deterministic.
+    QueryDef(
+      "q_arg_minmax",
+      Some("""SELECT user_id,
+             |  arg_max(event_type, event_id) AS latest_type,
+             |  arg_min(event_type, event_id) AS first_type,
+             |  max(event_id) AS max_id
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), col("event_id")).as("latest_type"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max(col("event_id")).as("max_id"))),
+
+    // Conditional / boolean aggregates: count_if, bool_or, bool_and.
+    QueryDef(
+      "q_bool_aggs",
+      Some("""SELECT user_id,
+             |  count_if(value > 100) AS n_big,
+             |  bool_or(event_type = 'error') AS any_error,
+             |  bool_and(value >= 0) AS all_nonneg
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count_if(col("value") > 100).as("n_big"),
+          bool_or(col("event_type") === "error").as("any_error"),
+          bool_and(col("value") >= 0).as("all_nonneg"))),
+
+    // CUBE: all grouping-key combinations + grouping flags (completes the
+    // rollup / grouping-sets family).
+    QueryDef(
+      "q_cube",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+
     // Full outer join with a compound join condition — both sides produce
     // NULL-padded unmatched rows.
     QueryDef(
