@@ -263,6 +263,51 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Running total: unbounded-preceding frame over a unique per-user
+    // order (cumulative revenue per user over time).
+    QueryDef(
+      "q_running_total",
+      Some("""SELECT event_id, user_id,
+             |  round(sum(value) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             |    AS running_value
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("running_value"))
+      }),
+
+    // UNION with DISTINCT semantics (vs the UNION ALL used everywhere
+    // else): duplicates across the two arms collapse.
+    QueryDef(
+      "q_union_distinct",
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 100000""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .union(o.filter(col("o_totalprice") > 100000).select("o_custkey"))
+          .distinct()
+      }),
+
+    // INTENTIONAL cross join: the dimension-grid shape (every region ×
+    // every market segment) that zero-filled reports build on — tiny ×
+    // tiny, the one place a cartesian product is the right plan.
+    QueryDef(
+      "q_dim_grid",
+      Some("""SELECT r.r_name, m.seg
+             |FROM region r CROSS JOIN
+             |  (SELECT DISTINCT c_mktsegment AS seg FROM customer) m""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "region").select("r_name")
+        .crossJoin(Tables.t(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg")).distinct())),
+
     // Selector aggregates: max_by/min_by (DuckDB arg_max/arg_min) over a
     // UNIQUE ordering column, so the selection is deterministic.
     QueryDef(
