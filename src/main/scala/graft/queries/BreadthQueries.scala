@@ -263,6 +263,52 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Statistical aggregates: correlation / covariance / stddev / variance
+    // (population forms — identical definitions in both engines), rounded
+    // to absorb summation-order float drift.
+    QueryDef(
+      "q_stats_aggs",
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             |  round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+             |  round(stddev_pop(l_extendedprice), 4) AS price_sd,
+             |  round(var_pop(l_quantity), 4) AS qty_var
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"),
+          round(stddev_pop(col("l_extendedprice")), 4).as("price_sd"),
+          round(var_pop(col("l_quantity")), 4).as("qty_var"))),
+
+    // Bitwise aggregates (flag-set folding).
+    QueryDef(
+      "q_bit_aggs",
+      Some("""SELECT user_id,
+             |  bit_and(event_id) AS band, bit_or(event_id) AS bor,
+             |  bit_xor(event_id) AS bxor
+             |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(bit_and(col("event_id")).as("band"),
+          bit_or(col("event_id")).as("bor"),
+          bit_xor(col("event_id")).as("bxor"))),
+
+    // Ordered string aggregation: deterministic via an explicit sort of
+    // the collected list (collect_list order is partition-dependent; the
+    // sort restores engine-independence).
+    QueryDef(
+      "q_string_agg",
+      Some("""SELECT c_nationkey,
+             |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+             |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+             |GROUP BY c_nationkey""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "customer")
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_list(col("c_mktsegment"))), ",")
+          .as("segs"))),
+
     // Running total: unbounded-preceding frame over a unique per-user
     // order (cumulative revenue per user over time).
     QueryDef(
