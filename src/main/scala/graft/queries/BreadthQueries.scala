@@ -263,6 +263,31 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Gaps-and-islands: consecutive event_id runs per user via the
+    // row_number-difference trick — one partitioned window + one
+    // aggregation, the classic sessionless run detector.
+    QueryDef(
+      "q_gaps_islands",
+      Some("""WITH s AS (SELECT user_id, event_id,
+             |  event_id - row_number() OVER (PARTITION BY user_id
+             |    ORDER BY event_id) AS grp
+             |FROM events)
+             |SELECT user_id, min(event_id) AS run_start,
+             |  max(event_id) AS run_end, count(*) AS run_len
+             |FROM s GROUP BY user_id, grp""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            (col("event_id") - row_number().over(w)).as("grp"))
+          .groupBy("user_id", "grp")
+          .agg(min(col("event_id")).as("run_start"),
+            max(col("event_id")).as("run_end"),
+            count(lit(1)).as("run_len"))
+          .drop("grp")
+      }),
+
     // Statistical aggregates: correlation / covariance / stddev / variance
     // (population forms — identical definitions in both engines), rounded
     // to absorb summation-order float drift.
