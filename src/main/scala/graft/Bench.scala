@@ -63,6 +63,10 @@ object Bench {
       "\"" + k + "\":" + v.fold("\"failed\"")(_.toString)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ...and AGAIN as the very last stdout line: the driver keeps a bounded
+    // TAIL of this stream, and the per-query dict alone can exceed the
+    // capture window — total-first dies with truncation, total-last survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

@@ -398,7 +398,7 @@ object BreadthQueries {
     QueryDef(
       "q_bool_aggs",
       Some("""SELECT user_id,
-             |  count_if(value > 100) AS n_big,
+             |  CAST(count_if(value > 100) AS BIGINT) AS n_big,
              |  bool_or(event_type = 'error') AS any_error,
              |  bool_and(value >= 0) AS all_nonneg
              |FROM events GROUP BY user_id""".stripMargin),

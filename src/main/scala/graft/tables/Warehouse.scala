@@ -188,7 +188,12 @@ final class Warehouse(spark: SparkSession, root: String) {
   def append(table: String, df: DataFrame): Unit =
     if (!exists(table)) overwrite(table, df)
     else {
-      val prior = paths(table).map(p => new Path(p).getName)
+      // relativeLine, NOT Path.getName: a partitioned manifest line is
+      // "data-000001/__part=x" and getName would strip it to "__part=x" —
+      // committing a manifest of dangling paths (silent data loss on the
+      // next read). Relative lines keep both flat and partitioned tables
+      // intact.
+      val prior = paths(table).map(p => relativeLine(table, p))
       commit(table, df, newDir => prior :+ newDir)
     }
 
@@ -225,8 +230,16 @@ final class Warehouse(spark: SparkSession, root: String) {
       .map(p => s"$dataName/$p")
   }
 
+  /** Partition value of a manifest line / directory name. Spark escapes
+    * special characters when writing partition directories (':' → '%3A',
+    * space, '/', '%', ...), so the directory suffix must be UNescaped
+    * before comparing against raw batch values — otherwise an escaped
+    * value never matches, the stale partition line is kept alongside the
+    * new one, and reads return duplicated rows.
+    */
   private def partValueOf(line: String): String =
-    line.substring(line.indexOf("__part=") + "__part=".length)
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(
+      line.substring(line.indexOf("__part=") + "__part=".length))
 
   /** Write `df` hive-partitioned and commit `priorLines(newPartitionLines)`
     * as the manifest.

@@ -40,9 +40,6 @@ object TextStats {
           / size(tokens(t)), 4))
   }
 
-  /** Composite quality score in [0,1]: long-enough, word-like, has
-    * stopwords — the usual crude pre-filter before expensive dedup.
-    */
   /** Repetition detection (the Gopher-rules quality signal a training
     * pipeline filters on): per document, the most-repeated word trigram's
     * count and its share of all trigrams. Boilerplate/spam shows
@@ -67,6 +64,9 @@ object TextStats {
         round(col("max_rep").cast("double") / col("n_tri"), 4).as("rep_ratio"))
   }
 
+  /** Composite quality score in [0,1]: long-enough, word-like, has
+    * stopwords — the usual crude pre-filter before expensive dedup.
+    */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
     features(df, textCol).withColumn("quality",
       round(
