@@ -35,17 +35,24 @@ object BreadthQueries {
 
     // Warehouse CDC: full-row diff between two retained snapshots —
     // updates surface as delete+insert, untouched rows do not appear.
+    // The table carries a NULL-bearing column (`maybe_null`): with default
+    // (null-unsafe) equality every UNCHANGED row holding a NULL would
+    // surface as a spurious delete+insert pair — the gate now covers
+    // snapshotDiff's per-column `<=>` fix.
     QueryDef(
       "q_snapshot_diff",
       Some("""SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
-             |  'R' AS o_orderstatus, 'insert' AS change
+             |  'R' AS o_orderstatus, nullif(o_orderstatus, 'O') AS maybe_null,
+             |  'insert' AS change
              |FROM orders WHERE o_orderkey % 5 = 0
              |UNION ALL
-             |SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete' AS change
+             |SELECT o_orderkey, o_totalprice, o_orderstatus,
+             |  nullif(o_orderstatus, 'O') AS maybe_null, 'delete' AS change
              |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin),
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
           .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .withColumn("maybe_null", nullif(col("o_orderstatus"), lit("O")))
         val batch = o.filter(col("o_orderkey") % 5 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
           .withColumn("o_orderstatus", lit("R"))

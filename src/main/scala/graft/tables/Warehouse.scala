@@ -115,22 +115,44 @@ final class Warehouse(spark: SparkSession, root: String) {
     val dirs = readSmallFile(mf).split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
       .map(d => new Path(tableDir(table), d).toString)
-    spark.read.parquet(dirs: _*)
+    // mergeSchema, like read(): a snapshot's dir list can itself span a
+    // schema evolution (append that added a column), and snapshotDiff
+    // across an evolving append must not throw on the narrower snapshot
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** CDC between two retained snapshots: full-row diff as (change, row)
     * with change ∈ {insert, delete} — an update appears as delete+insert.
     * Two anti-joins over immutable snapshot reads; no state beyond the
     * manifests themselves.
+    *
+    * Equality is per-column NULL-SAFE (`<=>`): with default equality an
+    * unchanged row containing any NULL never matches itself and surfaces
+    * as a spurious delete+insert pair — and schema evolution *creates*
+    * NULL-padded rows, so the two features would collide. Columns present
+    * in only one snapshot (an evolving append between the two) are
+    * NULL-padded on the other side, so a pre-evolution row is "unchanged"
+    * iff its new columns are NULL in the later snapshot.
     */
   def snapshotDiff(table: String, fromManifest: String,
       toManifest: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val a = readSnapshot(table, fromManifest)
     val b = readSnapshot(table, toManifest)
-    import org.apache.spark.sql.functions.lit
-    b.join(a, b.columns.toSeq, "left_anti").withColumn("change", lit("insert"))
+    // union schema, b's column order first; types come from whichever
+    // side has the column
+    val schema = b.schema.fields.map(f => f.name -> f.dataType) ++
+      a.schema.fields.filterNot(f => b.columns.contains(f.name))
+        .map(f => f.name -> f.dataType)
+    def aligned(df: DataFrame) = df.select(schema.map { case (n, t) =>
+      if (df.columns.contains(n)) col(n) else lit(null).cast(t).as(n)
+    }.toSeq: _*)
+    val aa = aligned(a)
+    val bb = aligned(b)
+    val same = schema.map { case (n, _) => bb(n) <=> aa(n) }.reduce(_ && _)
+    bb.join(aa, same, "left_anti").withColumn("change", lit("insert"))
       .unionByName(
-        a.join(b, a.columns.toSeq, "left_anti").withColumn("change", lit("delete")))
+        aa.join(bb, same, "left_anti").withColumn("change", lit("delete")))
   }
 
   /** Write `df` as a fresh data dir and commit a manifest whose dir list is

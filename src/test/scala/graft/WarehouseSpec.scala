@@ -131,6 +131,79 @@ class WarehouseSpec extends SparkSpec {
       (st.getPath.getName, st.getLen, st.getModificationTime)).toSet
   }
 
+  test("snapshotDiff: unchanged NULL-bearing rows produce ZERO diff rows") {
+    val wh = new Warehouse(spark, freshRoot())
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      // every 'O' row carries a NULL — null-unsafe equality would report
+      // each of them as a spurious delete+insert pair
+      .withColumn("maybe_null", nullif(col("o_orderstatus"), lit("O")))
+    wh.overwrite("t", o)
+    val batch = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    wh.upsert("t", batch, Seq("o_orderkey"))
+    val snaps = wh.snapshots("t")
+    val diff = wh.snapshotDiff("t", snaps.head, snaps.last)
+    val nBatch = batch.count()
+    assert(o.filter(col("maybe_null").isNull).count() > 0, "fixture has no NULLs")
+    assert(diff.count() == 2 * nBatch,
+      s"expected ${2 * nBatch} diff rows (insert+delete per updated key), got ${diff.count()}")
+    assert(diff.filter(col("o_orderkey") % 10 =!= 0).count() == 0,
+      "unchanged rows leaked into the diff")
+  }
+
+  test("snapshotDiff across a schema-evolving append reads and diffs cleanly") {
+    val wh = new Warehouse(spark, freshRoot())
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val first = o.select("o_orderkey", "o_totalprice").limit(10)
+    wh.overwrite("t", first)
+    // the append introduces a new column: the older snapshot lacks it and
+    // must read + align (NULL-padded) instead of throwing
+    wh.append("t", o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .join(first.select("o_orderkey"), Seq("o_orderkey"), "left_anti").limit(4))
+    val snaps = wh.snapshots("t")
+    val diff = wh.snapshotDiff("t", snaps.head, snaps.last)
+    // exactly the 4 appended rows are inserts; the 10 pre-evolution rows
+    // (NULL o_orderstatus after padding) are unchanged
+    assert(diff.filter(col("change") === "insert").count() == 4)
+    assert(diff.filter(col("change") === "delete").count() == 0)
+  }
+
+  test("append onto a partitioned table keeps partition manifest lines intact") {
+    val wh = new Warehouse(spark, freshRoot())
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    wh.overwritePartitioned("ev", ev, "event_type")
+    val n = ev.count()
+    wh.append("ev", ev.limit(25))
+    // the prior partition dirs must survive as full relative lines —
+    // Path.getName would have committed dangling "__part=x" lines and
+    // silently dropped the whole original table on the next read
+    val partLines = wh.paths("ev").filter(_.contains("/data-") )
+      .filter(_.contains("__part="))
+    assert(partLines.nonEmpty, s"partition lines lost: ${wh.paths("ev")}")
+    assert(wh.read("ev").count() == n + 25)
+  }
+
+  test("upsertPartitioned with an escaped partition value does not duplicate rows") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    // ':' and space force Spark's partition-directory escaping (%3A, %20)
+    val base = Seq((1L, "a:b", 10.0), (2L, "a:b", 20.0), (3L, "plain c", 30.0))
+      .toDF("id", "cat", "v")
+    wh.overwritePartitioned("t", base, "cat")
+    val batch = Seq((1L, "a:b", -1.0), (3L, "plain c", -3.0)).toDF("id", "cat", "v")
+    wh.upsertPartitioned("t", batch, Seq("id"), "cat")
+    val r = wh.read("t").select("id", "cat", "v").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSet
+    // an escaped dir name that fails to match its raw batch value keeps the
+    // stale partition line alongside the new one → duplicated keys
+    assert(r == Set((1L, "a:b", -1.0), (2L, "a:b", 20.0), (3L, "plain c", -3.0)),
+      s"got $r")
+    wh.deletePartitioned("t", Seq((2L, "a:b")).toDF("id", "cat"), Seq("id"), "cat")
+    assert(wh.read("t").count() == 2)
+  }
+
   test("a lost _LATEST marker recovers to the newest manifest, not data loss") {
     val root = freshRoot()
     val wh = new Warehouse(spark, root)

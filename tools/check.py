@@ -5,8 +5,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against the same fixture tables,
-and compares schema-insensitively: columns sorted by name, rows sorted by all
-columns, values compared exactly (floats to 9 significant digits).
+and compares: columns sorted by name, COLUMN TYPES (DuckDB's view of both
+result sets — the class of drift repr-comparison is blind to: HUGEINT vs
+BIGINT, DECIMAL vs DOUBLE), rows sorted by all columns, values compared
+exactly (floats to 9 significant digits).
 
 Dev-only tool — not part of the shipped library.
 """
@@ -17,7 +19,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon_type(t):
+    """DuckDB type → comparison class. Only truncation-by-design is
+    normalized: the events fixture is timestamp[ns], which Spark can only
+    hold at µs (Tables.t truncates; DuckDB reads TIMESTAMP_NS) — so ns vs µs
+    timestamps are the same class. Everything else (HUGEINT vs BIGINT,
+    DECIMAL vs DOUBLE, INT vs BIGINT) must match exactly: those pass a
+    repr-compare locally and fail the driver's schema gate.
+    """
+    s = str(t)
+    return "TIMESTAMP" if s in ("TIMESTAMP_NS", "TIMESTAMP") else s
+
+
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -32,7 +46,8 @@ def canon(rows, cols):
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
-    return [cols[i] for i in order], out
+    return ([cols[i] for i in order],
+            [canon_type(types[i]) for i in order], out)
 
 
 def main(sf_dir, out_dir):
@@ -58,26 +73,36 @@ def main(sf_dir, out_dir):
         print(f"  ✗ {name}: NO OUTPUT — {errors.get(name, 'query produced no result dir')}")
         n_fail += 1
     for name in names:
-        got = con.execute(
+        # relation API, not DB-API execute(): cursor.description only
+        # exposes generic DB-API codes (HUGEINT and BIGINT are both
+        # 'NUMBER') — .types carries the real DuckDB types
+        got = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-        g_cols = [d[0] for d in got.description]
+        g_cols = list(got.columns)
+        g_types = [str(t) for t in got.types]
         g_rows = got.fetchall()
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows={len(g_rows)})")
             n_noracle += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            e_cols = [d[0] for d in exp.description]
+            exp = con.sql(oracle[name])
+            e_cols = list(exp.columns)
+            e_types = [str(t) for t in exp.types]
             e_rows = exp.fetchall()
         except Exception as ex:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {ex}")
             n_fail += 1
             continue
-        gc, gr = canon(g_rows, g_cols)
-        ec, er = canon(e_rows, e_cols)
+        gc, gt, gr = canon(g_rows, g_cols, g_types)
+        ec, et, er = canon(e_rows, e_cols, e_types)
         if gc != ec:
             print(f"  ✗ {name}: column mismatch spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gt != et:
+            mism = [f"{c}: spark={a} oracle={b}"
+                    for c, a, b in zip(gc, gt, et) if a != b]
+            print(f"  ✗ {name}: TYPE mismatch {'; '.join(mism)}")
             n_fail += 1
         elif gr != er:
             diff = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
