@@ -80,6 +80,64 @@ object ExtensionQueries {
         Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9,
         strategy = Dedup.JaccardBitmask, bitmaskMaxDocs = 10000L)),
 
+    // The SCALE-SAFE word-Jaccard exemplar: the same semantics as
+    // q_word_jaccard but under the prefix-filtered inverted index — the
+    // plan that ships at 100× (equi-join candidate stage, no crossJoin;
+    // PlanSpec asserts it). Two deliberate choices:
+    // - NO dfCap: the fixture vocabulary is 31 words of which 30 exceed
+    //   any useful cap — measured: dfCap(0.5) keeps only 10 of the 9020
+    //   true pairs, so a capped index is NOT exactness-preserving here
+    //   (it is on organic corpora with rare words, see ExtensionSpec).
+    //   The uncapped prefix filter keeps candidate recall at exactly 1.0.
+    // - A deterministic sf-proportional slice (doc_id % 10 = 0): on this
+    //   template corpus ~8% of ALL pairs are true near-dups, so any exact
+    //   algorithm's output is quadratic and the inverted index degrades to
+    //   all-pairs (measured 11.3M candidates full-corpus at sf0.1). The
+    //   gate exercises the 100× PLAN; the full-corpus run on a degenerate
+    //   vocabulary belongs to the explicitly-bounded bitmask exemplar
+    //   above. See q_basket_jaccard for the index pruning at full fixture
+    //   scale on an organic feature space.
+    QueryDef(
+      "q_word_jaccard_scaled",
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_distinct(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |FROM documents WHERE doc_id % 10 = 0)
+             |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.ws, b.ws))::DOUBLE / len(list_distinct(a.ws || b.ws)) AS jaccard
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.9""".stripMargin),
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.9,
+        strategy = Dedup.JaccardInverted)),
+
+    // Set-similarity self-join over an ORGANIC high-cardinality feature
+    // space: order "baskets" (the distinct part keys of each order) at
+    // Jaccard ≥ 0.6 — transaction/cart dedup, the same jaccardPairsFeatures
+    // machinery words use. Unlike the 31-word documents fixture, the part
+    // vocabulary (2k at sf0.01, 20k at sf0.1) gives every feature a low
+    // document frequency (avg ~30), so the prefix-filtered inverted index
+    // prunes candidates the way it does on real corpora, at FULL fixture
+    // scale, growing with sf. Oracle = exact intersection counts via the
+    // same feature join, no list crossJoin.
+    QueryDef(
+      "q_basket_jaccard",
+      Some("""WITH f AS (SELECT DISTINCT l_orderkey AS doc_id, l_partkey AS word FROM lineitem),
+             |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+             |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM f a JOIN f b ON a.word = b.word AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+             |  SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+             |  FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+             |WHERE jaccard >= 0.6""".stripMargin),
+      (s, dir) => Dedup.jaccardPairsFeatures(
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("doc_id"), col("l_partkey").as("word"))
+          .distinct(),
+        threshold = 0.6, strategy = Dedup.JaccardInverted)),
+
     // Dedup cluster resolution: near-dup pairs → connected components →
     // deterministic canonical keep/drop list. Oracle: recursive reachability
     // CTE over the same exact-Jaccard pairs, min-id per component.

@@ -60,6 +60,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_word_jaccard_scaled plans no cross join (inverted-index word Jaccard)") {
+    // the 100×-shippable word-Jaccard plan: prefix-filtered equi-join
+    // candidates, exact verification — never a crossJoin over documents
+    val p = plan("q_word_jaccard_scaled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_basket_jaccard plans no cross join (inverted-index set similarity)") {
+    val p = plan("q_basket_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_fuzzy_match plans no cross join (q-gram prefix + length blocking)") {
     val p = plan("q_fuzzy_match")
     assert(!p.contains("CartesianProduct") &&
