@@ -505,6 +505,43 @@ object BreadthQueries {
             .as("token_id"))
       }),
 
+    // JOIN-BASED variant of q_vocab_ids (same output contract, same
+    // oracle): the vocab stays a DataFrame and token ids come from a
+    // broadcast LEFT JOIN instead of a collected literal map — the plan
+    // for vocabularies beyond driver size (>1M tokens: drop the limit,
+    // let AQE pick broadcast vs shuffle join; the id assignment stays a
+    // sort of VOCAB rows only, never of the token stream). The window
+    // ranks the already-LIMITed 20-row frame, bounded by construction.
+    QueryDef(
+      "q_vocab_ids_join",
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos,
+             |    unnest(toks) AS w FROM d),
+             |vc AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS INT)
+             |    AS token_id
+             |  FROM vc ORDER BY n DESC, w LIMIT 20)
+             |SELECT tok.doc_id, tok.pos, COALESCE(vocab.token_id, -1) AS token_id
+             |FROM tok LEFT JOIN vocab USING (w)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, dir, "documents")
+        val toksCol = split(graft.dedup.Dedup.normalized(col("text")), " ")
+        val tok = docs.withColumn("__toks", toksCol)
+          .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos0", "w")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w")).limit(20)
+          .withColumn("token_id",
+            row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("int"))
+          .select("w", "token_id")
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("token_id"), lit(-1)).as("token_id"))
+      }),
+
     // Class-rebalancing stratified downsample: per-class keep percentages
     // via the deterministic sha bucket (reproducible on any engine, zero
     // shuffle, no count pass).

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Round-6 depth: approximate aggregates (the sketches that size a 100 TB
+  * job before running it) and correlated-subquery decorrelation coverage.
+  *
+  * Approximate aggregates can't be hash-gated directly — HLL/KLL sketch
+  * internals differ across engines — so each query gates a DETERMINISTIC
+  * error-bound assertion instead: the Spark side emits the exact value
+  * plus a boolean `approx_ok` (|approx − exact| within the documented
+  * bound), and the oracle emits the same exact value plus literal TRUE.
+  * Spark's sketches are hash-based and deterministic for fixed input, so
+  * the boolean is reproducible, and a regression that degrades the sketch
+  * past its bound turns the row red. ApproxSpec additionally measures the
+  * observed error and documents the margin.
+  */
+object DepthQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // approx_count_distinct (HyperLogLog++, rsd 2%) vs exact. At 100 TB
+    // this is how a dedup/vocab job is sized before it runs: one pass, a
+    // few KB of state per group, no exact-distinct shuffle. Bound: 5%
+    // relative (2.5× the configured rsd).
+    QueryDef(
+      "q_approx_distinct",
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("__approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("approx_ok"))),
+
+    // approx_percentile (KLL-style quantile summary, accuracy 10000) vs
+    // exact interpolated percentile. Spark's exact `percentile` and
+    // DuckDB's `quantile_cont` share the (1−f)·a[k] + f·a[k+1] definition,
+    // so the exact values hash-gate bit-identically; the sketch result is
+    // gated within 5% of exact + 1.0 absolute slack (rank error ≤ n/10000
+    // at this accuracy, far inside the bound on the fixture's value
+    // distribution).
+    QueryDef(
+      "q_approx_quantiles",
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+             |  round(quantile_cont(value, 0.95), 4) AS p95_exact,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
+          expr("approx_percentile(value, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("__a95"))
+        .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+          (abs(col("__a50") - col("p50_exact")) <= abs(col("p50_exact")) * 0.05 + 1.0 &&
+            abs(col("__a95") - col("p95_exact")) <= abs(col("p95_exact")) * 0.05 + 1.0)
+            .as("approx_ok"))),
+
+    // Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    // returned line item, counted per priority. Catalyst must decorrelate
+    // the per-row EXISTS into a left-semi join (PlanSpec asserts it) —
+    // the rewrite that makes correlated SQL survive 100 TB instead of
+    // running a subplan per outer row.
+    QueryDef(
+      "q_exists_corr",
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+                |FROM orders o
+                |WHERE EXISTS (SELECT 1 FROM lineitem l
+                |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+                |GROUP BY o_orderpriority""".stripMargin)
+      }),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): line items below 20%
+    // of their part's average quantity. Decorrelates into an aggregate
+    // joined back on the correlation key — one shuffle over lineitem, not
+    // an avg() per outer row.
+    QueryDef(
+      "q_scalar_corr",
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#19'
+             |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        Tables.t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+                |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#19'
+                |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      })
+  )
+}

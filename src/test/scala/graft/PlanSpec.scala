@@ -80,6 +80,26 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_exists_corr decorrelates EXISTS into a semi join, not a per-row subplan") {
+    val p = plan("q_exists_corr")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("ScalarSubquery"), p)
+  }
+
+  test("q_scalar_corr decorrelates the scalar subquery into an aggregate+join") {
+    // Q17 shape: the per-part avg must become ONE aggregate over lineitem
+    // joined back on the correlation key — a scalar-subquery node in the
+    // executed plan would mean an avg() per outer row
+    val p = plan("q_scalar_corr")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q_vocab_ids_join broadcasts the vocab to the token stream") {
+    val p = plan("q_vocab_ids_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_sql_pruned reads only two columns from the scan") {
     val p = q("q_sql_pruned").queryExecution.sparkPlan.toString
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p)
