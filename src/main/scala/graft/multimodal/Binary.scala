@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed in batches via mapPartitions. The actual
-  * media decoding is STUBBED (this container has no image/audio libs) with
-  * a deterministic byte-level featurizer — but the Spark-side shape is
-  * real: binary payload column, metadata struct, explicit output schema,
-  * fixed batch size (what a vectorized/Arrow UDF would see), partition
-  * parallelism.
+  * with typed metadata. The P6 PPM format has a REAL pure-expression
+  * decoder ([[decodePpm]]: header parse + per-pixel extraction, oracle-
+  * gated); other codecs (JPEG/audio/video — no codec libs in this
+  * container) remain STUBBED with a deterministic byte-level featurizer,
+  * but the Spark-side shape is real: binary payload column, metadata
+  * struct, explicit output schema, fixed batch size (what a vectorized/
+  * Arrow UDF would see), partition parallelism.
   */
 object Binary {
 
@@ -81,6 +82,94 @@ object Binary {
       col("meta.byte_len"),
       lit(width).as("width"),
       lit(height).as("height")))
+
+  /** Deterministic P6 PPM test-image generator: pixel byte j of a row is
+    * `(seed·31 + j·7) mod 256`, so an external engine can recompute every
+    * pixel from the seed without parsing bytes — which is what lets the
+    * DECODER's output be oracle-gated. Production rows arrive with real
+    * encoded bytes in a binary column; this generator only replaces the
+    * camera. Canonical header (`P6\n<w> <h>\n255\n`), 24-bit RGB.
+    */
+  def ppmFromSeed(df: DataFrame, seedCol: String, width: Int,
+      height: Int): DataFrame = {
+    val n = 3 * width * height
+    val header = lit(s"P6\n$width $height\n255\n").cast("binary")
+    val hexPixels = array_join(
+      transform(sequence(lit(0), lit(n - 1)),
+        j => lpad(hex((col(seedCol) * 31 + j * 7) % 256), 2, "0")), "")
+    df.withColumn("ppm", concat(header, unhex(hexPixels)))
+  }
+
+  /** REAL P6 PPM decode — no stub: parses the ASCII header (width, height,
+    * maxval; canonical single-whitespace separators) and extracts every
+    * pixel byte into `pixels` (flattened RGB, 3·w·h ints). Pure Catalyst
+    * expressions end to end: the header fields come from a regexp over the
+    * ASCII prefix, pixel bytes from positional slices of the blob's hex
+    * encoding — all codegen'd, row-local, zero shuffle. A truncated payload
+    * yields NULL trailing pixels rather than an error.
+    *
+    * Scale note: per-pixel hex slicing is exact and fine for thumbnails /
+    * sprite-sized assets (the fixture decodes 8×8); megapixel assets
+    * belong to a codec library behind the same schema via batched
+    * mapPartitions (see [[decodeFeatures]] for the batching shape).
+    */
+  def decodePpm(df: DataFrame, bytesCol: String): DataFrame = {
+    val hdr = "^P6\\s(\\d+)\\s(\\d+)\\s(\\d+)\\s"
+    // ASCII prefix: cast-to-string of the first 32 bytes is byte-stable for
+    // the header region (pixel bytes past it may be invalid UTF-8; the
+    // regexp never reaches them)
+    val prefix = substring(col(bytesCol), 1, 32).cast("string")
+    df
+      .withColumn("__w", regexp_extract(prefix, hdr, 1))
+      .withColumn("__h", regexp_extract(prefix, hdr, 2))
+      .withColumn("__m", regexp_extract(prefix, hdr, 3))
+      // canonical header length: "P6\n" + w + " " + h + "\n" + m + "\n"
+      .withColumn("__hl",
+        lit(3) + length(col("__w")) + lit(1) + length(col("__h")) + lit(1) +
+          length(col("__m")) + lit(1))
+      .withColumn("__hex", hex(col(bytesCol)))
+      .withColumn("width", col("__w").cast("int"))
+      .withColumn("height", col("__h").cast("int"))
+      .withColumn("maxval", col("__m").cast("int"))
+      // pixel byte at blob offset __hl + j lives at hex chars
+      // [(__hl+j)·2 + 1, +2] (1-based). The when() guard (payload shorter
+      // than the header → empty pixels) also references __hex a second
+      // time, which keeps CollapseProject from inlining the hex() of the
+      // whole blob into the per-element lambda.
+      .withColumn("pixels",
+        when(length(col("__hex")) < col("__hl") * 2,
+            array().cast("array<int>"))
+          .otherwise(transform(
+            sequence(lit(0), col("width") * col("height") * 3 - 1),
+            j => conv(col("__hex").substr((col("__hl") + j) * 2 + 1, lit(2)),
+              16, 10).cast("int"))))
+      .drop("__w", "__h", "__m", "__hl", "__hex")
+  }
+
+  /** Image features over [[decodePpm]] output: per-channel means and a
+    * 2×2-downsample checksum (the sum of r+g+b over every even-x, even-y
+    * pixel — a subsample-then-reduce stand-in for a resize kernel). Four
+    * row-local folds over the materialized pixel array; zero shuffle.
+    */
+  def ppmFeatures(df: DataFrame): DataFrame = {
+    val npix = col("width") * col("height")
+    def chan(i: org.apache.spark.sql.Column, c: Int) =
+      element_at(col("pixels"), i * 3 + c + 1).cast("long")
+    def meanChan(c: Int) =
+      round(aggregate(sequence(lit(0), npix - 1), lit(0L),
+        (acc, i) => acc + chan(i, c)).cast("double") / npix, 4)
+    df
+      .withColumn("mean_r", meanChan(0))
+      .withColumn("mean_g", meanChan(1))
+      .withColumn("mean_b", meanChan(2))
+      .withColumn("ds_checksum",
+        aggregate(sequence(lit(0), npix - 1), lit(0L),
+          (acc, i) => acc + when(
+            pmod(pmod(i, col("width")), lit(2)) === 0 &&
+              pmod(floor(i.cast("double") / col("width")).cast("int"),
+                lit(2)) === 0,
+            chan(i, 0) + chan(i, 1) + chan(i, 2)).otherwise(lit(0L))))
+  }
 
   /** STUB video frame sampling: emit one row per sampled "frame" — every
     * `step`-th byte offset of the payload stands in for a decoded frame,

@@ -412,6 +412,39 @@ object ExtensionQueries {
           step = 64)
         .select("doc_id", "frame_idx", "frame_offset", "frame_feat")),
 
+    // REAL image decode under the hash gate: each doc gets a deterministic
+    // 8×8 P6 PPM (pixel byte j = (doc_id·31 + j·7) mod 256), decodePpm
+    // parses the actual bytes — ASCII header fields, then every pixel from
+    // positional blob slices — and ppmFeatures reduces the decoded pixels
+    // to channel means + a 2×2-downsample checksum. The oracle recomputes
+    // the same features from the generator FORMULA, never touching the
+    // bytes: a decoder that misparses the header, mis-offsets a pixel, or
+    // drops a channel turns the row red. (PPM retires the decode stub for
+    // this format; JPEG/audio remain stubbed — no codec libs here.)
+    QueryDef(
+      "q_ppm_decode",
+      Some("""WITH px AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+             |v AS (SELECT doc_id, i,
+             |  (doc_id*31 + (3*i)*7) % 256 AS r,
+             |  (doc_id*31 + (3*i+1)*7) % 256 AS g,
+             |  (doc_id*31 + (3*i+2)*7) % 256 AS b
+             |FROM px)
+             |SELECT doc_id,
+             |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  CAST(255 AS INT) AS maxval,
+             |  round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+             |  round(avg(b), 4) AS mean_b,
+             |  CAST(sum(CASE WHEN (i % 8) % 2 = 0 AND (i // 8) % 2 = 0
+             |       THEN r + g + b ELSE 0 END) AS BIGINT) AS ds_checksum
+             |FROM v GROUP BY doc_id""".stripMargin),
+      (s, dir) => Binary.ppmFeatures(Binary.decodePpm(
+          Binary.ppmFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id"),
+            "doc_id", width = 8, height = 8),
+          "ppm"))
+        .select("doc_id", "width", "height", "maxval",
+          "mean_r", "mean_g", "mean_b", "ds_checksum")),
+
     // Multimodal binary plumbing. The decode stays a stub (no codec libs in
     // this container) but its deterministic byte features are externally
     // checkable: DuckDB recomputes length/head/checksum over the same blob.

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.multimodal.Binary
+
+/** The PPM decoder against hand-built byte arrays with KNOWN pixels — the
+  * oracle gate proves formula parity on generated images; this proves the
+  * parser on images it did not generate (multi-digit dims, non-255 maxval,
+  * truncated payload).
+  */
+class PpmSpec extends SparkSpec {
+
+  private def ppmBytes(w: Int, h: Int, maxval: Int,
+      pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == 3 * w * h)
+    s"P6\n$w $h\n$maxval\n".getBytes("UTF-8") ++ pixels.map(_.toByte)
+  }
+
+  private def decode(rows: Seq[Array[Byte]]) = {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map {
+        case (b, i) => Row(i.toLong, b) }: _*),
+      StructType(Seq(StructField("id", LongType), StructField("ppm", BinaryType))))
+    Binary.decodePpm(df, "ppm")
+      .select("id", "width", "height", "maxval", "pixels")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Integer](4).toList)))
+      .toMap
+  }
+
+  test("decodePpm parses dims, maxval and every pixel byte exactly") {
+    val px2x2 = Array(0, 1, 2, 255, 254, 253, 16, 32, 64, 128, 200, 9)
+    val px10x1 = (0 until 30).map(i => (i * 11) % 256).toArray
+    val out = decode(Seq(
+      ppmBytes(2, 2, 255, px2x2),
+      ppmBytes(10, 1, 99, px10x1))) // multi-digit width, non-255 maxval
+    assert(out(0L) == ((2, 2, 255, px2x2.toList)))
+    assert(out(1L) == ((10, 1, 99, px10x1.toList)))
+  }
+
+  test("decodePpm on a truncated payload yields null trailing pixels, no crash") {
+    val full = ppmBytes(2, 2, 255, Array.fill(12)(7))
+    val out = decode(Seq(full.dropRight(3)))
+    val (w, h, m, px) = out(0L)
+    assert((w, h, m) == ((2, 2, 255)))
+    assert(px.take(9).forall(_ == 7) && px.drop(9).forall(_ == null))
+  }
+
+  test("ppmFromSeed → decodePpm round-trips the generator formula") {
+    val src = spark.range(5).toDF("doc_id")
+    val dec = Binary.decodePpm(
+      Binary.ppmFromSeed(src, "doc_id", width = 3, height = 2), "ppm")
+      .select("doc_id", "pixels").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    dec.foreach { case (seed, px) =>
+      assert(px.length == 18)
+      px.zipWithIndex.foreach { case (v, j) =>
+        assert(v == ((seed * 31 + j * 7) % 256).toInt, s"seed=$seed j=$j")
+      }
+    }
+  }
+}
