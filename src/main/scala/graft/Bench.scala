@@ -56,16 +56,17 @@ object Bench {
     }
     val failed = results.collect { case (n, None) => n }
     val total = results.flatMap(_._2).sum
-    // Total printed FIRST on its own line: a bounded tail capture of this
-    // stream must never lose the headline number to mid-JSON truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Three stdout lines, exactly ONE carrying metric "total" (the last):
+    // a consumer summing every total-metric line must not double-count.
+    // The head line ("total_head") guards against mid-JSON truncation of
+    // the per-query dict; the dict line is labeled "per_query"; the TAIL
+    // line is the canonical total — the driver keeps a bounded tail of
+    // this stream, so the last line is the one guaranteed to survive.
+    println(s"""{"metric":"total_head","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("\"failed\"")(_.toString)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // ...and AGAIN as the very last stdout line: the driver keeps a bounded
-    // TAIL of this stream, and the per-query dict alone can exceed the
-    // capture window — total-first dies with truncation, total-last survives.
+    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
