@@ -124,9 +124,14 @@ object Dedup {
         // per consumer
         jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
       case JaccardAuto | JaccardBitmask =>
+        // the bitmask path assigns bits via a String-keyed literal map —
+        // a non-string feature table (e.g. basket part keys) routes to the
+        // inverted index instead of failing at analysis time
+        val stringFeatures = w.schema("word").dataType ==
+          org.apache.spark.sql.types.StringType
         // bounded sample first: a big vocabulary disqualifies without ever
         // scanning the corpus; only a small-looking vocab pays more
-        val sampleSmall =
+        val sampleSmall = stringFeatures &&
           w.limit(65536).select("word").distinct().count() <= maskMaxVocab
         if (!sampleSmall) jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
         else {

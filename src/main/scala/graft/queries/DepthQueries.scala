@@ -85,6 +85,27 @@ object DepthQueries {
                 |GROUP BY o_orderpriority""".stripMargin)
       }),
 
+    // LATERAL correlated subquery: top-2 orders per customer — the
+    // per-outer-row ORDER BY + LIMIT shape. Catalyst rewrites the lateral
+    // into a window/join plan rather than executing the subquery per
+    // customer row.
+    QueryDef(
+      "q_lateral_topn",
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin),
+      (s, dir) => {
+        Tables.t(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                |FROM customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+      }),
+
     // Correlated scalar subquery (TPC-H Q17 shape): line items below 20%
     // of their part's average quantity. Decorrelates into an aggregate
     // joined back on the correlation key — one shuffle over lineitem, not

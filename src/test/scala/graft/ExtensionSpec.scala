@@ -96,6 +96,20 @@ class ExtensionSpec extends SparkSpec {
     assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
   }
 
+  test("jaccardPairsFeatures Auto routes non-string features to the inverted index") {
+    import spark.implicits._
+    // tiny LONG-keyed vocabulary: the bitmask path's string-keyed literal
+    // map would fail at analysis time; Auto must detect the type and take
+    // the inverted index, producing the same exact pairs
+    val f = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("doc_id", "word")
+    val auto = Dedup.jaccardPairsFeatures(f, threshold = 0.9)
+    val inv = Dedup.jaccardPairsFeatures(f, threshold = 0.9,
+      strategy = Dedup.JaccardInverted)
+    assert(auto.collect().toSet == inv.collect().toSet)
+    assert(auto.count() == 1)
+  }
+
   test("simhash: near-dup texts land close in hamming distance") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
