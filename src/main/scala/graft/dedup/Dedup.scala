@@ -261,6 +261,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs within `maxHamming` (Manku/Charikar web
+    * dedup): each doc's 60-bit token simhash is split into `maxHamming+1`
+    * bands; by pigeonhole, any pair with hamming ≤ maxHamming agrees on at
+    * least one WHOLE band, so an equi-join on (band, band-value) has exact
+    * recall — no crossJoin — and the per-candidate popcount filter leaves
+    * only true pairs. The candidate volume is governed by band width
+    * (60/(maxHamming+1) bits ⇒ ~2^15 values at the default, so random
+    * collisions are rare); at 100× the same plan holds because bands join
+    * hash-partitioned.
+    */
+  def simhashNearDup(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(60 % bands == 0, s"need 60 divisible by bands=$bands")
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    import graft.expressions.{Hashing, SimHash64}
+    val sh = df.select(col(idCol).as("doc_id"),
+      SimHash64.simhash64(spark,
+        transform(split(normalized(col(textCol)), " "),
+          t => Hashing.sha60(t))).as("simhash"))
+    val banded = sh
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bv",
+        expr(s"shiftright(simhash, band * $bitsPerBand) & $mask"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("__sa"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("__sb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair can agree on several bands; hamming is pair-deterministic,
+      // so distinct collapses the duplicates
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
+
   /** Resolve near-duplicate PAIRS into connected-component clusters with a
     * deterministic canonical id — the step that makes LSH/Jaccard output
     * actionable on a corpus: `(doc_id, canonical_id, keep)` where `keep`

@@ -63,6 +63,23 @@ object DepthQueries {
             abs(col("__a95") - col("p95_exact")) <= abs(col("p95_exact")) * 0.05 + 1.0)
             .as("approx_ok"))),
 
+    // ntile bucketing (feature binning / percentile cohorts): quartile of
+    // each event within its type. The (value, event_id) order is unique,
+    // so tile assignment is deterministic on both engines.
+    QueryDef(
+      "q_ntile",
+      Some("""SELECT event_id, event_type,
+             |  CAST(ntile(4) OVER (PARTITION BY event_type
+             |    ORDER BY value, event_id) AS INT) AS quartile
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            ntile(4).over(Window.partitionBy("event_type")
+              .orderBy("value", "event_id")).as("quartile"))
+      }),
+
     // Correlated EXISTS (TPC-H Q4 shape): orders with at least one
     // returned line item, counted per priority. Catalyst must decorrelate
     // the per-row EXISTS into a left-semi join (PlanSpec asserts it) —

@@ -203,6 +203,32 @@ object ExtensionQueries {
             transform(split(Dedup.normalized(col("text")), " "), t => Hashing.sha60(t)))
             .as("simhash"))),
 
+    // SimHash near-dup pairs (Manku-style web dedup): banded equi-join
+    // with pigeonhole-exact recall at hamming ≤ 3, verified by popcount.
+    // The oracle recomputes the identical sha60 simhash pipeline
+    // (q_simhash proves parity) and takes ALL pairs within the radius, so
+    // the gate checks both the banding's recall and the hamming math.
+    QueryDef(
+      "q_simhash_neardup",
+      Some("""WITH tok AS (SELECT doc_id, list_transform(
+             |    regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             |    t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS hs
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_sum(list_transform(hs, h ->
+             |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+             |FROM tok)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+      (s, dir) => Dedup.simhashNearDup(s,
+        Tables.t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", maxHamming = 3)),
+
     // Winnowing fingerprint sketch (sha60 k-gram hashes for oracle parity;
     // fingerprint = xor-fold of the sorted-distinct sketch).
     QueryDef(

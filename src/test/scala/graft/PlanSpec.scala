@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_simhash_neardup plans no cross join (banded pigeonhole equi-join)") {
+    val p = plan("q_simhash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_fuzzy_match plans no cross join (q-gram prefix + length blocking)") {
     val p = plan("q_fuzzy_match")
     assert(!p.contains("CartesianProduct") &&
