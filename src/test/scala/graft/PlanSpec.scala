@@ -86,6 +86,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_snapshot_diff's null-safe anti joins stay HASH joins") {
+    // <=> conjuncts must be extracted as EqualNullSafe equi-join keys —
+    // a BroadcastNestedLoopJoin here would be O(n²) per diff at scale
+    val p = plan("q_snapshot_diff")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q_exists_corr decorrelates EXISTS into a semi join, not a per-row subplan") {
     val p = plan("q_exists_corr")
     assert(p.contains("LeftSemi"), p)
