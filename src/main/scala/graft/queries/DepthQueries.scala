@@ -63,6 +63,33 @@ object DepthQueries {
             abs(col("__a95") - col("p95_exact")) <= abs(col("p95_exact")) * 0.05 + 1.0)
             .as("approx_ok"))),
 
+    // NATIVE session_window sessionization (vs q_sessionize's
+    // flatMapGroupsWithState): the built-in operator runs the same
+    // gap-merge in batch AND streaming with zero custom state code — the
+    // Spark-first default before reaching for mapGroupsWithState. Spark
+    // opens a NEW session when the inter-event gap EQUALS the window gap
+    // (next < prev + gap merges), so the oracle's break condition is >=.
+    QueryDef(
+      "q_session_native",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |s AS (SELECT user_id, tsu,
+             |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+             |        ORDER BY tsu) >= 86400000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (SELECT user_id, tsu,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s)
+             |SELECT user_id, min(tsu) AS session_start, max(tsu) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+        .agg(min(unix_micros(col("ts"))).as("session_start"),
+          max(unix_micros(col("ts"))).as("session_end"),
+          count(lit(1)).cast("int").as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")),
+
     // ntile bucketing (feature binning / percentile cohorts): quartile of
     // each event within its type. The (value, event_id) order is unique,
     // so tile assignment is deterministic on both engines.
