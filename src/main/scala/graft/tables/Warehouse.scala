@@ -198,25 +198,38 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Full refresh (reference W1 snapshot swap): the new manifest references
-    * only the fresh data dir.
+    * only the fresh data dir. A flat overwrite of a previously partitioned
+    * table retires its `_PARTCOL` sidecar — the table IS flat from here on.
     */
-  def overwrite(table: String, df: DataFrame): Unit =
+  def overwrite(table: String, df: DataFrame): Unit = {
     commit(table, df, newDir => Seq(newDir))
+    val pc = new Path(tableDir(table), "_PARTCOL")
+    if (fs.exists(pc)) fs.delete(pc, false)
+  }
 
   /** Append-only load (reference W2: NDJSON chunk appends,
     * billwerk_invoices.py:101-135). O(batch): only the new rows are
     * written; prior data dirs are referenced, never rewritten.
+    *
+    * On a PARTITIONED table (created by [[overwritePartitioned]]) the
+    * batch is written hive-partitioned on the recorded partition column,
+    * so the manifest stays partition-line-only and partition-local
+    * upserts/deletes keep working after any number of appends — a flat
+    * append would poison the table for [[upsertPartitioned]] forever.
     */
   def append(table: String, df: DataFrame): Unit =
     if (!exists(table)) overwrite(table, df)
-    else {
-      // relativeLine, NOT Path.getName: a partitioned manifest line is
-      // "data-000001/__part=x" and getName would strip it to "__part=x" —
-      // committing a manifest of dangling paths (silent data loss on the
-      // next read). Relative lines keep both flat and partitioned tables
-      // intact.
-      val prior = paths(table).map(p => relativeLine(table, p))
-      commit(table, df, newDir => prior :+ newDir)
+    else partColOf(table) match {
+      case Some(pc) =>
+        // relativeLine, NOT Path.getName: a partitioned manifest line is
+        // "data-000001/__part=x" and getName would strip it to "__part=x"
+        // — committing a manifest of dangling paths (silent data loss on
+        // the next read)
+        val prior = paths(table).map(p => relativeLine(table, p))
+        commitPartitioned(table, df, pc, newLines => prior ++ newLines)
+      case None =>
+        val prior = paths(table).map(p => relativeLine(table, p))
+        commit(table, df, newDir => prior :+ newDir)
     }
 
   /** Delete+insert upsert by natural key (reference W3/W5,
@@ -244,6 +257,15 @@ final class Warehouse(spark: SparkSession, root: String) {
   // partition value must be immutable (a row "moving" partitions would
   // leave its old version behind — same rule every partition-keyed store
   // has).
+
+  /** Partition column recorded at [[overwritePartitioned]] time (a small
+    * `_PARTCOL` sidecar) — what lets [[append]] keep a partitioned table
+    * partitioned without the caller re-stating the column.
+    */
+  private def partColOf(table: String): Option[String] = {
+    val p = new Path(tableDir(table), "_PARTCOL")
+    if (fs.exists(p)) Some(readSmallFile(p).trim) else None
+  }
 
   private def partitionLines(table: String, dataName: String): Seq[String] = {
     val d = new Path(tableDir(table), dataName)
@@ -282,8 +304,10 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Full refresh of a partitioned table. */
-  def overwritePartitioned(table: String, df: DataFrame, partCol: String): Unit =
+  def overwritePartitioned(table: String, df: DataFrame, partCol: String): Unit = {
     commitPartitioned(table, df, partCol, newLines => newLines)
+    writeSmallFileAtomic(new Path(tableDir(table), "_PARTCOL"), partCol)
+  }
 
   /** Partition-local upsert: rows of `table` whose `keys` appear in
     * `batch` are replaced, and ONLY the partitions present in the batch
@@ -353,9 +377,15 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** Compaction: rewrite the current dir list (accumulated by many small
     * appends) into ONE fresh data dir behind the usual atomic swap —
     * Delta/Iceberg OPTIMIZE. Readers of the old manifest are unaffected;
-    * the swap retires the fragmented dirs. Values are untouched.
+    * the swap retires the fragmented dirs. Values are untouched. A
+    * partitioned table compacts INTO its partition layout (one fresh
+    * hive-partitioned dir), staying partition-operable afterwards.
     */
-  def compact(table: String): Unit = overwrite(table, read(table))
+  def compact(table: String): Unit = partColOf(table) match {
+    case Some(pc) =>
+      commitPartitioned(table, read(table), pc, newLines => newLines)
+    case None => overwrite(table, read(table))
+  }
 
   /** Insert-if-absent on a composite key (reference J2 NOT EXISTS dedup,
     * stripe_dispute.py:32-45): only batch rows whose full key is new are

@@ -204,6 +204,45 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read("t").count() == 2)
   }
 
+  test("partitioned append keeps the table partition-operable (upsert/compact after append)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v")
+    wh.overwritePartitioned("t", base, "cat")
+    // append routes through the recorded partition column — including a
+    // BRAND-NEW partition ("c") — so every manifest line stays a
+    // partition line and partition-local ops keep working
+    wh.append("t", Seq((3L, "a", 3.0), (4L, "c", 4.0)).toDF("id", "cat", "v"))
+    assert(wh.read("t").count() == 4)
+    assert(wh.paths("t").forall(_.contains("__part=")), wh.paths("t"))
+    wh.upsertPartitioned("t", Seq((3L, "a", -3.0)).toDF("id", "cat", "v"),
+      Seq("id"), "cat")
+    def vals() = wh.read("t").select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals() == Map(1L -> 1.0, 2L -> 2.0, 3L -> -3.0, 4L -> 4.0))
+    // compact preserves the partition layout instead of flattening it
+    wh.compact("t")
+    assert(wh.paths("t").forall(_.contains("__part=")), wh.paths("t"))
+    assert(wh.paths("t").map(_.split("/data-").head).distinct.size == 1,
+      "compact should collapse to one data dir")
+    wh.upsertPartitioned("t", Seq((4L, "c", -4.0)).toDF("id", "cat", "v"),
+      Seq("id"), "cat")
+    assert(vals() == Map(1L -> 1.0, 2L -> 2.0, 3L -> -3.0, 4L -> -4.0))
+  }
+
+  test("flat overwrite of a partitioned table retires its partition routing") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    wh.overwritePartitioned("t",
+      Seq((1L, "a", 1.0)).toDF("id", "cat", "v"), "cat")
+    wh.overwrite("t", Seq((1L, 1.0)).toDF("id", "v")) // no cat column
+    // append must go flat — routing through the stale partition column
+    // would fail on the missing column
+    wh.append("t", Seq((2L, 2.0)).toDF("id", "v"))
+    assert(wh.read("t").count() == 2)
+    assert(wh.paths("t").forall(!_.contains("__part=")), wh.paths("t"))
+  }
+
   test("a lost _LATEST marker recovers to the newest manifest, not data loss") {
     val root = freshRoot()
     val wh = new Warehouse(spark, root)
