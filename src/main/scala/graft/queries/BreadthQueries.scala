@@ -63,6 +63,34 @@ object BreadthQueries {
         wh.snapshotDiff("t", snaps.head, snaps.last)
       }),
 
+    // Partitioned APPEND lifecycle: overwritePartitioned → append (which
+    // must route through the recorded partition column — including a
+    // BRAND-NEW partition value — keeping every manifest line partition-
+    // scoped) → partition-local upsert. The upsert doubles purchase
+    // values but must NOT touch the appended synthetic partition even
+    // where event_ids collide: partition-scoped means exactly that.
+    QueryDef(
+      "q_partitioned_append",
+      Some("""SELECT event_id, event_type,
+             |  CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+             |FROM events
+             |UNION ALL
+             |SELECT event_id, 'synthetic' AS event_type, value
+             |FROM events WHERE event_id % 97 = 0""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select("event_id", "event_type", "value")
+        val wh = new Warehouse(s, tmp("graft-q-pappend"))
+        wh.overwritePartitioned("t", ev, "event_type")
+        wh.append("t", ev.filter(col("event_id") % 97 === 0)
+          .withColumn("event_type", lit("synthetic")))
+        wh.upsertPartitioned("t",
+          ev.filter(col("event_type") === "purchase")
+            .withColumn("value", col("value") * 2),
+          Seq("event_id"), "event_type")
+        wh.read("t")
+      }),
+
     // BUCKETED co-located join: both sides written bucketBy(8) on the join
     // key — the scan itself reports hash partitioning, so the sort-merge
     // join runs WITHOUT a shuffle on either side (PlanSpec asserts no
