@@ -101,6 +101,47 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // STREAMING session_window with a watermark (the native-operator twin
+    // of q_session_native, run as a real checkpointed AvailableNow
+    // stream). Append mode only emits a session once the watermark passes
+    // its end (= last event + gap), so each user's final, still-open
+    // session is correctly WITHHELD — the oracle encodes exactly that
+    // emission rule with a HAVING against the global max event time.
+    QueryDef(
+      "q_stream_session",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |s AS (SELECT user_id, tsu,
+             |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+             |        ORDER BY tsu) >= 86400000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (SELECT user_id, tsu,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s)
+             |SELECT user_id, min(tsu) AS session_start, max(tsu) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |HAVING max(tsu) + 86400000000 <= (SELECT max(epoch_us(ts)) FROM events)""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-ssession")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val sessions = s.readStream.schema(schema).parquet(s"$base/in")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+          .agg(min(unix_micros(col("ts"))).as("session_start"),
+            max(unix_micros(col("ts"))).as("session_end"),
+            count(lit(1)).cast("int").as("n_events"))
+          .select("user_id", "session_start", "session_end", "n_events")
+        graft.streaming.IncrementalStream.runAvailableNow(
+          sessions, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      }),
+
     // Stream-static enrichment: the event stream joins a static broadcast
     // dimension mid-flight (the reference's per-row lookup enrich, done as
     // a join). Append mode, no aggregation — rows flow through enriched.
