@@ -38,7 +38,7 @@ object Temporal {
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(payloadType))
       .select(col(key), col("__ts"), col("__side"),
-        col("__p"), struct(left.columns.map(col): _*).as("__l"))
+        col("__p"), struct(left.columns.map(col).toIndexedSeq: _*).as("__l"))
     val r = right.select(col(key), col(rightTs).as("__ts"),
         lit(0).as("__side"), payload.as("__p"))
       .withColumn("__l",

@@ -39,7 +39,7 @@ object IngestQueries {
         def fetch(cursor: Option[String]): Paginator.Page = {
           val i = cursor.map(_.toInt).getOrElse(0)
           if (i >= pages.size) Paginator.Page(Nil, None)
-          else Paginator.Page(pages(i), Some((i + 1).toString))
+          else Paginator.Page(pages(i).toSeq, Some((i + 1).toString))
         }
         Paginator.toDf(s, Paginator.keysetCursor(fetch))
           .select(col("event_id").cast("long"),
@@ -78,7 +78,7 @@ object IngestQueries {
         val pages = src.orderBy("event_id").toJSON.collect().grouped(300).toSeq
         def fetch(i: Int): Paginator.Page =
           if (i >= pages.size) Paginator.Page(Nil, None)
-          else Paginator.Page(pages(i),
+          else Paginator.Page(pages(i).toSeq,
             if (i == pages.size - 1) None else Some((i + 1).toString))
         Paginator.toDf(s, Paginator.pageNumber(fetch))
           .select(col("event_id").cast("long"), col("event_type"))
@@ -98,7 +98,7 @@ object IngestQueries {
         def fetch(link: Option[String]): Paginator.Page = {
           val i = link.map(_.stripPrefix("/tickets?page=").toInt).getOrElse(0)
           if (i >= pages.size) Paginator.Page(Nil, None)
-          else Paginator.Page(pages(i),
+          else Paginator.Page(pages(i).toSeq,
             if (i == pages.size - 1) None else Some(s"/tickets?page=${i + 1}"))
         }
         Paginator.toDf(s, Paginator.nextLink(fetch))

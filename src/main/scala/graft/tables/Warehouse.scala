@@ -334,7 +334,7 @@ final class Warehouse(spark: SparkSession, root: String) {
         if (affected.isEmpty) batch.limit(0) // batch opens brand-new partitions
         else spark.read.option("mergeSchema", "true")
           .parquet(affected: _*)
-          .select(batch.columns.map(col): _*)
+          .select(batch.columns.map(col).toIndexedSeq: _*)
       val merged = graft.ops.Relational.deleteInsert(current, batch, keys)
       commitPartitioned(table, merged, partCol,
         newLines => paths(table)

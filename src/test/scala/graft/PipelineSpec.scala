@@ -20,7 +20,7 @@ class PipelineSpec extends SparkSpec {
     def fetch(c: Option[String]): Paginator.Page = {
       val i = c.map(_.toInt).getOrElse(0)
       if (i >= pages.size) Paginator.Page(Nil, None)
-      else Paginator.Page(pages(i), Some((i + 1).toString))
+      else Paginator.Page(pages(i).toSeq, Some((i + 1).toString))
     }
     val n = Pipelines.ingestFullRefresh(spark, wh, "subs", fetch,
       df => df.select(col("event_id").cast("long"), col("event_type")),
