@@ -169,6 +169,101 @@ object ExtensionQueries {
             strategy = Dedup.JaccardBitmask, bitmaskMaxDocs = 10000L))
       }),
 
+    // C4-style SEGMENT-LEVEL dedup: the corpus keeps only the FIRST
+    // occurrence (min doc_id, then position) of every repeated segment and
+    // reassembles each document from its surviving segments — the
+    // line-dedup rule of C4/CCNet, with fixed 10-token windows standing in
+    // for lines (the fixture corpus has no newlines; the rule is
+    // segmenter-agnostic). One shuffle on segment text + one per-doc
+    // regroup; first-occurrence choice makes the output deterministic.
+    QueryDef(
+      "q_segment_dedup",
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             |    array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+             |  FROM (SELECT doc_id, toks,
+             |      unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+             |    FROM d)),
+             |k AS (SELECT doc_id, seg_idx, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+             |  FROM w),
+             |c AS (SELECT doc_id, count(*) AS n,
+             |    string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+             |  FROM k WHERE keep GROUP BY doc_id)
+             |SELECT d0.doc_id, CAST(COALESCE(c.n, 0) AS INT) AS n_kept,
+             |  COALESCE(c.txt, '') AS clean_text
+             |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN c USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, dir, "documents")
+        val segs = docs
+          .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
+          .withColumn("__w", transform(
+            sequence(lit(0),
+              ceil(size(col("__toks")) / 10.0).cast("int") - 1),
+            w => array_join(slice(col("__toks"), w * 10 + 1, lit(10)), " ")))
+          .select(col("doc_id"), posexplode(col("__w")).as(Seq("seg_idx", "seg")))
+        val first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        val kept = segs
+          .withColumn("__rk", row_number().over(first))
+          .filter(col("__rk") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")), " ").as("clean_text"))
+        docs.select("doc_id").join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      }),
+
+    // Benchmark CONTAMINATION check (the GPT-3-paper step): flag every
+    // train document sharing any word 8-gram with the held-out set
+    // (doc_id % 50 = 0 stands in for the benchmark). Distinct grams per
+    // side, an equi-join on gram, per-doc shared counts — the plan is two
+    // aggs + a join however large the corpus, and the benchmark side is
+    // tiny so AQE broadcasts it.
+    QueryDef(
+      "q_contamination",
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+             |      i -> array_to_string(toks[i : i+7], ' '))) AS gram
+             |    FROM d WHERE len(toks) >= 8)),
+             |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+             |sh AS (SELECT g.doc_id, count(*) AS n FROM g JOIN b USING (gram)
+             |  WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+             |SELECT t.doc_id, CAST(COALESCE(sh.n, 0) AS INT) AS n_shared,
+             |  COALESCE(sh.n, 0) > 0 AS contaminated
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
+             |LEFT JOIN sh USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
+          .filter(size(col("__toks")) >= 8)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("__toks")) - 8),
+            i => array_join(slice(col("__toks"), i + 1, lit(8)), " "))).as("gram"))
+          .distinct()
+        val all = grams(docs)
+        val bench = all.filter(col("doc_id") % 50 === 0)
+          .select("gram").distinct()
+        val shared = all.filter(col("doc_id") % 50 =!= 0)
+          .join(bench, Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_shared"))
+        docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0)) > 0).as("contaminated"))
+      }),
+
     // MinHash+LSH near-dup (scale path). The oracle recomputes the entire
     // pipeline — sha60 permutation signatures, band buckets, exact-Jaccard
     // verification — from the same constants, so the full hash gate applies
