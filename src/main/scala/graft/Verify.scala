@@ -27,7 +27,15 @@ object Verify {
     // failure in errors.json and exit nonzero so the artifact distinguishes
     // "query removed" from "query broken".
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-only subset: GRAFT_QUERIES=q_a,q_b runs just those (fast local
+    // iteration); unset → full dump, which is what the driver runs.
+    val only = sys.env.get("GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.toSeq.filter(q => names(q._1))
+      case None => SparkEntry.queries.toSeq
+    }
+    val futures = selected.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -81,12 +81,18 @@ final class Warehouse(spark: SparkSession, root: String) {
     name.stripPrefix("snap-").stripPrefix("data-")
       .stripSuffix(".manifest").toInt
 
+  /** Data-dir lines of a manifest body (header lines start with '#' and
+    * carry table metadata — see [[partColOf]]).
+    */
+  private def manifestLines(content: String): Seq[String] =
+    content.split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
   /** The data directories whose union is the current table state. */
   def paths(table: String): Seq[String] =
     currentManifest(table) match {
       case Some(mf) =>
-        readSmallFile(new Path(tableDir(table), mf))
-          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        manifestLines(readSmallFile(new Path(tableDir(table), mf)))
           .map(d => new Path(tableDir(table), d).toString)
       case None => sys.error(s"warehouse table not found: $table")
     }
@@ -112,8 +118,7 @@ final class Warehouse(spark: SparkSession, root: String) {
   def readSnapshot(table: String, manifest: String): DataFrame = {
     val mf = new Path(tableDir(table), manifest)
     require(fs.exists(mf), s"snapshot not retained: $table/$manifest")
-    val dirs = readSmallFile(mf).split("\n").toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    val dirs = manifestLines(readSmallFile(mf))
       .map(d => new Path(tableDir(table), d).toString)
     // mergeSchema, like read(): a snapshot's dir list can itself span a
     // schema evolution (append that added a column), and snapshotDiff
@@ -183,8 +188,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (!fs.exists(dir)) return
     val keepData = keepManifests.flatMap { mf =>
       val p = new Path(dir, mf)
-      if (fs.exists(p))
-        readSmallFile(p).split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      if (fs.exists(p)) manifestLines(readSmallFile(p)).toSet
       else Set.empty[String]
     }
     fs.listStatus(dir).foreach { st =>
@@ -199,13 +203,13 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   /** Full refresh (reference W1 snapshot swap): the new manifest references
     * only the fresh data dir. A flat overwrite of a previously partitioned
-    * table retires its `_PARTCOL` sidecar — the table IS flat from here on.
+    * table commits a manifest with no `#partcol=` header — partition
+    * routing retires in the SAME atomic marker swap that publishes the
+    * data, so there is no crash window in which routing state disagrees
+    * with the committed table.
     */
-  def overwrite(table: String, df: DataFrame): Unit = {
+  def overwrite(table: String, df: DataFrame): Unit =
     commit(table, df, newDir => Seq(newDir))
-    val pc = new Path(tableDir(table), "_PARTCOL")
-    if (fs.exists(pc)) fs.delete(pc, false)
-  }
 
   /** Append-only load (reference W2: NDJSON chunk appends,
     * billwerk_invoices.py:101-135). O(batch): only the new rows are
@@ -258,14 +262,21 @@ final class Warehouse(spark: SparkSession, root: String) {
   // leave its old version behind — same rule every partition-keyed store
   // has).
 
-  /** Partition column recorded at [[overwritePartitioned]] time (a small
-    * `_PARTCOL` sidecar) — what lets [[append]] keep a partitioned table
-    * partitioned without the caller re-stating the column.
+  /** Partition column of the CURRENT manifest — recorded as a
+    * `#partcol=<name>` header line inside the manifest itself, so routing
+    * state commits in the same atomic marker swap as the data it routes.
+    * (An earlier design used a `_PARTCOL` sidecar file written after the
+    * swap; a crash between the two left a partitioned manifest with flat
+    * routing — or vice versa. Deriving from the committed manifest closes
+    * that window by construction.) What lets [[append]] keep a partitioned
+    * table partitioned without the caller re-stating the column.
     */
-  private def partColOf(table: String): Option[String] = {
-    val p = new Path(tableDir(table), "_PARTCOL")
-    if (fs.exists(p)) Some(readSmallFile(p).trim) else None
-  }
+  private def partColOf(table: String): Option[String] =
+    currentManifest(table).flatMap { mf =>
+      readSmallFile(new Path(tableDir(table), mf)).split("\n")
+        .map(_.trim).find(_.startsWith("#partcol="))
+        .map(_.stripPrefix("#partcol="))
+    }
 
   private def partitionLines(table: String, dataName: String): Seq[String] = {
     val d = new Path(tableDir(table), dataName)
@@ -298,16 +309,15 @@ final class Warehouse(spark: SparkSession, root: String) {
       .parquet(new Path(tableDir(table), dataName).toString)
     val mfName = "snap-%06d.manifest".format(next)
     writeSmallFileAtomic(new Path(tableDir(table), mfName),
-      priorLines(partitionLines(table, dataName)).mkString("\n"))
+      (s"#partcol=$partCol" +: priorLines(partitionLines(table, dataName)))
+        .mkString("\n"))
     writeSmallFileAtomic(marker(table), mfName)
     prune(table, keepManifests = Set(mfName) ++ prev)
   }
 
   /** Full refresh of a partitioned table. */
-  def overwritePartitioned(table: String, df: DataFrame, partCol: String): Unit = {
+  def overwritePartitioned(table: String, df: DataFrame, partCol: String): Unit =
     commitPartitioned(table, df, partCol, newLines => newLines)
-    writeSmallFileAtomic(new Path(tableDir(table), "_PARTCOL"), partCol)
-  }
 
   /** Partition-local upsert: rows of `table` whose `keys` appear in
     * `batch` are replaced, and ONLY the partitions present in the batch
@@ -330,11 +340,17 @@ final class Warehouse(spark: SparkSession, root: String) {
         .distinct().collect().map(_.getString(0)).toSet
       val affected = paths(table)
         .filter(p => parts.contains(partValueOf(p)))
+      // NO projection to batch.columns here: the affected partitions may
+      // carry schema-evolved columns the batch predates, and projecting
+      // them away would silently strip those values from every KEPT row in
+      // the rewritten partitions (untouched partitions would keep theirs —
+      // silent inconsistency). deleteInsert's
+      // unionByName(allowMissingColumns = true) aligns the schemas, NULL-
+      // padding the batch side — same contract as the flat upsert().
       val current =
         if (affected.isEmpty) batch.limit(0) // batch opens brand-new partitions
         else spark.read.option("mergeSchema", "true")
           .parquet(affected: _*)
-          .select(batch.columns.map(col).toIndexedSeq: _*)
       val merged = graft.ops.Relational.deleteInsert(current, batch, keys)
       commitPartitioned(table, merged, partCol,
         newLines => paths(table)

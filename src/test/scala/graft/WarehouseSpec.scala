@@ -230,6 +230,31 @@ class WarehouseSpec extends SparkSpec {
     assert(vals() == Map(1L -> 1.0, 2L -> 2.0, 3L -> -3.0, 4L -> -4.0))
   }
 
+  test("partitioned upsert preserves schema-evolved columns in rewritten partitions") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    val base = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "cat", "v")
+    wh.overwritePartitioned("t", base, "cat")
+    // schema-evolving append introduces `tag` (only row 4 carries it)
+    wh.append("t", Seq((4L, "a", 4.0, "keep")).toDF("id", "cat", "v", "tag"))
+    // an OLD-schema batch (no `tag`) upserts into partition 'a' — the
+    // rewrite of that partition must not strip `tag` from kept row 4
+    wh.upsertPartitioned("t", Seq((1L, "a", -1.0)).toDF("id", "cat", "v"),
+      Seq("id"), "cat")
+    val r = wh.read("t")
+    assert(r.columns.contains("tag"),
+      s"evolved column lost entirely: ${r.columns.toSeq}")
+    val tags = r.select("id", "tag").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(tags(4L) == Some("keep"),
+      s"evolved value lost in rewritten partition: $tags")
+    assert(tags(1L) == None && tags(3L) == None)
+    val vals = r.select("id", "v").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(vals == Map(1L -> -1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+  }
+
   test("flat overwrite of a partitioned table retires its partition routing") {
     import spark.implicits._
     val wh = new Warehouse(spark, freshRoot())
