@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The P6 PPM format has a REAL pure-expression
-  * decoder ([[decodePpm]]: header parse + per-pixel extraction, oracle-
-  * gated); other codecs (JPEG/audio/video — no codec libs in this
-  * container) remain STUBBED with a deterministic byte-level featurizer,
-  * but the Spark-side shape is real: binary payload column, metadata
-  * struct, explicit output schema, fixed batch size (what a vectorized/
-  * Arrow UDF would see), partition parallelism.
+  * with typed metadata. Two formats have REAL decoders: P6 PPM as pure
+  * Catalyst expressions ([[decodePpm]]: header parse + per-pixel
+  * extraction) and PNG via the JDK's own `javax.imageio`
+  * ([[decodeImage]]: batched mapPartitions — no external library needed;
+  * ImageIO ships PNG/BMP/GIF/JPEG codecs in every JVM). Both are
+  * oracle-gated on actual pixel bytes. Audio/video codecs (not in the
+  * JDK) remain STUBBED with a deterministic byte-level featurizer, but
+  * the Spark-side shape is real: binary payload column, metadata struct,
+  * explicit output schema, fixed batch size (what a vectorized/Arrow UDF
+  * would see), partition parallelism.
   */
 object Binary {
 
@@ -34,10 +37,12 @@ object Binary {
     */
   val decodeBatchSize = 64
 
-  /** STUB decode/feature-extract: replace the body of `featurize` with a
-    * real decoder (JNI/image lib) in production. Batched mapPartitions so
-    * a real implementation amortizes model/codec setup per batch exactly
-    * like `mapInPandas` would.
+  /** STUB decode/feature-extract for NON-image media (audio/video — codecs
+    * the JDK lacks): replace the body of `featurize` with a real decoder
+    * (JNI/media lib) in production. Batched mapPartitions so a real
+    * implementation amortizes model/codec setup per batch exactly like
+    * `mapInPandas` would. For images, [[decodeImage]] below is the real
+    * thing over the same batching shape.
     */
   def decodeFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val outSchema = df.schema
@@ -136,14 +141,108 @@ object Binary {
       // than the header → empty pixels) also references __hex a second
       // time, which keeps CollapseProject from inlining the hex() of the
       // whole blob into the per-element lambda.
+      //
+      // maxval > 255 means a LEGAL P6 with 2-byte big-endian samples —
+      // which this 1-byte extractor would silently mis-decode on every
+      // pixel. Such images fail LOUDLY (NULL pixels), never quietly wrong.
       .withColumn("pixels",
-        when(length(col("__hex")) < col("__hl") * 2,
+        when(col("maxval") > 255, lit(null).cast("array<int>"))
+          .when(length(col("__hex")) < col("__hl") * 2,
             array().cast("array<int>"))
           .otherwise(transform(
             sequence(lit(0), col("width") * col("height") * 3 - 1),
             j => conv(col("__hex").substr((col("__hl") + j) * 2 + 1, lit(2)),
               16, 10).cast("int"))))
       .drop("__w", "__h", "__m", "__hl", "__hex")
+  }
+
+  /** Deterministic PNG test-image generator — the [[ppmFromSeed]] pattern
+    * for a COMPRESSED format: pixel byte j of a row is
+    * `(seed·31 + j·7) mod 256` (identical formula), rendered into a
+    * `BufferedImage` and encoded with the JDK's `javax.imageio` PNG
+    * writer. PNG is lossless, so a correct decoder must recover the exact
+    * formula pixels — which is what lets [[decodeImage]] be oracle-gated
+    * without the oracle ever parsing a PNG. Row-local mapPartitions;
+    * production rows arrive with real encoded bytes.
+    */
+  def pngFromSeed(df: DataFrame, seedCol: String, width: Int,
+      height: Int): DataFrame = {
+    val outSchema = df.schema.add("png", BinaryType)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { iter =>
+      iter.map { row =>
+        val seed = row.getAs[Number](idx).longValue
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val j = 3 * (y * width + x)
+            val r = ((seed * 31 + j * 7) % 256).toInt
+            val g = ((seed * 31 + (j + 1) * 7) % 256).toInt
+            val b = ((seed * 31 + (j + 2) * 7) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(row.toSeq :+ bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL raster decode via the JDK's `javax.imageio` — handles PNG, BMP,
+    * GIF and JPEG with zero external dependencies. Same output schema as
+    * [[decodePpm]] (`width`, `height`, `maxval`, flattened-RGB `pixels`),
+    * so downstream featurization ([[ppmFeatures]]) is format-agnostic.
+    * Batched mapPartitions (the [[decodeFeatures]] shape): row-local,
+    * zero shuffle, codec state amortizable per batch. Undecodable bytes
+    * yield NULL fields rather than failing the job — corrupt assets are a
+    * fact of life in a 100 TB media crawl and must quarantine, not abort.
+    */
+  def decodeImage(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("maxval", IntegerType)
+      .add("pixels", ArrayType(IntegerType))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { iter =>
+      iter.grouped(decodeBatchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            Row.fromSeq(row.toSeq ++ Seq[Any](null, null, null, null))
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = new Array[Int](3 * w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val j = 3 * (y * w + x)
+                px(j) = (rgb >> 16) & 0xff
+                px(j + 1) = (rgb >> 8) & 0xff
+                px(j + 2) = rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(row.toSeq ++ Seq[Any](w, h, 255, px))
+          }
+        }
+      }
+    }
   }
 
   /** Image features over [[decodePpm]] output: per-channel means and a

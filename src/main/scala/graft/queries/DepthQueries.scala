@@ -93,6 +93,12 @@ object DepthQueries {
     // ntile bucketing (feature binning / percentile cohorts): quartile of
     // each event within its type. The (value, event_id) order is unique,
     // so tile assignment is deterministic on both engines.
+    //
+    // SCALE NOTE: this is the EXACT exemplar, and its plan sorts each
+    // event_type window in one task — fine at fixture cardinality (5
+    // types), a ~20 TB single-task sort per type at 100 TB. The plan that
+    // survives scale is q_quantile_bins below: cut points from an
+    // aggregate + join/when bucketing, no global per-group sort.
     QueryDef(
       "q_ntile",
       Some("""SELECT event_id, event_type,
@@ -105,6 +111,42 @@ object DepthQueries {
           .select(col("event_id"), col("event_type"),
             ntile(4).over(Window.partitionBy("event_type")
               .orderBy("value", "event_id")).as("quartile"))
+      }),
+
+    // Quantile BINNING at scale — the q_ntile sibling whose plan bins
+    // 100 TB: per-group cut points from ONE aggregate (tiny result: one
+    // row per event_type), broadcast back, `when` bucketing row-locally.
+    // No window, no per-group global sort; the table is scanned twice and
+    // shuffled once (for the agg). In production the cut points come from
+    // approx_percentile (same plan shape, sketch-sized state); the gated
+    // variant uses exact percentile because Spark's `percentile` and
+    // DuckDB's `quantile_cont` share the (1−f)·a[k] + f·a[k+1]
+    // interpolation, making the cuts — and therefore every bin — engine-
+    // reproducible. Bin rule: value ≤ q1 → 1, ≤ q2 → 2, ≤ q3 → 3, else 4.
+    QueryDef(
+      "q_quantile_bins",
+      Some("""WITH cuts AS (SELECT event_type,
+             |    quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.5) AS q2,
+             |    quantile_cont(value, 0.75) AS q3
+             |  FROM events GROUP BY event_type)
+             |SELECT e.event_id, e.event_type,
+             |  CAST(CASE WHEN e.value <= c.q1 THEN 1
+             |            WHEN e.value <= c.q2 THEN 2
+             |            WHEN e.value <= c.q3 THEN 3 ELSE 4 END AS INT) AS bin
+             |FROM events e JOIN cuts c USING (event_type)""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val cuts = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.5)").as("q2"),
+          expr("percentile(value, 0.75)").as("q3"))
+        ev.join(broadcast(cuts), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            when(col("value") <= col("q1"), 1)
+              .when(col("value") <= col("q2"), 2)
+              .when(col("value") <= col("q3"), 3)
+              .otherwise(4).cast("int").as("bin"))
       }),
 
     // Correlated EXISTS (TPC-H Q4 shape): orders with at least one

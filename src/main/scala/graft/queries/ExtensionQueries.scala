@@ -196,7 +196,6 @@ object ExtensionQueries {
              |  COALESCE(c.txt, '') AS clean_text
              |FROM (SELECT doc_id FROM documents) d0 LEFT JOIN c USING (doc_id)""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, dir, "documents")
         val segs = docs
           .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
@@ -205,10 +204,19 @@ object ExtensionQueries {
               ceil(size(col("__toks")) / 10.0).cast("int") - 1),
             w => array_join(slice(col("__toks"), w * 10 + 1, lit(10)), " ")))
           .select(col("doc_id"), posexplode(col("__w")).as(Seq("seg_idx", "seg")))
-        val first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+        // First occurrence = min (doc_id, seg_idx), computed as an
+        // AGGREGATE, not row_number over a window on `seg`: segment text
+        // is exactly the column that skews at web scale (boilerplate
+        // repeated millions of times), and a window plan funnels every
+        // copy of a hot segment into one task's sort. min(struct) gets
+        // map-side partial aggregation — each task reduces its local
+        // copies to one row before the shuffle, so the hot key arrives
+        // pre-collapsed. Same rows, skew-tolerant plan.
         val kept = segs
-          .withColumn("__rk", row_number().over(first))
-          .filter(col("__rk") === 1)
+          .groupBy("seg")
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__first"))
+          .select(col("__first.doc_id").as("doc_id"),
+            col("__first.seg_idx").as("seg_idx"), col("seg"))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("int").as("n_kept"),
             array_join(transform(
@@ -540,8 +548,8 @@ object ExtensionQueries {
     // to channel means + a 2×2-downsample checksum. The oracle recomputes
     // the same features from the generator FORMULA, never touching the
     // bytes: a decoder that misparses the header, mis-offsets a pixel, or
-    // drops a channel turns the row red. (PPM retires the decode stub for
-    // this format; JPEG/audio remain stubbed — no codec libs here.)
+    // drops a channel turns the row red. (q_png_decode below runs the
+    // same contract through a real COMPRESSED codec via javax.imageio.)
     QueryDef(
       "q_ppm_decode",
       Some("""WITH px AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
@@ -566,9 +574,40 @@ object ExtensionQueries {
         .select("doc_id", "width", "height", "maxval",
           "mean_r", "mean_g", "mean_b", "ds_checksum")),
 
-    // Multimodal binary plumbing. The decode stays a stub (no codec libs in
-    // this container) but its deterministic byte features are externally
-    // checkable: DuckDB recomputes length/head/checksum over the same blob.
+    // REAL compressed-image decode under the hash gate: the same
+    // seed-formula pixels as q_ppm_decode, but ENCODED to PNG with the
+    // JDK's javax.imageio and decoded back through ImageIO.read in
+    // batched mapPartitions (decodeImage). PNG is lossless, so the
+    // decoded pixels must equal the formula exactly — the oracle
+    // recomputes the features from the formula and never parses a PNG.
+    // Gates a real inflate/unfilter codec path, not byte slicing.
+    QueryDef(
+      "q_png_decode",
+      Some("""WITH px AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+             |v AS (SELECT doc_id, i,
+             |  (doc_id*31 + (3*i)*7) % 256 AS r,
+             |  (doc_id*31 + (3*i+1)*7) % 256 AS g,
+             |  (doc_id*31 + (3*i+2)*7) % 256 AS b
+             |FROM px)
+             |SELECT doc_id,
+             |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+             |  round(avg(b), 4) AS mean_b,
+             |  CAST(sum(CASE WHEN (i % 8) % 2 = 0 AND (i // 8) % 2 = 0
+             |       THEN r + g + b ELSE 0 END) AS BIGINT) AS ds_checksum
+             |FROM v GROUP BY doc_id""".stripMargin),
+      (s, dir) => Binary.ppmFeatures(Binary.decodeImage(
+          Binary.pngFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id"),
+            "doc_id", width = 8, height = 8),
+          "png"))
+        .select("doc_id", "width", "height",
+          "mean_r", "mean_g", "mean_b", "ds_checksum")),
+
+    // Multimodal binary plumbing for NON-image media (audio/video): the
+    // decode is a stub (the JDK has no audio/video codecs) but its
+    // deterministic byte features are externally checkable: DuckDB
+    // recomputes length/head/checksum over the same blob.
     QueryDef(
       "q_multimodal",
       Some("""WITH p AS (SELECT doc_id, encode(text) AS b FROM documents)

@@ -122,6 +122,12 @@ object StreamQueries {
              |  CAST(count(*) AS INT) AS n_events
              |FROM g GROUP BY user_id, sid
              |HAVING max(tsu) + 86400000000 <= (SELECT max(epoch_us(ts)) FROM events)""".stripMargin),
+      // The HAVING bound's `<=` is a RECORDED DECISION, not an accident:
+      // Spark's append-mode eviction emits a session whose window end
+      // EQUALS the watermark (inclusive at equality) — pinned empirically
+      // by SessionizeSpec's windowEnd==watermark tie test, which turns red
+      // if an upgrade flips the inclusivity, telling us to shift this
+      // bound rather than debug a one-row hash mismatch.
       (s, dir) => {
         val base = tmp("graft-q-ssession")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))

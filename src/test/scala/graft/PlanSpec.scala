@@ -95,6 +95,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_segment_dedup picks first occurrences via partial aggregation, not a window") {
+    // segment text is the skew key at web scale (hot boilerplate segments)
+    // — the first-occurrence choice must be a min(struct) aggregate whose
+    // map-side partial collapses hot keys BEFORE the shuffle, never a
+    // row_number window (full sort of every copy in one task)
+    val sp = q("q_segment_dedup").queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, sp.toString)
+    assert(sp.toString.contains("partial_min"), sp.toString)
+  }
+
+  test("q_quantile_bins bins via aggregate cuts + broadcast join, not a window") {
+    val sp = q("q_quantile_bins").queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, sp.toString)
+    val p = sp.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_exists_corr decorrelates EXISTS into a semi join, not a per-row subplan") {
     val p = plan("q_exists_corr")
     assert(p.contains("LeftSemi"), p)

@@ -26,7 +26,8 @@ class PpmSpec extends SparkSpec {
     Binary.decodePpm(df, "ppm")
       .select("id", "width", "height", "maxval", "pixels")
       .collect().map(r => (r.getLong(0),
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Integer](4).toList)))
+        (r.getInt(1), r.getInt(2), r.getInt(3),
+          if (r.isNullAt(4)) null else r.getSeq[Integer](4).toList)))
       .toMap
   }
 
@@ -46,6 +47,43 @@ class PpmSpec extends SparkSpec {
     val (w, h, m, px) = out(0L)
     assert((w, h, m) == ((2, 2, 255)))
     assert(px.take(9).forall(_ == 7) && px.drop(9).forall(_ == null))
+  }
+
+  test("decodePpm refuses 2-byte-sample images (maxval > 255) loudly") {
+    // legal P6, maxval 65535 → 2 bytes per sample; the 1-byte extractor
+    // must yield NULL pixels, never silently mis-decode every pixel
+    val out = decode(Seq(ppmBytes(2, 1, 65535, Array.fill(6)(7))))
+    val (w, h, m, px) = out(0L)
+    assert((w, h, m) == ((2, 1, 65535)))
+    assert(px == null, s"expected NULL pixels for maxval>255, got $px")
+  }
+
+  test("pngFromSeed → decodeImage recovers the exact formula pixels through a real codec") {
+    val src = spark.range(5).toDF("doc_id")
+    val dec = Binary.decodeImage(
+      Binary.pngFromSeed(src, "doc_id", width = 3, height = 2), "png")
+      .select("doc_id", "width", "height", "pixels").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getSeq[Int](3))))
+      .toMap
+    dec.foreach { case (seed, (w, h, px)) =>
+      assert((w, h) == ((3, 2)))
+      assert(px.length == 18)
+      px.zipWithIndex.foreach { case (v, j) =>
+        assert(v == ((seed * 31 + j * 7) % 256).toInt, s"seed=$seed j=$j")
+      }
+    }
+  }
+
+  test("decodeImage quarantines undecodable bytes as NULLs instead of failing") {
+    val rows = Seq(Row(0L, Array[Byte](1, 2, 3, 4)), Row(1L, Array.empty[Byte]))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", LongType), StructField("b", BinaryType))))
+    val out = Binary.decodeImage(df, "b")
+      .select("id", "width", "pixels").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2), r.toString)
+    }
   }
 
   test("ppmFromSeed → decodePpm round-trips the generator formula") {

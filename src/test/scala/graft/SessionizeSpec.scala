@@ -38,6 +38,39 @@ class SessionizeSpec extends SparkSpec {
     assert(g.count() > 0)
   }
 
+  test("append-mode session eviction boundary: windowEnd == watermark tie, pinned") {
+    // q_stream_session's oracle keeps a session iff
+    // session_end + gap <= global max event time (inclusive at equality).
+    // This pins Spark's side of that boundary EMPIRICALLY: user 1's only
+    // event is exactly `gap` before the corpus max, so its session window
+    // end equals the final watermark to the microsecond. If Spark's
+    // append-mode eviction were exclusive (<), user 1 would be withheld
+    // here and a real-data tie would flip a CORRECTNESS row.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val gapUs = 24L * 3600 * 1000000
+    val t0 = 86400L * 1000000 // 1 day past epoch, clear of the init watermark
+    val base = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    Seq((1L, t0), (2L, t0 + gapUs)).toDF("user_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+      .coalesce(1).write.parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val sessions = spark.readStream.schema(schema).parquet(s"$base/in")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
+      .agg(count(lit(1)).cast("int").as("n_events"))
+      .select("user_id", "n_events")
+    graft.streaming.IncrementalStream.runAvailableNow(
+      sessions, s"$base/chk", s"$base/out")
+    val emitted = spark.read.parquet(s"$base/out")
+      .select("user_id").as[Long].collect().toSet
+    // inclusive eviction: the tied session IS emitted; user 2's session
+    // (window end past the watermark) stays open and is withheld
+    assert(emitted == Set(1L),
+      s"eviction inclusivity changed — update q_stream_session's oracle bound: $emitted")
+  }
+
   test("session stats are sane") {
     val got = Sessionize.sessionizeBatch(spark, sf, 30L * 60 * 1000000)
     val rows = got.collect()
