@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.dedup.{Dedup, MinHashLSH}
+import graft.dedup.{Dedup, IncrementalDedup, MinHashLSH}
 import graft.expressions.{Hashing, SimHash64}
 import graft.multimodal.Binary
 import graft.sim.Knn
@@ -281,6 +281,30 @@ object ExtensionQueries {
       Some(MinHashLSH.oracleSql(MinHashLSH.Config())),
       (s, dir) => MinHashLSH.nearDuplicates(
         Tables.t(s, dir, "documents"), "doc_id", "text")),
+
+    // INCREMENTAL corpus-vs-batch dedup — the daily 100 TB shape: the
+    // pre-existing corpus (doc_id % 10 <> 0) seeds a persistent MinHash
+    // signature/band index in the warehouse; the day's batch
+    // (doc_id % 10 = 0) appends its signatures and band-joins the index,
+    // emitting every near-dup pair with a batch side. No corpus
+    // re-signature, no corpus self-join — per-batch cost is O(batch +
+    // matched index rows). Verification is signature-slot agreement
+    // (exact multiples of 1/64 → engine-reproducible); the oracle
+    // recomputes signatures, bands, candidates and estimates from the
+    // shared constants. IncrementalSpec proves a batch re-run is
+    // idempotent (index unchanged, identical pair set).
+    QueryDef(
+      "q_incremental_dedup",
+      Some(IncrementalDedup.oracleSql(MinHashLSH.Config(), "% 10 = 0")),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-incdd").toString)
+        IncrementalDedup.seedIndex(wh, "dd",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        IncrementalDedup.processBatch(wh, "dd",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      }),
 
     // SimHash via the native Catalyst expression; token features use the
     // sha256-derived 60-bit hash so DuckDB recomputes the identical simhash

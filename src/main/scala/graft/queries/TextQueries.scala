@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.ops.Sampling
-import graft.text.{Redact, Tfidf}
+import graft.text.{Bpe, Redact, Tfidf}
 
 /** Corpus analytics round 3: TF-IDF, n-gram census, char-n-gram Jaccard,
   * deterministic split assignment, PII scrubbing. All row-local or
@@ -14,6 +14,33 @@ import graft.text.{Redact, Tfidf}
 object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
+
+    // BPE merge LEARNING: the top-16 byte-pair merges from corpus word
+    // frequencies. One corpus aggregation builds the word table; the merge
+    // loop then runs 16 bounded iterations over it (pair-count aggregate +
+    // 1-row argmax collect each) — never touching the corpus again, the
+    // property that makes BPE learnable at 100 TB. The oracle replays the
+    // ENTIRE loop as 16 generated CTE stages: literal string replace is
+    // left-to-right non-overlapping in both engines, which is exactly
+    // BPE's greedy application order (see text/Bpe.scala).
+    QueryDef(
+      "q_bpe_merges",
+      Some(Bpe.mergesOracleSql(16)),
+      (s, dir) => Bpe.mergesDf(
+        Tables.t(s, dir, "documents"), "text", k = 16)),
+
+    // BPE ENCODE: apply the 16 learned merges to every document — a chain
+    // of 16 literal replaces per word, row-local, zero shuffle — and gate
+    // per-document word/BPE-token counts. A mis-learned merge, a wrong
+    // application order, or an overlap-handling difference flips counts.
+    QueryDef(
+      "q_bpe_encode",
+      Some(Bpe.encodeOracleSql(16)),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        Bpe.encode(docs, "doc_id", "text",
+          Bpe.learn(Bpe.wordTable(docs, "text"), 16))
+      }),
 
     // TF-IDF top-3 terms per document (smoothed idf, partitioned window).
     QueryDef(

@@ -1,0 +1,168 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Byte-pair-encoding tokenizer: LEARN the top-K merges from corpus word
+  * frequencies, APPLY them row-locally — the subword step real training
+  * pipelines run between cleaning and token-id assignment.
+  *
+  * Scale shape (the reason BPE is feasible at 100 TB): learning never
+  * touches the corpus again after ONE word-frequency aggregation — the
+  * merge loop runs over the distinct-word table (millions of rows at web
+  * scale, not billions of tokens), each iteration one pair-count
+  * aggregate plus a single-row argmax collect, driver-bounded by K.
+  * Application is a pure per-row expression chain — zero shuffle.
+  *
+  * Symbol representation: a word's symbol sequence is a string of
+  * `|`-wrapped symbols separated by single spaces (`hello` →
+  * `|h| |e| |l| |l| |o|`; the learned alphabet is restricted to `[a-z]+`
+  * words so the delimiters can never collide with symbol text). Applying
+  * merge (a,b) is then the LITERAL string replace `"|a| |b|"` →
+  * `"|ab|"` — left-to-right and non-overlapping in Spark and DuckDB
+  * alike, which is exactly BPE's greedy application order AND what lets
+  * the DuckDB oracle replay the entire learn loop as K generated CTE
+  * stages (no recursion, no UDF). Ties in pair frequency break on the
+  * pair string ascending — total, engine-independent order (ASCII).
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, pair: String, merged: String, weight: Long)
+
+  /** Corpus word-frequency table: (w, cnt) over lowercase-alpha tokens of
+    * the normalized text. The ONE corpus-wide aggregation.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** `hello` → `|h| |e| |l| |l| |o|`. */
+  private def symCol = trim(regexp_replace(col("w"), "(.)", "|$1| "))
+
+  /** Learn the top-`k` merges. Each iteration: adjacent-pair weighted
+    * counts over the current symbol sequences (map-side-combining
+    * aggregate over the word table), argmax with the deterministic
+    * tie-break, then one literal replace. localCheckpoint per iteration
+    * keeps the plan flat (the word table is small by construction).
+    */
+  def learn(words: DataFrame, k: Int): Seq[Merge] = {
+    var cur = words.withColumn("sym", symCol).localCheckpoint()
+    val out = ArrayBuffer[Merge]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val arr = split(col("sym"), " ")
+      val top = cur.filter(size(arr) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace("| |", "")
+        out += Merge(r, pair, merged, top(0).getLong(1))
+        cur = cur.withColumn("sym",
+          expr(s"replace(sym, '$pair', '$merged')")).localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (rank, pair, merged, weight). */
+  def mergesDf(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learn(wordTable(docs, textCol), k)
+      .toDF("rank", "pair", "merged", "weight")
+  }
+
+  /** Apply learned merges: per-document BPE token count. Tokenizes the
+    * same `[a-z]+` words the learner saw, replays the merges in rank
+    * order (a chain of K literal replaces — row-local, codegen'd, zero
+    * shuffle), and aggregates tokens per document.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val applied = merges.foldLeft(words.withColumn("sym", symCol)) {
+      (d, m) => d.withColumn("sym", expr(s"replace(sym, '${m.pair}', '${m.merged}')"))
+    }
+    applied
+      .withColumn("n", size(split(col("sym"), " ")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
+  }
+
+  // ---- DuckDB oracle generation -------------------------------------
+
+  // AS MATERIALIZED on every chain stage: each s<i> is referenced twice
+  // (by m<i+1> and s<i+1>), so an inlining planner would re-execute the
+  // whole upstream chain per reference — exponential re-scans of the
+  // parquet source (observed as "too many open files" at K=16).
+  // Materialization makes the replay linear in K.
+  private def wordCte(table: String, textCol: String): String =
+    s"""w AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(
+       |      lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))), ' ')) AS w
+       |    FROM $table)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, cnt,
+       |  trim(regexp_replace(w, '(.)', '|\\1| ', 'g')) AS sym FROM w)""".stripMargin
+
+  /** One learn iteration as two CTEs: `m<i>` (the argmax pair of `s<i-1>`)
+    * and `s<i>` (the replace applied). `range(1, len(arr))` is
+    * end-exclusive, mirroring Spark's inclusive `sequence(1, size-1)`.
+    */
+  private def stepCtes(i: Int): String =
+    s"""m$i AS MATERIALIZED (SELECT pair, sum(cnt) AS weight FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(arr)),
+       |      j -> arr[j] || ' ' || arr[j+1])) AS pair
+       |    FROM (SELECT cnt, str_split(sym, ' ') AS arr FROM s${i - 1})
+       |    WHERE len(arr) >= 2)
+       |  GROUP BY pair ORDER BY weight DESC, pair ASC LIMIT 1),
+       |s$i AS MATERIALIZED (SELECT w, cnt, replace(sym, (SELECT pair FROM m$i),
+       |    replace((SELECT pair FROM m$i), '| |', '')) AS sym FROM s${i - 1})""".stripMargin
+
+  /** Oracle replaying [[learn]]: the K-row merge table. */
+  def mergesOracleSql(k: Int, table: String = "documents",
+      textCol: String = "text"): String = {
+    val ctes = (wordCte(table, textCol) +: (1 to k).map(stepCtes)).mkString(",\n")
+    val rows = (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS rank, pair,
+         |  replace(pair, '| |', '') AS merged,
+         |  CAST(weight AS BIGINT) AS weight FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$rows"
+  }
+
+  /** Oracle replaying [[learn]] + [[encode]]: per-document token counts
+    * after the K learned merges.
+    */
+  def encodeOracleSql(k: Int, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val ctes = (wordCte(table, textCol) +: (1 to k).map(stepCtes)).mkString(",\n")
+    val applied = (1 to k).foldLeft("trim(regexp_replace(w, '(.)', '|\\1| ', 'g'))") {
+      (acc, i) =>
+        s"replace($acc, (SELECT pair FROM m$i), replace((SELECT pair FROM m$i), '| |', ''))"
+    }
+    s"""WITH $ctes,
+       |dw AS (SELECT $idCol AS doc_id, unnest(regexp_split_to_array(
+       |    lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM $table),
+       |aw AS (SELECT doc_id, len(str_split($applied, ' ')) AS n
+       |  FROM dw WHERE regexp_matches(w, '^[a-z]+$$'))
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+       |FROM aw GROUP BY doc_id""".stripMargin
+  }
+}

@@ -134,4 +134,27 @@ class IncrementalSpec extends SparkSpec {
       rows => { assert(rows.nonEmpty && rows.size <= 10); posted.incrementAndGet() })
     assert(nBatches >= (maps.count() / 10))
   }
+
+  test("incremental dedup: batch re-run is idempotent (index + pair set unchanged)") {
+    import graft.dedup.IncrementalDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-incdd").toString)
+    IncrementalDedup.seedIndex(wh, "dd",
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val run1 = pairSet(IncrementalDedup.processBatch(wh, "dd", batch, "doc_id", "text"))
+    val sigN = wh.read("dd_sig").count()
+    val bandN = wh.read("dd_bands").count()
+    // at-least-once redelivery: the SAME batch lands again
+    val run2 = pairSet(IncrementalDedup.processBatch(wh, "dd", batch, "doc_id", "text"))
+    assert(wh.read("dd_sig").count() == sigN, "re-run grew the signature index")
+    assert(wh.read("dd_bands").count() == bandN, "re-run grew the band index")
+    assert(run1 == run2, s"re-run changed the pair set: ${run1.diff(run2)} / ${run2.diff(run1)}")
+    assert(run1.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+    // every emitted pair has at least one batch side and is canonical
+    assert(run1.forall { case (a, b, _) => a < b && (a % 10 == 0 || b % 10 == 0) })
+  }
 }

@@ -16,6 +16,46 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the executed plan)") {
+    // Spark's own skew mitigation: AQE detects an oversized shuffle
+    // partition AFTER the map stage and splits it across tasks, rewriting
+    // the SMJ with skew=true. Thresholds are production-sized (256 MB), so
+    // the fixture lowers them to make a ~MB-scale skew observable. This is
+    // the FIRST line of defense at 100 TB; manual salting (ops/Skew,
+    // asserted equal-results above) remains for the cases AQE cannot
+    // touch: skewed AGGREGATIONS (AQE only splits join partitions),
+    // broadcast-ineligible skew under stream-static joins, and engines/
+    // modes with AQE off.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // one key carries 150k of 200k left rows — a single hot shuffle
+      // partition several× the median
+      val left = spark.range(200000)
+        .select(when(col("id") < 150000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right.hint("merge"), Seq("k"))
+      // collect() (not count()) so THIS plan executes and AQE finalizes it
+      // — count() plans a separate query and leaves joined un-executed.
+      // Only k=0 matches: 150000 hot-key rows × one right row.
+      assert(joined.collect().length == 150000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals plain join, including unmatched keys") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
