@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-SUBSTRING detection (Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better": remove every substring of
+  * length ≥ L that appears more than once in the corpus). The paper builds
+  * a corpus-wide suffix array — inherently sequential and memory-resident,
+  * the wrong shape for a cluster. The distributed equivalent here:
+  *
+  *   1. every character position contributes its L-char gram, reduced to
+  *      a 60-bit hash — (doc_id, pos, h): O(corpus chars) rows,
+  *      embarrassingly parallel, ~20 bytes each;
+  *   2. one aggregation finds hashes occurring more than once corpus-wide
+  *      (within-doc repeats count, as in the paper);
+  *   3. each doc's duplicated positions merge into maximal spans with a
+  *      gaps-and-islands window PARTITIONED BY doc — state bounded by
+  *      document length, never corpus length.
+  *
+  * Cost is one shuffle of the position table (L× the corpus bytes as
+  * hash rows) + one doc-local window — the price of exactness; MinHash/
+  * SimHash stay the cheap first pass, this is the heavy second pass run
+  * on what survives. Every step is engine-reproducible (sha-derived gram
+  * hashes, integer interval arithmetic), so the DuckDB oracle replays the
+  * whole pipeline.
+  */
+object ExactSubstr {
+
+  /** Per-document duplicated-span statistics: n_dup_pos (positions whose
+    * L-gram repeats corpus-wide), n_spans (maximal merged spans),
+    * n_chars_dup (chars covered by those spans), clean_len (normalized
+    * length minus covered chars). Docs with no duplicated span — and docs
+    * shorter than L — report zeros.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      minMatch: Int): DataFrame = {
+    val norm = docs.select(col(idCol).as("doc_id"),
+      Dedup.normalized(col(textCol)).as("__t"))
+      .withColumn("__len", length(col("__t")))
+    // position table: 1-based start of every L-gram
+    val pos = norm.filter(col("__len") >= minMatch)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), col("__len") - (minMatch - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        graft.expressions.Hashing.sha60(
+          col("__t").substr(col("pos"), lit(minMatch))).as("__h"))
+    // corpus-wide repeated grams: one map-side-combining aggregation
+    val dupGrams = pos.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("__h")
+    val dupPos = pos.join(dupGrams, Seq("__h")).select("doc_id", "pos")
+    // gaps-and-islands span merge, doc-local: a new span starts where the
+    // position lies beyond every previous position's coverage [p, p+L)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prior = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = dupPos
+      .withColumn("__maxEnd", max(col("pos") + (minMatch - 1)).over(prior))
+      .withColumn("__start",
+        when(col("__maxEnd").isNull || col("pos") > col("__maxEnd") + 1, 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__start")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__span")
+      .agg(count(lit(1)).as("__npos"),
+        (max(col("pos")) + (minMatch - 1) - min(col("pos")) + 1).as("__covered"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("__npos")).as("n_dup_pos"),
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(col("__covered")).as("n_chars_dup"))
+    norm.select(col("doc_id"), col("__len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("n_chars_dup"), lit(0L)).as("n_chars_dup"),
+        (col("__len") - coalesce(col("n_chars_dup"), lit(0L))).as("clean_len"))
+  }
+
+  /** DuckDB replay of [[spanStats]]. */
+  def oracleSql(minMatch: Int, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val L = minMatch
+    s"""WITH n AS (SELECT $idCol AS doc_id,
+       |    lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))) AS t
+       |  FROM $table),
+       |p AS (SELECT doc_id, pos,
+       |    ${graft.expressions.Hashing.sha60Sql(s"substr(t, pos, $L)")} AS h
+       |  FROM (SELECT doc_id, t,
+       |      unnest(range(1, length(t) - ${L - 1} + 1)) AS pos
+       |    FROM n WHERE length(t) >= $L)),
+       |dg AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM p JOIN dg USING (h)),
+       |st AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS strt
+       |  FROM dp),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(strt) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS span
+       |  FROM st),
+       |sp AS (SELECT doc_id, span, count(*) AS npos,
+       |    max(pos) + ${L - 1} - min(pos) + 1 AS covered
+       |  FROM isl GROUP BY doc_id, span),
+       |pd AS (SELECT doc_id, CAST(sum(npos) AS BIGINT) AS n_dup_pos,
+       |    CAST(count(*) AS INT) AS n_spans,
+       |    CAST(sum(covered) AS BIGINT) AS n_chars_dup
+       |  FROM sp GROUP BY doc_id)
+       |SELECT n.doc_id,
+       |  COALESCE(pd.n_dup_pos, 0) AS n_dup_pos,
+       |  COALESCE(pd.n_spans, 0) AS n_spans,
+       |  COALESCE(pd.n_chars_dup, 0) AS n_chars_dup,
+       |  length(n.t) - COALESCE(pd.n_chars_dup, 0) AS clean_len
+       |FROM n LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+}

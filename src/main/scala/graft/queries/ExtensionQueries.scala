@@ -228,6 +228,19 @@ object ExtensionQueries {
             coalesce(col("clean_text"), lit("")).as("clean_text"))
       }),
 
+    // EXACT repeated-substring detection (Lee et al. 2021 — the stronger
+    // variant of q_segment_dedup's fixed-window proxy): every position
+    // whose 50-char gram repeats anywhere in the corpus, merged into
+    // maximal per-doc spans. Suffix arrays don't distribute; the Spark
+    // form is a position-gram hash table (one shuffle, O(corpus chars)
+    // rows) + corpus-wide repeat filter + doc-local island merge (window
+    // bounded by document length). See dedup/ExactSubstr.scala.
+    QueryDef(
+      "q_substr_dedup",
+      Some(graft.dedup.ExactSubstr.oracleSql(50)),
+      (s, dir) => graft.dedup.ExactSubstr.spanStats(
+        Tables.t(s, dir, "documents"), "doc_id", "text", minMatch = 50)),
+
     // Benchmark CONTAMINATION check (the GPT-3-paper step): flag every
     // train document sharing any word 8-gram with the held-out set
     // (doc_id % 50 = 0 stands in for the benchmark). Distinct grams per

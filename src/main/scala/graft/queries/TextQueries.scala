@@ -15,6 +15,42 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Training-sequence PACKING (concat-and-chunk): documents concatenated
+    // in doc_id order and split into fixed 512-token sequences — each doc
+    // reports its global token offset and the first/last sequence it lands
+    // in. The global cumulative sum uses ops.PrefixSum's two-phase scan
+    // (range partition → per-partition window + broadcast offsets), NOT a
+    // global Window.orderBy — the single-task sort that dies at 100 TB
+    // (PlanSpec asserts no empty-partition-spec window). The oracle uses
+    // the plain global window DuckDB can afford at fixture scale: the
+    // result is partitioning-independent by construction.
+    QueryDef(
+      "q_pack_sequences",
+      Some("""WITH d AS (SELECT doc_id,
+             |    len(regexp_split_to_array(
+             |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM d)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+             |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+             |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(Dedup.normalized(col("text")), " "))
+              .cast("long").as("n_tokens"))
+        graft.ops.PrefixSum.runningTotal(
+            d, Seq(col("doc_id")), col("n_tokens"), "cum")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("cum") - col("n_tokens")).as("tok_start"),
+            expr("(cum - n_tokens) div 512").as("seq_first"),
+            expr("(cum - 1) div 512").as("seq_last"))
+      }),
+
     // BPE merge LEARNING: the top-16 byte-pair merges from corpus word
     // frequencies. One corpus aggregation builds the word table; the merge
     // loop then runs 16 bounded iterations over it (pair-count aggregate +

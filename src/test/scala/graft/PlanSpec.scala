@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_pack_sequences computes the global prefix sum without a global window") {
+    // the two-phase scan (range partition → pid-bounded window + broadcast
+    // offsets) must never plan a Window with an empty partition spec —
+    // that is the single-task global sort PrefixSum exists to avoid
+    val sp = q("q_pack_sequences").queryExecution.sparkPlan
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+  }
+
   test("q_exists_corr decorrelates EXISTS into a semi join, not a per-row subplan") {
     val p = plan("q_exists_corr")
     assert(p.contains("LeftSemi"), p)
