@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * the wrong shape for a cluster. The distributed equivalent here:
   *
   *   1. every character position contributes its L-char gram, reduced to
-  *      a 60-bit hash — (doc_id, pos, h): O(corpus chars) rows,
-  *      embarrassingly parallel, ~20 bytes each;
+  *      an xxhash64 — (doc_id, pos, h): O(corpus chars) rows,
+  *      embarrassingly parallel, ~20 bytes each. The hash array is built
+  *      ROW-LOCALLY (transform over the positions) before the explode, so
+  *      generated rows carry only longs — exploding first and slicing
+  *      after would copy the full document text into every position row
+  *      (measured 3× slower at sf0.1);
   *   2. one aggregation finds hashes occurring more than once corpus-wide
   *      (within-doc repeats count, as in the paper);
   *   3. each doc's duplicated positions merge into maximal spans with a
@@ -22,9 +26,12 @@ import org.apache.spark.sql.functions._
   * Cost is one shuffle of the position table (L× the corpus bytes as
   * hash rows) + one doc-local window — the price of exactness; MinHash/
   * SimHash stay the cheap first pass, this is the heavy second pass run
-  * on what survives. Every step is engine-reproducible (sha-derived gram
-  * hashes, integer interval arithmetic), so the DuckDB oracle replays the
-  * whole pipeline.
+  * on what survives. Gram identity needs only EQUALITY semantics, so the
+  * engine-internal xxhash64 is enough (like MinHashLSH's band keys): the
+  * DuckDB oracle groups the raw gram TEXT instead and must land on the
+  * same dup sets — a 64-bit collision (≈ positions²/2⁶⁴; switch to a
+  * two-seed 128-bit pair at 100 TB) is the only way they could differ.
+  * Interval arithmetic is integer-exact on both engines.
   */
 object ExactSubstr {
 
@@ -39,14 +46,22 @@ object ExactSubstr {
     val norm = docs.select(col(idCol).as("doc_id"),
       Dedup.normalized(col(textCol)).as("__t"))
       .withColumn("__len", length(col("__t")))
-    // position table: 1-based start of every L-gram
+    // position table: 1-based start of every L-gram. Hashes are computed
+    // into a per-doc array BEFORE the generator so exploded rows are
+    // (long, int, long) — never (text, int).
     val pos = norm.filter(col("__len") >= minMatch)
-      .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), col("__len") - (minMatch - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        graft.expressions.Hashing.sha60(
-          col("__t").substr(col("pos"), lit(minMatch))).as("__h"))
-    // corpus-wide repeated grams: one map-side-combining aggregation
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), col("__len") - (minMatch - 1)),
+          p => xxhash64(col("__t").substr(p, lit(minMatch)))))
+          .as(Seq("__i", "__h")))
+      .select(col("doc_id"), (col("__i") + 1).as("pos"), col("__h"))
+    // corpus-wide repeated grams: aggregate + join-back, DELIBERATELY not
+    // count().over(partition by hash) — the window form saves a shuffle
+    // here but buffers every copy of a gram in one task, and the hot gram
+    // at web scale is exactly the boilerplate repeated 10⁹ times; the
+    // aggregate gets map-side partials and the join-back gets AQE's skew
+    // split
     val dupGrams = pos.groupBy("__h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("__h")
     val dupPos = pos.join(dupGrams, Seq("__h")).select("doc_id", "pos")
@@ -84,13 +99,12 @@ object ExactSubstr {
     s"""WITH n AS (SELECT $idCol AS doc_id,
        |    lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))) AS t
        |  FROM $table),
-       |p AS (SELECT doc_id, pos,
-       |    ${graft.expressions.Hashing.sha60Sql(s"substr(t, pos, $L)")} AS h
+       |p AS (SELECT doc_id, pos, substr(t, pos, $L) AS g
        |  FROM (SELECT doc_id, t,
        |      unnest(range(1, length(t) - ${L - 1} + 1)) AS pos
        |    FROM n WHERE length(t) >= $L)),
-       |dg AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
-       |dp AS (SELECT doc_id, pos FROM p JOIN dg USING (h)),
+       |dg AS (SELECT g FROM p GROUP BY g HAVING count(*) > 1),
+       |dp AS (SELECT doc_id, pos FROM p JOIN dg USING (g)),
        |st AS (SELECT doc_id, pos,
        |    CASE WHEN max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL

@@ -91,6 +91,23 @@ object BreadthQueries {
         wh.read("t")
       }),
 
+    // Z-ORDER clustering index (Delta/Iceberg OPTIMIZE ZORDER BY): Morton
+    // bit-interleave of user_id and the integer value bucket — the layout
+    // key that gives BOTH dimensions min/max-pruning locality when the
+    // table is range-partitioned and sorted by it (LayoutSpec measures the
+    // per-file bounding-box shrinkage vs a one-column sort). The gate
+    // covers the index computation; pure bit arithmetic, engine-identical.
+    QueryDef(
+      "q_zorder",
+      Some(s"""SELECT event_id,
+              |  ${graft.ops.Layout.zIndexSql("user_id",
+                   "CAST(floor(value) AS BIGINT)")} AS z
+              |FROM events""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .select(col("event_id"),
+          graft.ops.Layout.zIndex(col("user_id"), floor(col("value")))
+            .as("z"))),
+
     // BUCKETED co-located join: both sides written bucketBy(8) on the join
     // key — the scan itself reports hash partitioning, so the sort-merge
     // join runs WITHOUT a shuffle on either side (PlanSpec asserts no

@@ -49,6 +49,40 @@ object ExtensionQueries {
           Tables.t(s, dir, "documents").select("doc_id", "text"))
         .select("doc_id", "quality")),
 
+    // END-TO-END corpus cleanse — the composition the individual operators
+    // exist for, under ONE oracle: quality pre-filter (the crude cheap
+    // pass) → exact-dedup to canonical docs (min doc_id per content hash,
+    // among survivors) → deterministic 95/5 train/val split (sha-bucket on
+    // doc_id — reproducible on any engine, stable under reruns and
+    // repartitioning). Each stage is one aggregate/join; the whole plan is
+    // two shuffles at any corpus size.
+    QueryDef(
+      "q_corpus_cleanse",
+      Some("""WITH q AS (SELECT doc_id, text, round(
+             |    least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
+             |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) * 0.4 +
+             |    least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / 5.0, 1.0) * 0.2,
+             |    4) AS quality
+             |  FROM documents),
+             |k AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+             |c AS (SELECT min(doc_id) AS doc_id FROM k
+             |  GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+             |SELECT k.doc_id, k.quality,
+             |  CASE WHEN ('0x' || substr(sha256(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |    % 100 < 95 THEN 'train' ELSE 'val' END AS split
+             |FROM k JOIN c USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        val scored = TextStats.qualityScore(
+          Tables.t(s, dir, "documents").select("doc_id", "text"))
+        val kept = scored.filter(col("quality") >= 0.5)
+        val canonical = Dedup.exact(kept, "doc_id", "text")
+          .select(col("canonical_id").as("doc_id"))
+        kept.join(canonical, Seq("doc_id"))
+          .select(col("doc_id"), col("quality"),
+            when(Hashing.sha60(col("doc_id")) % 100 < 95, "train")
+              .otherwise("val").as("split"))
+      }),
+
     // Exact dedup by normalized content hash.
     QueryDef(
       "q_dedup_exact",
