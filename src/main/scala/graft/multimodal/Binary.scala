@@ -270,6 +270,99 @@ object Binary {
             chan(i, 0) + chan(i, 1) + chan(i, 2)).otherwise(lit(0L))))
   }
 
+  /** Deterministic 16-bit mono PCM WAV generator — the audio sibling of
+    * [[ppmFromSeed]]: sample j of a row is the unsigned 16-bit value
+    * `(seed·13 + j·11) mod 65536` (two's-complement signed on decode),
+    * wrapped in a canonical 44-byte RIFF/PCM header. The header is
+    * seed-independent, so it is built ONCE in Scala as a literal hex
+    * prefix; only the sample bytes are per-row expressions. An external
+    * engine recomputes every sample from the formula without parsing
+    * bytes — which is what lets [[decodeWav]] be oracle-gated.
+    */
+  def wavFromSeed(df: DataFrame, seedCol: String, nSamples: Int,
+      sampleRate: Int = 8000): DataFrame = {
+    val dataSize = 2 * nSamples
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val header: Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(36L + dataSize, 4) ++
+        "WAVEfmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+        le(1, 2) ++ le(1, 2) ++ le(sampleRate, 4) ++
+        le(sampleRate * 2L, 4) ++ le(2, 2) ++ le(16, 2) ++
+        "data".getBytes("US-ASCII") ++ le(dataSize, 4)
+    val headerHex = header.map(b => f"${b & 0xff}%02X").mkString
+    // per-sample little-endian hex: low byte then high byte
+    val u = (j: org.apache.spark.sql.Column) =>
+      (col(seedCol) * 13 + j * 11) % 65536
+    val samplesHex = array_join(
+      transform(sequence(lit(0), lit(nSamples - 1)), j =>
+        concat(lpad(hex(u(j) % 256), 2, "0"),
+          lpad(hex((u(j) / 256).cast("long")), 2, "0"))), "")
+    df.withColumn("wav", unhex(concat(lit(headerHex), samplesHex)))
+  }
+
+  /** REAL canonical-PCM WAV decode — pure Catalyst expressions like
+    * [[decodePpm]]: header fields from fixed little-endian offsets of the
+    * 44-byte RIFF/PCM header, every 16-bit sample from positional hex
+    * slices (two's-complement sign handling in the expression). NULL
+    * fields when the magic/fmt is not canonical 16-bit PCM mono-header
+    * layout — non-PCM or compressed WAV must fail loudly, not decode
+    * garbage. Truncated data yields NULL trailing samples. Per-sample hex
+    * slicing is documented jingle-scale; bulk audio belongs in batched
+    * mapPartitions behind the same schema (the [[decodeFeatures]] shape).
+    */
+  def decodeWav(df: DataFrame, bytesCol: String): DataFrame = {
+    val hx = hex(col(bytesCol))
+    // byte value at 0-based blob offset o (via the hex encoding)
+    def b(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(col("__hex").substr(o * 2 + 1, lit(2)), 16, 10).cast("long")
+    // little-endian n-byte integer at fixed offset o
+    def leAt(o: Int, n: Int): org.apache.spark.sql.Column =
+      (0 until n).map(i => b(lit(o + i)) * (1L << (8 * i))).reduce(_ + _)
+    df
+      .withColumn("__hex", hx)
+      .withColumn("__magic",
+        substring(col(bytesCol), 1, 4).cast("string") === "RIFF" &&
+          substring(col(bytesCol), 9, 8).cast("string") === "WAVEfmt " &&
+          substring(col(bytesCol), 37, 4).cast("string") === "data")
+      .withColumn("__fmt", when(col("__magic"),
+        leAt(20, 2) === 1 && leAt(34, 2) === 16 && leAt(22, 2) === 1)
+        .otherwise(false))
+      .withColumn("sample_rate",
+        when(col("__fmt"), leAt(24, 4).cast("int")))
+      .withColumn("n_samples",
+        when(col("__fmt"), (leAt(40, 4) / 2).cast("int")))
+      .withColumn("samples",
+        when(col("__fmt") && col("n_samples") >= 1,
+          transform(sequence(lit(0), col("n_samples") - 1), j => {
+            val u = b(lit(44) + j * 2) + b(lit(45) + j * 2) * 256
+            when(u >= 32768, u - 65536).otherwise(u).cast("int")
+          }))
+          .otherwise(when(col("__fmt"), array().cast("array<int>"))))
+      .drop("__hex", "__magic", "__fmt")
+  }
+
+  /** Audio features over [[decodeWav]] output: mean amplitude, RMS and
+    * zero-crossing count — row-local folds over the sample array, zero
+    * shuffle (the audio analogue of [[ppmFeatures]]).
+    */
+  def wavFeatures(df: DataFrame): DataFrame = {
+    val n = col("n_samples")
+    def el(i: org.apache.spark.sql.Column) =
+      element_at(col("samples"), i + 1).cast("long")
+    df
+      .withColumn("mean_amp",
+        round(aggregate(sequence(lit(0), n - 1), lit(0L),
+          (acc, i) => acc + el(i)).cast("double") / n, 4))
+      .withColumn("rms",
+        round(sqrt(aggregate(sequence(lit(0), n - 1), lit(0L),
+          (acc, i) => acc + el(i) * el(i)).cast("double") / n), 4))
+      .withColumn("zero_crossings",
+        when(n >= 2, aggregate(sequence(lit(0), n - 2), lit(0),
+          (acc, i) => acc + when(el(i) * el(i + 1) < 0, 1).otherwise(0)))
+          .otherwise(lit(0)))
+  }
+
   /** STUB video frame sampling: emit one row per sampled "frame" — every
     * `step`-th byte offset of the payload stands in for a decoded frame,
     * with the byte value as the frame's stub feature. The shape is the

@@ -675,9 +675,47 @@ object ExtensionQueries {
         .select("doc_id", "width", "height",
           "mean_r", "mean_g", "mean_b", "ds_checksum")),
 
-    // Multimodal binary plumbing for NON-image media (audio/video): the
-    // decode is a stub (the JDK has no audio/video codecs) but its
-    // deterministic byte features are externally checkable: DuckDB
+    // REAL audio decode under the hash gate: each doc gets a deterministic
+    // 64-sample 16-bit PCM WAV (sample j = (doc_id·13 + j·11) mod 65536,
+    // two's-complement signed), decodeWav parses the actual bytes — RIFF
+    // magic, little-endian fmt fields, every sample with sign handling —
+    // and wavFeatures reduces to mean/RMS/zero-crossings. The oracle
+    // recomputes the features from the generator FORMULA, never touching
+    // bytes: a decoder that misreads an LE field, drops sign handling or
+    // mis-offsets a sample turns the row red. (PPM, PNG and WAV are now
+    // real decoders; only video remains stubbed — the JDK has no codec.)
+    QueryDef(
+      "q_wav_decode",
+      Some {
+        def s(e: String) =
+          s"""CASE WHEN (doc_id*13 + ($e)*11) % 65536 >= 32768
+             |  THEN (doc_id*13 + ($e)*11) % 65536 - 65536
+             |  ELSE (doc_id*13 + ($e)*11) % 65536 END""".stripMargin
+        s"""WITH sm AS (SELECT doc_id, ${s("i")} AS smp
+           |  FROM (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents)),
+           |zc AS (SELECT doc_id,
+           |    CAST(sum(CASE WHEN s1 * s2 < 0 THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+           |  FROM (SELECT doc_id, ${s("i")} AS s1, ${s("i + 1")} AS s2
+           |    FROM (SELECT doc_id, unnest(range(0, 63)) AS i FROM documents))
+           |  GROUP BY doc_id)
+           |SELECT sm.doc_id, CAST(8000 AS INT) AS sample_rate,
+           |  CAST(64 AS INT) AS n_samples,
+           |  round(avg(smp), 4) AS mean_amp,
+           |  round(sqrt(avg(smp * smp)), 4) AS rms,
+           |  any_value(zc.zero_crossings) AS zero_crossings
+           |FROM sm JOIN zc USING (doc_id) GROUP BY sm.doc_id""".stripMargin
+      },
+      (s, dir) => Binary.wavFeatures(Binary.decodeWav(
+          Binary.wavFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id"),
+            "doc_id", nSamples = 64),
+          "wav"))
+        .select("doc_id", "sample_rate", "n_samples",
+          "mean_amp", "rms", "zero_crossings")),
+
+    // Multimodal binary plumbing for NON-image media (video, compressed
+    // audio): the decode is a stub (the JDK has no codecs for these) but
+    // its deterministic byte features are externally checkable: DuckDB
     // recomputes length/head/checksum over the same blob.
     QueryDef(
       "q_multimodal",

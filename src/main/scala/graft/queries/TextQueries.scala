@@ -15,6 +15,59 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Bigram LM PERPLEXITY scoring — the CCNet/Gopher quality filter: train
+    // a bigram model on the corpus itself (counts + add-one smoothing),
+    // score every document's mean negative log2 bigram probability. All
+    // counts are integers and V rides along as a broadcast 1-row aggregate
+    // (never a driver scalar), so the only float work is the final
+    // log2((c2+1)/(c1+V)) — round(4) absorbs last-ulp libm differences.
+    // Plan: two aggregates over the pair table + two joins back + one
+    // per-doc agg; every join key is a token string. <2-token docs score
+    // NULL with n_bigrams = 0.
+    QueryDef(
+      "q_lm_perplexity",
+      Some("""WITH d AS (SELECT doc_id, regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)),
+             |bg AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+             |ug AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+             |v AS (SELECT count(DISTINCT t) AS v FROM
+             |  (SELECT unnest(toks) AS t FROM d)),
+             |sc AS (SELECT p.doc_id, count(*) AS n_bigrams,
+             |    round(avg(-log2((bg.c2 + 1.0) / (ug.c1 + v.v))), 4) AS avg_nll_bits
+             |  FROM p JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v
+             |  GROUP BY p.doc_id)
+             |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+             |  sc.avg_nll_bits
+             |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(Dedup.normalized(col("text")), " ").as("__toks"))
+        val pairs = docs.filter(size(col("__toks")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2")))).as("pr"))
+          .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val ug = bg.groupBy("w1").agg(sum(col("c2")).as("c1"))
+        val vdf = docs.select(explode(col("__toks")).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        val scored = pairs
+          .join(bg, Seq("w1", "w2")).join(ug, Seq("w1"))
+          .crossJoin(broadcast(vdf))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log2((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 4)
+              .as("avg_nll_bits"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            col("avg_nll_bits"))
+      }),
+
     // Training-sequence PACKING (concat-and-chunk): documents concatenated
     // in doc_id order and split into fixed 512-token sequences — each doc
     // reports its global token offset and the first/last sequence it lands
