@@ -219,6 +219,81 @@ object SinkQueries {
           .select(col("user_id"), round(col("total"), 2).as("total"), col("n"))
       }),
 
+    // MERGEABLE-SKETCH rollup — the incremental distinct-count pattern at
+    // 100 TB: per-day HLL sketches (a few KB each, Datasketches binary)
+    // persist as a warehouse table; the rollup UNIONS sketches read back
+    // from storage instead of ever rescanning history. Estimates aren't
+    // bit-portable across engines, so the gate follows the
+    // q_approx_distinct pattern: bit-identical exact values beside a
+    // deterministic error-bound boolean (HLL lgK=12 ⇒ rsd ≈ 1.6%; bound
+    // 5%). The sketch → parquet → union round-trip is what is verified.
+    QueryDef(
+      "q_hll_union",
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val daily = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+        val wh = new Warehouse(s, tmp("graft-q-hll"))
+        wh.overwrite("daily_sketches", daily)
+        val rolled = wh.read("daily_sketches")
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("__approx"))
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .join(rolled, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("__approx") - col("exact_users"))
+              <= col("exact_users") * 0.05).as("approx_ok"))
+      }),
+
+    // Data-quality checks (the dbt-test pass an ELT pipeline runs after
+    // every load): row rules evaluate in ONE aggregate pass — a
+    // sum(when(violation)) per rule, never one scan per rule — and
+    // uniqueness aggregates separately on the key. The checked relation
+    // engineers known violations: a duplicated key slice (% 97) and a
+    // NULL-bearing column; two rules pass with zero violations, which is
+    // equally load-bearing (a broken rule that always fires 0 would slip
+    // through a gate that only checked failing rules).
+    QueryDef(
+      "q_dq_checks",
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    nullif(o_orderstatus, 'O') AS maybe_null
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |    nullif(o_orderstatus, 'O') AS maybe_null
+             |  FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT 'status_accepted' AS rule, CAST(count(*) FILTER (
+             |  WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+             |  AS n_violations FROM t
+             |UNION ALL
+             |SELECT 'price_positive', CAST(count(*) FILTER (
+             |  WHERE o_totalprice <= 0) AS BIGINT) FROM t
+             |UNION ALL
+             |SELECT 'status_not_null', CAST(count(*) FILTER (
+             |  WHERE maybe_null IS NULL) AS BIGINT) FROM t
+             |UNION ALL
+             |SELECT 'pk_unique', CAST(count(*) - count(DISTINCT o_orderkey)
+             |  AS BIGINT) FROM t""".stripMargin),
+      (s, dir) => {
+        import graft.ops.Dq
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val t = o.unionByName(o.filter(col("o_orderkey") % 97 === 0))
+          .withColumn("maybe_null", nullif(col("o_orderstatus"), lit("O")))
+        Dq.rowViolations(t, Seq(
+            Dq.Rule("status_accepted",
+              !col("o_orderstatus").isin("O", "F", "P")),
+            Dq.Rule("price_positive", col("o_totalprice") <= 0),
+            Dq.Rule("status_not_null", col("maybe_null").isNull)))
+          .unionByName(Dq.uniquenessViolations(t, "pk_unique",
+            Seq("o_orderkey")))
+      }),
+
     // SCD2 point-in-time lookup: the dimension version current as of a
     // fixed timestamp — at most one row per key; a pure pushed-down filter.
     QueryDef(

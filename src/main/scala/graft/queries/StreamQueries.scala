@@ -101,6 +101,61 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // Stream-stream LEFT OUTER join — the semantics inner joins don't
+    // exercise: an unmatched click may only emit its NULL row once no
+    // future purchase could match it, i.e. once the GLOBAL watermark
+    // (min of both sides' max event time, minus the 1 h delay) passes the
+    // end of its 30-minute join window. The oracle encodes exactly that
+    // emission rule: matched rows unconditionally, NULL rows only for
+    // clicks whose window end <= watermark (inclusive at equality, like
+    // session eviction — SessionizeSpec pins the class of boundary).
+    // Clicks near the stream's tail stay withheld — correct, not missing.
+    QueryDef(
+      "q_stream_outer_join",
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events
+             |    WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts FROM events
+             |    WHERE event_type = 'purchase'),
+             |wm AS (SELECT least((SELECT max(ts) FROM c),
+             |    (SELECT max(ts) FROM p)) - INTERVAL 1 HOUR AS w),
+             |m AS (SELECT c.user_id, c.event_id AS click_id,
+             |    p.event_id AS purchase_id
+             |  FROM c JOIN p ON c.user_id = p.user_id
+             |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+             |u AS (SELECT c.user_id, c.event_id AS click_id,
+             |    CAST(NULL AS BIGINT) AS purchase_id
+             |  FROM c, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM p
+             |      WHERE p.user_id = c.user_id
+             |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+             |    AND c.ts + INTERVAL 30 MINUTE <= wm.w)
+             |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-ssoj")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def side(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema).parquet(s"$base/in")
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .filter(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        val joined = side("click", "click_id", "click_ts")
+          .join(side("purchase", "purchase_id", "purchase_ts")
+              .withColumnRenamed("user_id", "p_user_id"),
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+            "leftOuter")
+          .select("user_id", "click_id", "purchase_id")
+        graft.streaming.IncrementalStream.runAvailableNow(
+          joined, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      }),
+
     // STREAMING session_window with a watermark (the native-operator twin
     // of q_session_native, run as a real checkpointed AvailableNow
     // stream). Append mode only emits a session once the watermark passes
