@@ -23,6 +23,81 @@ object TemporalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Forward-fill (the gap-repair every sparse time series needs): value
+    // is only observed on purchase rows; every other row carries the most
+    // recent observation forward. last(ignoreNulls) over a per-key
+    // running frame — one shuffle on user_id, window state bounded by a
+    // key's rows. Rows before a user's first purchase stay NULL.
+    QueryDef(
+      "q_ffill",
+      Some("""SELECT event_id, user_id,
+             |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+             |      IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled_value
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev(s, dir).select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("filled_value"))
+      }),
+
+    // Linear interpolation between sparse observations — ffill's smarter
+    // sibling: rows between two purchases get the time-weighted blend,
+    // rows before the first / after the last observation take the nearest
+    // one. Four window expressions (prev/next value and timestamp) over
+    // the same per-key frames; identical arithmetic order on both engines
+    // keeps the doubles bit-close, round(4) absorbs the rest.
+    QueryDef(
+      "q_interpolate",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    CASE WHEN event_type = 'purchase' THEN value END AS obs
+             |  FROM events),
+             |w AS (SELECT event_id, user_id, ts_us,
+             |    last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN obs IS NOT NULL THEN ts_us END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             |    first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN obs IS NOT NULL THEN ts_us END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+             |  FROM e)
+             |SELECT event_id, user_id,
+             |  CASE WHEN pt IS NULL THEN nv
+             |       WHEN nt IS NULL THEN pv
+             |       WHEN nt = pt THEN pv
+             |       ELSE round(pv + (nv - pv) * ((ts_us - pt) / (nt - pt)), 4)
+             |  END AS interp_value
+             |FROM w""".stripMargin),
+      (s, dir) => {
+        val past = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val future = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(0, Window.unboundedFollowing)
+        val obs = when(col("event_type") === "purchase", col("value"))
+        val obsTs = when(col("event_type") === "purchase", col("ts_us"))
+        ev(s, dir)
+          .withColumn("pv", last(obs, ignoreNulls = true).over(past))
+          .withColumn("pt", last(obsTs, ignoreNulls = true).over(past))
+          .withColumn("nv", first(obs, ignoreNulls = true).over(future))
+          .withColumn("nt", first(obsTs, ignoreNulls = true).over(future))
+          .select(col("event_id"), col("user_id"),
+            when(col("pt").isNull, col("nv"))
+              .when(col("nt").isNull, col("pv"))
+              .when(col("nt") === col("pt"), col("pv"))
+              .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+                ((col("ts_us") - col("pt")) / (col("nt") - col("pt"))), 4))
+              .as("interp_value"))
+      }),
+
     // As-of join: every event gets the most recent purchase (inclusive) by
     // the same user. The union-tag plan shuffles ONCE on user_id; the
     // oracle is DuckDB's native ASOF LEFT JOIN — an independent
