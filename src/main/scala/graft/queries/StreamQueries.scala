@@ -107,9 +107,13 @@ object StreamQueries {
     // (min of both sides' max event time, minus the 1 h delay) passes the
     // end of its 30-minute join window. The oracle encodes exactly that
     // emission rule: matched rows unconditionally, NULL rows only for
-    // clicks whose window end <= watermark (inclusive at equality, like
-    // session eviction — SessionizeSpec pins the class of boundary).
-    // Clicks near the stream's tail stay withheld — correct, not missing.
+    // clicks whose window end sits at least ONE MILLISECOND below the
+    // watermark. Unlike session eviction (inclusive at equality —
+    // SessionizeSpec), join state eviction tracks its state watermark at
+    // millisecond granularity: SessionizeSpec's ladder test pins that a
+    // window end 1 µs below the watermark is withheld while 1 ms below
+    // emits. Clicks near the stream's tail stay withheld — correct, not
+    // missing.
     QueryDef(
       "q_stream_outer_join",
       Some("""WITH c AS (SELECT user_id, event_id, ts FROM events
@@ -128,7 +132,7 @@ object StreamQueries {
              |  WHERE NOT EXISTS (SELECT 1 FROM p
              |      WHERE p.user_id = c.user_id
              |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-             |    AND c.ts + INTERVAL 30 MINUTE <= wm.w)
+             |    AND c.ts + INTERVAL 30 MINUTE <= wm.w - INTERVAL 1 MILLISECOND)
              |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin),
       (s, dir) => {
         val base = tmp("graft-q-ssoj")

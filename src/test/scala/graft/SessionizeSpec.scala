@@ -71,6 +71,63 @@ class SessionizeSpec extends SparkSpec {
       s"eviction inclusivity changed — update q_stream_session's oracle bound: $emitted")
   }
 
+  test("outer-join null emission: millisecond state watermark, tie and 1µs-below withheld") {
+    // The asymmetric twin of the session test above: session eviction is
+    // INCLUSIVE at windowEnd == watermark, but a stream-stream outer
+    // join's unmatched NULL only emits once its window end sits at least
+    // 1 MILLISECOND below the global watermark (join state watermarks are
+    // ms-granular). Ladder: click 10 ends exactly AT the watermark
+    // (withheld), click 12 ends 1 µs below (withheld — sub-ms), click 13
+    // ends 1 ms below (EMITTED). q_stream_outer_join's oracle bound is
+    // `window_end <= wm - 1ms` because of this test; a Spark upgrade
+    // changing the granularity or inclusivity turns this red first.
+    // Click 11 matches its same-timestamp purchase (emitted as matched;
+    // also pins the left-side watermark at the stream tail).
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-oje").toString
+    val t0 = 86400L * 1000000 // µs; clear of the init watermark
+    val win = 30L * 60 * 1000000
+    val delay = 3600L * 1000000
+    // both side watermarks end at (t0 + win + delay) - delay = t0 + win
+    Seq(("click", 1L, 10L, t0),
+        ("click", 3L, 12L, t0 - 1),
+        ("click", 4L, 13L, t0 - 1000),
+        ("purchase", 2L, 20L, t0 + win + delay),
+        ("click", 2L, 11L, t0 + win + delay))
+      .toDF("event_type", "user_id", "event_id", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+      .coalesce(1).write.parquet(s"$base/in")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    def side(tpe: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(s"$base/in")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val joined = side("click", "click_id", "click_ts")
+      .join(side("purchase", "purchase_id", "purchase_ts")
+          .withColumnRenamed("user_id", "p_user_id"),
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select("user_id", "click_id", "purchase_id")
+    graft.streaming.IncrementalStream.runAvailableNow(
+      joined, s"$base/chk", s"$base/out")
+    val rows = spark.read.parquet(s"$base/out")
+      .collect().map(r => (r.getLong(1), r.isNullAt(2))).toMap
+    // 1 ms below the watermark: NULL row emitted
+    assert(rows.get(13L) == Some(true), s"1ms-below click not emitted: $rows")
+    // exact tie and 1 µs below: withheld (ms-granular state watermark);
+    // if these start emitting, tighten q_stream_outer_join's oracle bound
+    assert(!rows.contains(10L), s"tied click emitted: $rows")
+    assert(!rows.contains(12L), s"1µs-below click emitted: $rows")
+    // same-timestamp match emits a matched row
+    assert(rows.get(11L) == Some(false), s"tail matched click missing: $rows")
+  }
+
   test("session stats are sane") {
     val got = Sessionize.sessionizeBatch(spark, sf, 30L * 60 * 1000000)
     val rows = got.collect()
