@@ -15,6 +15,44 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // TEMPERATURE-based mixture sampling — the multilingual/domain
+    // rebalancing step (mT5/XLM-R style): keep rate (n_min/n_d)^(1-α)
+    // with α = 0.5 down-samples large domains so kept counts end up
+    // ∝ n_d^α — the head flattens, the smallest domain keeps everything.
+    // Realized per row by a deterministic sha-bucket acceptance test —
+    // reproducible on any engine, stable under re-runs and
+    // repartitioning, never rand(). keep ⟺ bucket/10⁶ < sqrt(n_min/n_d)
+    // is evaluated in PURE INTEGER form (bucket²·n_d < n_min·10¹²) so no
+    // libm sqrt/pow ulp can flip a boundary row cross-engine. Overflow
+    // bound: n·10¹² < 2⁶³ ⇒ per-domain counts up to ~9.2·10⁶ at this
+    // bucket width; larger corpora narrow the bucket space. The skewed
+    // domain assignment (least(doc_id % 10, 4)) gives one domain 6× the
+    // mass so the acceptance test actually fires on the fixture.
+    QueryDef(
+      "q_temperature_sample",
+      Some("""WITH d AS (SELECT doc_id, least(doc_id % 10, 4) AS domain
+             |  FROM documents),
+             |c AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+             |m AS (SELECT min(n) AS mn FROM c)
+             |SELECT d.doc_id, d.domain,
+             |  ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 1000000
+             |    * (('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 1000000)
+             |    * c.n < m.mn * 1000000000000 AS keep
+             |FROM d JOIN c USING (domain) CROSS JOIN m""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), least(col("doc_id") % 10, lit(4)).as("domain"))
+        val counts = d.groupBy("domain").agg(count(lit(1)).as("n"))
+        val mn = counts.agg(min(col("n")).as("mn"))
+        val bucket = graft.expressions.Hashing.sha60(col("doc_id")) % 1000000
+        d.join(broadcast(counts), Seq("domain"))
+          .crossJoin(broadcast(mn))
+          .select(col("doc_id"), col("domain"),
+            (bucket * bucket * col("n") < col("mn") * 1000000000000L).as("keep"))
+      }),
+
     // Bigram LM PERPLEXITY scoring — the CCNet/Gopher quality filter: train
     // a bigram model on the corpus itself (counts + add-one smoothing),
     // score every document's mean negative log2 bigram probability. All

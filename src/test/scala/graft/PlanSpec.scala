@@ -118,6 +118,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_substr_dedup: dup-gram detection is a partial aggregate, islands window is doc-bounded") {
+    val sp = q("q_substr_dedup").queryExecution.sparkPlan
+    // corpus-wide repeat filter must partial-aggregate (absorbs the hot
+    // boilerplate gram before the shuffle), and every window must be
+    // partitioned (doc-bounded state), never global
+    assert(sp.toString.contains("partial_count"), sp.toString)
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
+  }
+
+  test("q_incremental_dedup plans no cross join (band-bucket equi-joins only)") {
+    val p = plan("q_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_lm_perplexity: V rides as a broadcast, no per-row scalar subquery") {
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_pack_sequences computes the global prefix sum without a global window") {
     // the two-phase scan (range partition → pid-bounded window + broadcast
     // offsets) must never plan a Window with an empty partition spec —
