@@ -570,6 +570,80 @@ object ExtensionQueries {
           "embedding", k = 3, numCells = 8, nprobe = 2, iters = 0)
       }),
 
+    // PRODUCT QUANTIZATION encode (FAISS PQ: the 32× compression layer of
+    // billion-vector ANN): 64-dim vectors → 8 subspaces × 16-code
+    // codebooks → 8 small integers per vector. Gated with seed codebooks
+    // (subvectors of the 16 lowest-id vectors — the Ivf iters=0
+    // convention, bit-reproducible because centroid values are exact
+    // copies of stored data); Lloyd-trained codebooks are spec-checked by
+    // quantization-error improvement (PqSpec).
+    QueryDef(
+      "q_pq_encode",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |grid AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+             |cb AS (SELECT grid.s, seeds.code, seeds.v[grid.s*8+1 : grid.s*8+8] AS cvec
+             |  FROM seeds CROSS JOIN grid),
+             |sub AS (SELECT e.vec_id, grid.s, e.v[grid.s*8+1 : grid.s*8+8] AS sv
+             |  FROM e CROSS JOIN grid)
+             |SELECT vec_id, s AS subspace, code FROM (
+             |  SELECT sub.vec_id, sub.s, cb.code,
+             |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             |      ORDER BY list_dot_product(cb.cvec, cb.cvec)
+             |        - 2.0 * list_dot_product(sub.sv, cb.cvec), cb.code) AS rn
+             |  FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val cb = graft.sim.Pq.codebooks(e, "vec_id", "embedding",
+          m = 8, subDim = 8, ksub = 16, iters = 0)
+        graft.sim.Pq.encode(e, "vec_id", "embedding", m = 8, subDim = 8, cb)
+      }),
+
+    // PQ ADC search: uncompressed queries against the CODES (never the
+    // vectors) — per query one M×ksub lookup table, per database vector a
+    // sum of 8 table lookups folded in subspace order (deterministic
+    // float both engines). Rank ties break on neighbor id.
+    QueryDef(
+      "q_pq_adc",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |grid AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+             |cb AS (SELECT grid.s, seeds.code, seeds.v[grid.s*8+1 : grid.s*8+8] AS cvec
+             |  FROM seeds CROSS JOIN grid),
+             |sub AS (SELECT e.vec_id, grid.s, e.v[grid.s*8+1 : grid.s*8+8] AS sv
+             |  FROM e CROSS JOIN grid),
+             |enc AS (SELECT vec_id, s, code FROM (
+             |  SELECT sub.vec_id, sub.s, cb.code,
+             |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             |      ORDER BY list_dot_product(cb.cvec, cb.cvec)
+             |        - 2.0 * list_dot_product(sub.sv, cb.cvec), cb.code) AS rn
+             |  FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+             |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+             |    list_dot_product(q.sv, cb.cvec) AS part
+             |  FROM (SELECT * FROM sub WHERE vec_id < 20) q
+             |  JOIN cb ON cb.s = q.s),
+             |sc AS (SELECT l.query_id, enc.vec_id AS neighbor_id,
+             |    list_reduce(list(l.part ORDER BY l.s), (a, b) -> a + b) AS score
+             |  FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
+             |  GROUP BY l.query_id, enc.vec_id)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  round(score, 4) AS adc_score
+             |FROM (SELECT query_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rn
+             |  FROM sc) WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val cb = graft.sim.Pq.codebooks(e, "vec_id", "embedding",
+          m = 8, subDim = 8, ksub = 16, iters = 0)
+        val codes = graft.sim.Pq.encode(e, "vec_id", "embedding",
+          m = 8, subDim = 8, cb)
+        graft.sim.Pq.adcTopK(e.filter(col("vec_id") < 20), codes, cb,
+          "vec_id", "embedding", m = 8, subDim = 8, k = 3)
+      }),
+
     // Context-window chunking: overlapping token windows (size 32, stride
     // 24) exploded to one row per chunk — the training-data step between
     // cleaning and tokenization. Pure integer window arithmetic → exact
