@@ -289,6 +289,55 @@ object TextQueries {
           .select(col("doc_id"), pii.as("t"))
         val (scrubbed, n) = Redact.scrub(col("t"))
         base.select(col("doc_id"), scrubbed.as("redacted"), n.as("n_redacted"))
+      }),
+
+    // Alternating large-star/small-star connected components over char-
+    // trigram Jaccard edges — the O(log n)-round contraction (vs the
+    // O(diameter) min-label propagation behind q_dedup_resolve), gated on
+    // a deliberately NASTY edge set: threshold 0.6 on the doc_id<300 slice
+    // yields one dense 164-node component plus isolated pairs, so the
+    // query exercises both degree skew and trivial components. Oracle:
+    // recursive reachability CTE, min label per node, singletons
+    // coalesced to themselves.
+    QueryDef(
+      "q_cc_star",
+      Some("""WITH RECURSIVE
+             |n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, length(t) - 1), i -> substr(t, i, 3))) AS gs FROM n),
+             |p AS (SELECT a.doc_id AS s, b.doc_id AS d
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+             |      / len(list_distinct(a.gs || b.gs)) >= 0.6),
+             |e AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+             |walk(node, lbl) AS (
+             |  SELECT DISTINCT s, s FROM e
+             |  UNION
+             |  SELECT e.d, walk.lbl FROM walk JOIN e ON e.s = walk.node),
+             |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+             |  FROM walk GROUP BY node)
+             |SELECT dd.doc_id,
+             |  coalesce(cc.cluster_id, dd.doc_id) AS cluster_id,
+             |  coalesce(cc.cluster_id, dd.doc_id) = dd.doc_id AS is_canonical
+             |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
+             |LEFT JOIN cc USING (doc_id)""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
+        val pairs = Dedup.jaccardPairsFeatures(
+          Dedup.charNgramSets(
+              docs.repartition(s.sparkContext.defaultParallelism),
+              "doc_id", "text", n = 3)
+            .select(col("doc_id"), explode_outer(col("grams")).as("word"))
+            .filter(col("word").isNotNull),
+          threshold = 0.6, strategy = Dedup.JaccardInverted)
+        val labels = graft.dedup.ConnectedComponents.labels(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        docs.select("doc_id")
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
       })
   )
 }
