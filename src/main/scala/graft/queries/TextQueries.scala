@@ -338,6 +338,56 @@ object TextQueries {
           .select(col("doc_id"),
             coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
           .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
-      })
+      }),
+
+    // Okapi BM25 against a fixed query bag — corpus quality-filtering by
+    // domain relevance. Selection-free (every doc scored, no top-k
+    // boundary); all float constants forced ::DOUBLE in the oracle so both
+    // engines run identical IEEE arithmetic, and the 4-decimal round sits
+    // ten orders above log-ulp drift.
+    QueryDef(
+      "q_bm25",
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+             |  FROM documents),
+             |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |    sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+             |  WHERE term IN ('join', 'hash', 'customer') GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT t.doc_id,
+             |    sum(ln(1.0::DOUBLE + (st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE))
+             |      * (t.tf * 2.2::DOUBLE)
+             |      / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / st.avgdl))) AS score
+             |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN st GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(sc.score, 0.0), 4) AS bm25
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
+      (s, dir) => Tfidf.bm25(Tables.t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "hash", "customer"))),
+
+    // Shannon character entropy per document — the gibberish/binary-blob
+    // gate of a corpus quality pipeline. Uses the single-log algebraic
+    // form H = log2(len) − Σ(n·ln n)/(len·ln 2) on both engines.
+    QueryDef(
+      "q_char_entropy",
+      Some("""WITH n AS (SELECT doc_id,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id, unnest(regexp_split_to_array(t, '')) AS ch
+             |  FROM n WHERE length(t) > 0),
+             |g AS (SELECT doc_id, ch, count(*) AS cnt FROM c
+             |  WHERE ch <> '' GROUP BY 1, 2),
+             |a AS (SELECT doc_id, sum(cnt) AS len,
+             |    count(*) AS n_distinct_chars,
+             |    sum(cnt * ln(cnt::DOUBLE)) AS nlogn FROM g GROUP BY 1)
+             |SELECT doc_id, CAST(n_distinct_chars AS INT) AS n_distinct_chars,
+             |  round(ln(len::DOUBLE) / ln(2.0::DOUBLE)
+             |    - nlogn / (len * ln(2.0::DOUBLE)), 4) AS entropy_bits
+             |FROM a""".stripMargin),
+      (s, dir) => graft.text.TextStats.charEntropy(
+        Tables.t(s, dir, "documents"), "doc_id", "text"))
   )
 }

@@ -73,4 +73,35 @@ object TextStats {
         least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4 +
         col("alpha_ratio") * 0.4 +
         least(col("n_stopwords").cast("double") / 5.0, lit(1.0)) * 0.2, 4))
+
+  /** Per-document Shannon character entropy (bits/char) — the gibberish /
+    * binary-blob detector: natural prose sits ~3.5–4.5 bits, base64 and
+    * random bytes push past 5.5, single-char spam drops near 0. Char
+    * explode → (doc,char) counts → per-doc `-Σ p·log₂p`. Both shuffles
+    * key on the document, so the plan is partition-parallel at any corpus
+    * size; the per-doc char alphabet (≤ a few hundred keys) keeps the
+    * second aggregate tiny. Entropy is rounded to 4 decimals: log ulp
+    * differences across engines sit ~1e-15, ten orders below the
+    * rounding grain.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .withColumn("__t", graft.dedup.Dedup.normalized(col(textCol)))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol), explode(split(col("__t"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__len"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__n") * log(col("__n").cast("double"))).as("__nlogn"))
+      // H = log2(len) - (Σ n·ln n)/(len·ln 2); algebraically identical to
+      // -Σ p log2 p but each row contributes ONE log, not a division first
+      .select(col(idCol),
+        col("n_distinct_chars").cast("int").as("n_distinct_chars"),
+        round(
+          log(2.0, col("__len").cast("double")) -
+            col("__nlogn") / (col("__len") * math.log(2.0)), 4)
+          .as("entropy_bits"))
+  }
 }

@@ -61,4 +61,42 @@ object Tfidf {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
   }
+
+  /** Okapi BM25 relevance of every document against a fixed bag of query
+    * terms — the retrieval scorer behind quality-filtering a corpus by
+    * closeness to a target domain. One token explode feeding three
+    * aggregations: per-doc length, per-(doc,term) tf restricted to the
+    * query bag, per-term df; corpus size N and avgdl are one-row
+    * broadcasts. Scoring every document (no top-k truncation) keeps the
+    * result selection-free; callers re-rank/limit downstream.
+    *
+    * avgdl is `sum(dl)::double / N` — an exact integer sum then one
+    * division — NOT `avg()`, whose engine-specific accumulation order
+    * would make cross-engine float drift possible.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("score"), lit(0.0)), 4).as("bm25"))
+  }
 }
