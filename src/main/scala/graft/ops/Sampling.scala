@@ -60,4 +60,39 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < pct)
   }
+
+  /** Deterministic FIXED-SIZE uniform sample: the k rows with the smallest
+    * sha-derived priorities. `sampleHash` keeps a fixed RATE; this keeps a
+    * fixed COUNT — the "exactly 10k eval docs" contract. Spark executes
+    * orderBy+limit as TakeOrderedAndProject: a k-element heap per
+    * partition, then a k·P-row merge — never a global sort shuffle, so
+    * the plan holds at any corpus size. Ties impossible (priority is a
+    * 60-bit hash; the key column breaks the residual 2⁻⁶⁰).
+    */
+  def prioritySample(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("priority", Hashing.sha60(col(keyCol)))
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+
+  /** Efraimidis–Spirakis fixed-size weighted sample without replacement,
+    * in the exponential-race form: each row draws the deterministic
+    * uniform u ∈ (0,1] from its key hash and races with variate
+    * e = −ln(u)/w; the k smallest win. Inclusion probability is
+    * proportional-to-weight without replacement — the mixture-sampling
+    * primitive when the quota is a COUNT, not a rate. Same
+    * TakeOrderedAndProject plan as [[prioritySample]].
+    *
+    * u is quantized to 10⁻⁶ (sha60 mod 10⁶, +1 to stay positive): with
+    * probability 10⁻⁶ a row draws u = 1 exactly and races with e = 0
+    * regardless of weight — acceptable for corpus sampling; narrow the
+    * quantization if not.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val u = (Hashing.sha60(col(keyCol)) % 1000000 + 1).cast("double") / 1000000.0
+    df.withColumn("__es", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es"), col(keyCol))
+      .limit(k)
+      .drop("__es")
+  }
 }

@@ -388,6 +388,37 @@ object TextQueries {
              |    - nlogn / (len * ln(2.0::DOUBLE)), 4) AS entropy_bits
              |FROM a""".stripMargin),
       (s, dir) => graft.text.TextStats.charEntropy(
-        Tables.t(s, dir, "documents"), "doc_id", "text"))
+        Tables.t(s, dir, "documents"), "doc_id", "text")),
+
+    // Fixed-COUNT deterministic uniform sample (k smallest sha60
+    // priorities) — physical plan is TakeOrderedAndProject (per-partition
+    // k-heaps), never a global sort, so the same query holds at 100 TB.
+    QueryDef(
+      "q_priority_sample",
+      Some("""SELECT doc_id, priority FROM (
+             |  SELECT doc_id,
+             |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS priority
+             |  FROM documents)
+             |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+      (s, dir) => Sampling.prioritySample(
+        Tables.t(s, dir, "documents"), "doc_id", k = 100)
+        .select("doc_id", "priority")),
+
+    // Efraimidis–Spirakis weighted sample without replacement (k smallest
+    // −ln(u)/w exponential variates, w = n_chars): inclusion ∝ weight,
+    // deterministic u from sha60. Selection boundary is float-safe: race
+    // keys are spaced ~1e-9 apart (u quantized at 1e-6), nine orders above
+    // cross-engine ln ulp drift.
+    QueryDef(
+      "q_weighted_sample",
+      Some("""WITH w AS (SELECT doc_id, n_chars,
+             |    (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 1000000 + 1) / 1000000.0::DOUBLE AS u
+             |  FROM documents)
+             |SELECT doc_id, n_chars FROM w
+             |ORDER BY -ln(u) / n_chars, doc_id LIMIT 120""".stripMargin),
+      (s, dir) => Sampling.weightedSample(
+        Tables.t(s, dir, "documents"), "doc_id", "n_chars", k = 120)
+        .select("doc_id", "n_chars"))
   )
 }

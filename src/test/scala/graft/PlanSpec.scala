@@ -211,4 +211,12 @@ class PlanSpec extends SparkSpec {
       "o_orderstatus:string,o_totalprice:double>") ||
       p.contains("o_orderkey"), p)
   }
+
+  test("sampling top-k plans TakeOrderedAndProject, never a global sort") {
+    Seq("q_priority_sample", "q_weighted_sample").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n$p")
+      assert(!p.contains("rangepartitioning"), s"$name plans a global sort:\n$p")
+    }
+  }
 }
