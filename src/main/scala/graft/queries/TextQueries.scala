@@ -419,6 +419,34 @@ object TextQueries {
              |ORDER BY -ln(u) / n_chars, doc_id LIMIT 120""".stripMargin),
       (s, dir) => Sampling.weightedSample(
         Tables.t(s, dir, "documents"), "doc_id", "n_chars", k = 120)
-        .select("doc_id", "n_chars"))
+        .select("doc_id", "n_chars")),
+
+    // Pairwise Jensen–Shannon divergence between per-source unigram
+    // distributions — the corpus drift monitor. Exclusive-term mass folded
+    // in algebraically so the term join stays INNER (see DistShift);
+    // identical algebra on both engines, 4-decimal round over ~1e-16
+    // accumulation noise.
+    QueryDef(
+      "q_js_divergence",
+      Some("""WITH tok AS (SELECT source AS cls, unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+             |  FROM documents),
+             |t2 AS (SELECT * FROM tok WHERE term <> ''),
+             |ct AS (SELECT cls, term, count(*) AS n_ct FROM t2 GROUP BY 1, 2),
+             |tot AS (SELECT cls, sum(n_ct) AS n_c FROM ct GROUP BY 1),
+             |p AS (SELECT ct.cls, ct.term, ct.n_ct::DOUBLE / tot.n_c AS p
+             |  FROM ct JOIN tot USING (cls)),
+             |j AS (SELECT a.cls AS cls_a, b.cls AS cls_b,
+             |    sum(a.p * ln(2.0::DOUBLE * a.p / (a.p + b.p))) AS sa,
+             |    sum(b.p * ln(2.0::DOUBLE * b.p / (a.p + b.p))) AS sb,
+             |    sum(a.p) AS ma, sum(b.p) AS mb
+             |  FROM p a JOIN p b ON a.term = b.term AND a.cls < b.cls
+             |  GROUP BY 1, 2)
+             |SELECT cls_a, cls_b,
+             |  round(0.5::DOUBLE * (sa + sb) / ln(2.0::DOUBLE)
+             |    + 0.5::DOUBLE * (2.0::DOUBLE - ma - mb), 4) AS js_bits
+             |FROM j""".stripMargin),
+      (s, dir) => graft.text.DistShift.jsDivergence(
+        Tables.t(s, dir, "documents"), "source", "text"))
   )
 }

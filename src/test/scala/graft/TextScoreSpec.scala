@@ -22,6 +22,19 @@ class TextScoreSpec extends SparkSpec {
     assert(got(2L) == 0.0)
   }
 
+  test("jsDivergence: identical slices at 0, disjoint slices emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z"), ("b", "x y z"),      // identical distributions
+      ("c", "p q r")                        // disjoint from both
+    ).toDF("src", "text")
+    val got = graft.text.DistShift.jsDivergence(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", "b")) == 0.0)
+    // disjoint pairs (JS = exactly 1 bit) are documented as absent
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
+
   test("charEntropy: uniform, degenerate and empty cases") {
     import spark.implicits._
     val docs = Seq(
