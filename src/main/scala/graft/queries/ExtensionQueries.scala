@@ -644,6 +644,67 @@ object ExtensionQueries {
           "vec_id", "embedding", m = 8, subDim = 8, k = 3)
       }),
 
+    // IVF-PQ: the FAISS IndexIVFPQ composition — coarse cells prune the
+    // corpus per query, ADC scores only the PROBED cells' codes (the full
+    // vectors never enter the search join). Same iters=0 seeding as the
+    // two component queries; the oracle is their literal composition, so a
+    // drift in either layer (cell routing OR code assignment OR LUT fold)
+    // turns this row red even if the component queries stay green.
+    QueryDef(
+      "q_ann_ivfpq",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+             |    v AS cvec
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+             |asn AS (SELECT vec_id, centroid_id FROM (
+             |    SELECT e.vec_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
+             |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+             |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+             |grid AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+             |cb AS (SELECT grid.s, seeds.code, seeds.v[grid.s*8+1 : grid.s*8+8] AS cvec
+             |  FROM seeds CROSS JOIN grid),
+             |sub AS (SELECT e.vec_id, grid.s, e.v[grid.s*8+1 : grid.s*8+8] AS sv
+             |  FROM e CROSS JOIN grid),
+             |enc AS (SELECT vec_id, s, code FROM (
+             |  SELECT sub.vec_id, sub.s, cb.code,
+             |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+             |      ORDER BY list_dot_product(cb.cvec, cb.cvec)
+             |        - 2.0 * list_dot_product(sub.sv, cb.cvec), cb.code) AS rn
+             |  FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |probes AS (SELECT query_id, centroid_id FROM (
+             |    SELECT q.query_id, c.centroid_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.centroid_id) AS pr
+             |    FROM q CROSS JOIN cent c) WHERE pr <= 2),
+             |lut AS (SELECT qs.vec_id AS query_id, cb.s, cb.code,
+             |    list_dot_product(qs.sv, cb.cvec) AS part
+             |  FROM (SELECT * FROM sub WHERE vec_id < 20) qs
+             |  JOIN cb ON cb.s = qs.s),
+             |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             |  FROM probes p JOIN asn a
+             |  ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id),
+             |sc AS (SELECT c.query_id, c.neighbor_id,
+             |    list_reduce(list(l.part ORDER BY l.s), (a, b) -> a + b) AS score
+             |  FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id
+             |  JOIN lut l ON l.query_id = c.query_id AND l.s = enc.s AND l.code = enc.code
+             |  GROUP BY 1, 2)
+             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+             |  round(score, 4) AS adc_score
+             |FROM (SELECT query_id, neighbor_id, score,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY score DESC, neighbor_id) AS rn
+             |  FROM sc) WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        graft.sim.IvfPq.topK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", k = 3, numCells = 8, nprobe = 2,
+          m = 8, subDim = 8, ksub = 16, iters = 0)
+      }),
+
     // Context-window chunking: overlapping token windows (size 32, stride
     // 24) exploded to one row per chunk — the training-data step between
     // cleaning and tokenization. Pure integer window arithmetic → exact

@@ -1,0 +1,75 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.DotProduct
+
+/** IVF-PQ — the composition billion-vector ANN actually ships (FAISS
+  * IndexIVFPQ): an inverted-file coarse quantizer prunes the corpus to
+  * `nprobe` cells per query, and within those cells scoring reads only the
+  * PQ CODES (M small ints/vector) through a per-query lookup table — the
+  * full vectors never flow through the search join. [[Ivf]] alone reads
+  * raw vectors in probed cells; [[Pq]] alone scans every code; this does
+  * neither.
+  *
+  * Plan shape: centroids and codebooks are broadcasts; the candidate join
+  * distributes on `centroid_id`; the LUT join is an equi-join on
+  * (query_id, s, code); the fold over M subspace partials runs in
+  * deterministic subspace order (same float sum on any engine/partitioning).
+  */
+object IvfPq {
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, _.cast("double"))
+
+  /** Top-k per query by ADC score over probed cells. `iters = 0` seeds
+    * cells/codebooks from the lowest-id vectors (bit-reproducible, the
+    * oracle convention); `iters > 0` Lloyd-trains both.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCells: Int, nprobe: Int,
+      m: Int, subDim: Int, ksub: Int, iters: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = Ivf.buildCentroids(corpus, idCol, vecCol, numCells, iters)
+    val cells = Ivf.index(corpus, idCol, vecCol, centroids)
+      .select("neighbor_id", "centroid_id")
+    val cb = Pq.codebooks(corpus, idCol, vecCol, m, subDim, ksub, iters)
+    val codes = Pq.encode(corpus, idCol, vecCol, m, subDim, cb)
+      .select(col(idCol).as("neighbor_id"), col("subspace").as("s"), col("code"))
+
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__cs", DotProduct.dot(spark, col("qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+
+    val lut = Pq.subvectors(queries, idCol, vecCol, m, subDim)
+      .withColumnRenamed("__id", "query_id")
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("__part", DotProduct.dot(spark, col("__sub"), col("cvec")))
+      .select("query_id", "s", "code", "__part")
+
+    val cand = probes.join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(lut, Seq("query_id", "s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("s"), col("__part")))),
+          e => e.getField("__part")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("adc_score"))
+  }
+}

@@ -70,7 +70,7 @@ object Pq {
   }
 
   /** One row per (vector, subspace): (__id, s, __sub). */
-  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+  private[sim] def subvectors(df: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): DataFrame =
     df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .select(col("__id"), col("__v"),

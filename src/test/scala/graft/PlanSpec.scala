@@ -212,6 +212,12 @@ class PlanSpec extends SparkSpec {
       p.contains("o_orderkey"), p)
   }
 
+  test("q_ann_ivfpq: centroids/codebooks broadcast, no cartesian product") {
+    val p = plan("q_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("sampling top-k plans TakeOrderedAndProject, never a global sort") {
     Seq("q_priority_sample", "q_weighted_sample").foreach { name =>
       val p = plan(name)
