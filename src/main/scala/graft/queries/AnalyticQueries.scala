@@ -94,5 +94,45 @@ object AnalyticQueries {
         Tables.t(s, dir, "customer").filter(col("c_custkey") < 200)
           .select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", maxDist = 1))
+,
+
+    // PageRank (5 power iterations, d = 0.85) over the symmetrized
+    // customer↔supplier purchase graph — iterative graph centrality as a
+    // first-class batch op. Node ids are disjoint by parity (customer·2,
+    // supplier·2+1). The oracle replays the identical recursion in a
+    // recursive CTE with per-round GROUP BY; both engines start uniform
+    // and drop dangling mass, so the 6-decimal round compares the same
+    // quantity.
+    QueryDef(
+      "q_pagerank",
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+             |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+             |pr(iter, node, r) AS (
+             |  SELECT 0, src, 1.0::DOUBLE / n FROM deg CROSS JOIN nn
+             |  UNION ALL
+             |  SELECT pr.iter + 1, e.dst,
+             |    0.15::DOUBLE / nn.n + 0.85::DOUBLE * sum(pr.r / deg.d)
+             |  FROM pr JOIN e ON e.src = pr.node
+             |  JOIN deg ON deg.src = e.src
+             |  CROSS JOIN nn
+             |  WHERE pr.iter < 5
+             |  GROUP BY pr.iter, e.dst, nn.n)
+             |SELECT node, round(r, 6) AS rank
+             |FROM pr WHERE iter = 5""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.PageRank.ranks(edges, iters = 5)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      })
   )
 }
