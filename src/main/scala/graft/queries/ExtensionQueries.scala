@@ -774,7 +774,10 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id""".stripMargin),
       (s, dir) => Binary.ppmFeatures(Binary.decodePpm(
           Binary.ppmFromSeed(
-            Tables.t(s, dir, "documents").select("doc_id"),
+            // decode is the row-local hot loop; a one-file corpus arrives
+            // as one partition — spread before paying per-pixel parsing
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
             "doc_id", width = 8, height = 8),
           "ppm"))
         .select("doc_id", "width", "height", "maxval",
@@ -804,7 +807,9 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id""".stripMargin),
       (s, dir) => Binary.ppmFeatures(Binary.decodeImage(
           Binary.pngFromSeed(
-            Tables.t(s, dir, "documents").select("doc_id"),
+            // same one-partition-input hazard as q_ppm_decode
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
             "doc_id", width = 8, height = 8),
           "png"))
         .select("doc_id", "width", "height",
@@ -842,7 +847,9 @@ object ExtensionQueries {
       },
       (s, dir) => Binary.wavFeatures(Binary.decodeWav(
           Binary.wavFromSeed(
-            Tables.t(s, dir, "documents").select("doc_id"),
+            // same one-partition-input hazard as q_ppm_decode
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
             "doc_id", nSamples = 64),
           "wav"))
         .select("doc_id", "sample_rate", "n_samples",
