@@ -140,7 +140,8 @@ object SinkQueries {
         java.nio.file.Files.copy(java.nio.file.Paths.get(src),
           java.nio.file.Paths.get(s"$base/in/docs-2.parquet"))
         val schema = s.read.parquet(src).schema
-        val stream = s.readStream.schema(schema).parquet(s"$base/in")
+        val stream = graft.streaming.IncrementalStream.statefulSession(s)
+          .readStream.schema(schema).parquet(s"$base/in")
           // deterministic synthetic event time — documents carry none.
           // Offset a day past the epoch: the watermark initializes at
           // 1970-01-01T00:00:00, and a row AT the initial watermark

@@ -15,6 +15,12 @@ object StreamQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** See [[graft.streaming.IncrementalStream.statefulSession]]: fewer
+    * state-store instances for fixture-scale stateful streams.
+    */
+  private def streamSession(s: org.apache.spark.sql.SparkSession) =
+    graft.streaming.IncrementalStream.statefulSession(s)
+
   val defs: Seq[QueryDef] = Seq(
 
     // foreachBatch merge: events land as TWO files processed as separate
@@ -83,8 +89,9 @@ object StreamQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           java.nio.file.Paths.get(s"$base/in/events.parquet"))
         val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
-          s.readStream.schema(schema).parquet(s"$base/in")
+          ss.readStream.schema(schema).parquet(s"$base/in")
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
             .filter(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
@@ -141,8 +148,9 @@ object StreamQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           java.nio.file.Paths.get(s"$base/in/events.parquet"))
         val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
-          s.readStream.schema(schema).parquet(s"$base/in")
+          ss.readStream.schema(schema).parquet(s"$base/in")
             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
             .filter(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
@@ -194,7 +202,7 @@ object StreamQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           java.nio.file.Paths.get(s"$base/in/events.parquet"))
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val sessions = s.readStream.schema(schema).parquet(s"$base/in")
+        val sessions = streamSession(s).readStream.schema(schema).parquet(s"$base/in")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .withWatermark("ts", "0 seconds")
           .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))

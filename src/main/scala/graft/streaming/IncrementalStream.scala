@@ -22,6 +22,24 @@ import graft.tables.Warehouse
   */
 object IncrementalStream {
 
+  /** Session clone with fewer shuffle partitions for STATEFUL stream
+    * queries. Every shuffle partition materializes one state-store
+    * instance per stateful operator (and per join side) — a two-sided
+    * join at 32 partitions spins up and checkpoints 64+ stores, pure
+    * overhead when a micro-batch carries thousands of rows, and the
+    * count is pinned into the checkpoint for the query's lifetime. This
+    * is the capacity knob a deployment sizes to state volume (raise it
+    * for 100 TB state); correctness is partition-count-independent,
+    * which the oracle gate re-proves every run. `newSession` shares the
+    * SparkContext but isolates the conf, so concurrent batch queries
+    * keep the session default.
+    */
+  def statefulSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
+  }
+
   /** Windowed event counts/sums with a watermark, AvailableNow trigger.
     * Caller supplies checkpoint + output sink via the returned writer.
     */
@@ -74,7 +92,7 @@ object IncrementalStream {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(src),
       java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
-    val agg = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val agg = statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
       .withWatermark("ts", "0 seconds")
