@@ -447,6 +447,30 @@ object TextQueries {
              |    + 0.5::DOUBLE * (2.0::DOUBLE - ma - mb), 4) AS js_bits
              |FROM j""".stripMargin),
       (s, dir) => graft.text.DistShift.jsDivergence(
-        Tables.t(s, dir, "documents"), "source", "text"))
+        Tables.t(s, dir, "documents"), "source", "text")),
+
+    // Document-level PMI collocations: integer counts inside one ln, so
+    // the only cross-engine float question is a single log ulp under a
+    // 4-decimal round. minCount=20 keeps the gated output to genuinely
+    // co-occurring pairs.
+    QueryDef(
+      "q_word_pmi",
+      Some("""WITH w AS (SELECT DISTINCT doc_id, word FROM (
+             |    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+             |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS word
+             |    FROM documents) WHERE word <> ''),
+             |dfc AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+             |topv AS (SELECT word, df FROM dfc ORDER BY df DESC, word LIMIT 1000),
+             |wv AS (SELECT w.doc_id, w.word, topv.df FROM w JOIN topv USING (word)),
+             |nn AS (SELECT count(*) AS n FROM documents),
+             |p AS (SELECT a.word AS w1, b.word AS w2,
+             |    a.df AS df1, b.df AS df2, count(*) AS n_ab
+             |  FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.word < b.word
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT w1, w2, n_ab,
+             |  round(ln((n_ab * nn.n)::DOUBLE / (df1 * df2)), 4) AS pmi
+             |FROM p CROSS JOIN nn WHERE n_ab >= 20""".stripMargin),
+      (s, dir) => graft.text.Cooccur.pmiPairs(
+        Tables.t(s, dir, "documents"), "doc_id", "text", minCount = 20L))
   )
 }
