@@ -66,6 +66,49 @@ object SinkQueries {
         wh.read("target")
       }),
 
+    // Conditional three-way MERGE (Delta/Iceberg MERGE INTO semantics the
+    // plain delete+insert upsert can't express): matched+delete-cond rows
+    // vanish, matched+update-cond rows take the batch version, other
+    // matched rows keep the target version, unmatched batch rows insert.
+    // The fixture drives all four outcomes ('O' rows update, 'F' rows
+    // with s.custkey%10=0 delete, other matched keep, %3=0 keys insert);
+    // the oracle replays the clause set over one full outer join.
+    QueryDef(
+      "q_merge_conditional",
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (SELECT o_orderkey, o_custkey,
+             |    o_totalprice + 10.0::DOUBLE AS o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |j AS (SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+             |    t.o_custkey AS tc, s.o_custkey AS sc,
+             |    t.o_totalprice AS tp, s.o_totalprice AS sp,
+             |    t.o_orderstatus AS tst, s.o_orderstatus AS sst
+             |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey),
+             |c AS (SELECT *,
+             |    tk IS NOT NULL AND sk IS NOT NULL AS m,
+             |    (tk IS NOT NULL AND sk IS NOT NULL AND tst = 'O')
+             |      OR tk IS NULL AS use_s
+             |  FROM j)
+             |SELECT CASE WHEN use_s THEN sk ELSE tk END AS o_orderkey,
+             |  CASE WHEN use_s THEN sc ELSE tc END AS o_custkey,
+             |  CASE WHEN use_s THEN sp ELSE tp END AS o_totalprice,
+             |  CASE WHEN use_s THEN sst ELSE tst END AS o_orderstatus
+             |FROM c
+             |WHERE NOT (m AND tst = 'F' AND sc % 10 = 0)""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val wh = new Warehouse(s, tmp("graft-q-whmc"))
+        wh.overwrite("target", o.filter(col("o_orderkey") % 3 =!= 0))
+        wh.overwrite("batch", o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0)))
+        wh.mergeConditional("target", wh.read("batch"), Seq("o_orderkey"),
+          updateWhen = expr("t.o_orderstatus = 'O'"),
+          deleteWhen = expr("t.o_orderstatus = 'F' AND s.o_custkey % 10 = 0"))
+        wh.read("target")
+      }),
+
     // W7/G4 — reverse ETL: fold (entity, property, value) rows into
     // first-write-wins property maps (the {id: {prop: val}} dict the
     // reference POSTs, hubspot_bm_contact.py:101-132), assign each entity

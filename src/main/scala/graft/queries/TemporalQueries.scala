@@ -281,6 +281,35 @@ object TemporalQueries {
              |  FROM e GROUP BY 1, 2)
              |SELECT win_start_us, event_type, n, value_cents FROM w
              |WHERE win_start_us + 3600000000 <= (SELECT max(tsu) FROM e)""".stripMargin),
-      (s, dir) => IncrementalStream.windowedCountsGated(s, dir))
+      (s, dir) => IncrementalStream.windowedCountsGated(s, dir)),
+
+    // ROLLING MEDIAN (robust running statistic — outlier-resistant where
+    // q_rolling_agg's mean is not): 7-row trailing frame per event type.
+    // Spark has no windowed percentile, so the frame's values collect
+    // row-locally (bounded: ≤7 elements) and the median is exact array
+    // math — odd count takes the middle, even count averages the two
+    // middles with the same single IEEE op DuckDB's quantile_cont uses.
+    // The window is PARTITIONED (by event_type): parallel at any scale,
+    // state bounded by the 7-row frame.
+    QueryDef(
+      "q_rolling_median",
+      Some("""SELECT event_id, event_type,
+             |  median(value) OVER (PARTITION BY event_type
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, 0)
+        val sorted = array_sort(collect_list(col("value")).over(w))
+        val n = size(sorted)
+        val med = when(n % 2 === 1,
+            element_at(sorted, ((n + lit(1)) / 2).cast("int")))
+          .otherwise((element_at(sorted, (n / 2).cast("int"))
+            + element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0)
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), med.as("rolling_median"))
+      })
   )
 }

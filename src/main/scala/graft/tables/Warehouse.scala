@@ -248,6 +248,49 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (!exists(table)) overwrite(table, batch)
     else overwrite(table, graft.ops.Relational.deleteInsert(read(table), batch, keys))
 
+  /** Conditional three-way MERGE (the Delta/Iceberg `MERGE INTO` clause
+    * set the plain delete+insert [[upsert]] can't express):
+    *
+    *   WHEN MATCHED AND `deleteWhen`  THEN DELETE
+    *   WHEN MATCHED AND `updateWhen`  THEN UPDATE SET * (take batch row)
+    *   WHEN MATCHED                   THEN keep target row
+    *   WHEN NOT MATCHED [BY TARGET]   THEN INSERT * (take batch row)
+    *
+    * `updateWhen` / `deleteWhen` are expressions over aliases `t` (target
+    * row) and `s` (source/batch row), e.g.
+    * `expr("s.price > t.price")`. Delete wins over update when both
+    * match. One full-outer join on the keys — AQE broadcasts the batch
+    * side when small — then a single projection choosing sides per
+    * column; O(table) rewrite like [[upsert]], by design (partitioned
+    * variants prune via [[upsertPartitioned]]'s routing instead).
+    *
+    * Batch must be unique on `keys` (same contract as [[upsert]]) and
+    * share the table's schema. Conditions evaluating to NULL count as
+    * false, matching SQL MERGE.
+    */
+  def mergeConditional(table: String, batch: DataFrame, keys: Seq[String],
+      updateWhen: org.apache.spark.sql.Column,
+      deleteWhen: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    if (!exists(table)) { overwrite(table, batch); return }
+    val target = read(table)
+    val cols = target.columns.toSeq
+    require(batch.columns.toSeq == cols,
+      s"merge batch schema ${batch.columns.toSeq} != table schema $cols")
+    val joined = target.alias("t").join(batch.alias("s"),
+      keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val matched = col(s"t.${keys.head}").isNotNull &&
+      col(s"s.${keys.head}").isNotNull
+    val del = matched && coalesce(deleteWhen, lit(false))
+    val useSource = (matched && coalesce(updateWhen, lit(false))) ||
+      col(s"t.${keys.head}").isNull
+    val merged = joined.filter(!del)
+      .select(cols.map(c =>
+        when(useSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    overwrite(table, merged)
+  }
+
   // ---- Partitioned tables -------------------------------------------
   //
   // Data dirs are hive-partitioned on `__part` — a STRING COPY of the

@@ -281,4 +281,30 @@ class WarehouseSpec extends SparkSpec {
     wh.append("t", o.limit(5))
     assert(wh.read("t").count() == 115)
   }
+
+  test("mergeConditional drives all four clause outcomes") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, freshRoot())
+    wh.overwrite("t", Seq(
+      (1L, "upd", 10.0),   // matched, update condition true
+      (2L, "del", 10.0),   // matched, delete condition true
+      (3L, "keep", 10.0),  // matched, neither → keep target version
+      (4L, "only", 10.0)   // unmatched target → untouched
+    ).toDF("k", "tag", "v"))
+    wh.mergeConditional("t", Seq(
+      (1L, "upd", 99.0),
+      (2L, "del", 99.0),
+      (3L, "keep", 99.0),
+      (5L, "ins", 99.0)    // unmatched source → insert
+    ).toDF("k", "tag", "v"), Seq("k"),
+      updateWhen = expr("t.tag = 'upd'"),
+      deleteWhen = expr("t.tag = 'del'"))
+    val got = wh.read("t").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      1L -> ("upd", 99.0),   // took batch row
+      3L -> ("keep", 10.0),  // kept target row
+      4L -> ("only", 10.0),  // untouched
+      5L -> ("ins", 99.0)))  // inserted; 2L deleted
+  }
 }
