@@ -39,20 +39,29 @@ object GraftFunctions {
     "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
     "graft_sha60" -> (exprs => sha60Expr(exprs.head)))
 
-  /** Register all graft functions into a live session's registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register all graft functions + optimizer rules into a live session.
+    * `extraOptimizations` is idempotence-guarded: repeated registration
+    * (every gated query calls this) must not stack duplicate rules.
+    */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundedLevenshtein
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => BoundedLevenshtein)
+  }
 }

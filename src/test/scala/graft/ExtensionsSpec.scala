@@ -27,4 +27,30 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
   }
+
+  test("BoundedLevenshtein rewrites unbounded distance filters to the banded form") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // double registration must not stack the rule
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.BoundedLevenshtein) == 1)
+    // parquet-backed (a LocalRelation would be constant-folded before the
+    // plan can be inspected)
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(org.apache.spark.sql.functions.expr(
+        "levenshtein(c_name, 'Customer#000000001') <= 2"))
+    val opt = c.queryExecution.optimizedPlan.toString
+    // threshold form present (3-arg levenshtein) + length guard
+    assert(opt.contains("levenshtein(c_name"), opt)
+    assert(opt.contains("Some(2)) >= 0"), opt)
+    assert(opt.contains("abs(") && opt.contains("length("), opt)
+    // identical semantics: `< 3` says the same thing but dodges the
+    // rewrite pattern, so it runs the unbounded form
+    val unrewritten = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(org.apache.spark.sql.functions.expr(
+        "levenshtein(c_name, 'Customer#000000001') < 3"))
+    assert(c.count() == unrewritten.count())
+    assert(c.count() >= 1)  // the named customer itself matches
+  }
 }
