@@ -471,6 +471,37 @@ object TextQueries {
              |  round(ln((n_ab * nn.n)::DOUBLE / (df1 * df2)), 4) AS pmi
              |FROM p CROSS JOIN nn WHERE n_ab >= 20""".stripMargin),
       (s, dir) => graft.text.Cooccur.pmiPairs(
-        Tables.t(s, dir, "documents"), "doc_id", "text", minCount = 20L))
+        Tables.t(s, dir, "documents"), "doc_id", "text", minCount = 20L)),
+
+    // Weighted sparse-cosine similarity pairs (all-pairs over tf-idf
+    // vectors) on the bounded doc_id<300 slice — the inverted-join shape
+    // whose cost lives in near-zero-weight stopword terms; see
+    // Tfidf.sparseCosinePairs for the at-scale df-cap note. Weights are
+    // pre-rounded to 6 dp by Tfidf.score, so both engines aggregate
+    // identical doubles.
+    QueryDef(
+      "q_sparse_cosine",
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+             |  FROM documents WHERE doc_id < 300),
+             |t2 AS (SELECT * FROM tok WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+             |dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+             |nn AS (SELECT count(DISTINCT doc_id) AS n FROM t2),
+             |w AS (SELECT doc_id, term,
+             |    round(tf * ln((nn.n + 1.0::DOUBLE) / (dfc.df + 1.0::DOUBLE)), 6) AS w
+             |  FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+             |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    sum(a.w * b.w) AS dot
+             |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, round(dot / (x.nrm * y.nrm), 4) AS cos
+             |FROM p JOIN norms x ON x.doc_id = doc_a
+             |JOIN norms y ON y.doc_id = doc_b
+             |WHERE dot / (x.nrm * y.nrm) >= 0.9""".stripMargin),
+      (s, dir) => Tfidf.sparseCosinePairs(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", threshold = 0.9))
   )
 }

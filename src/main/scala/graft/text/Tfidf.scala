@@ -62,6 +62,38 @@ object Tfidf {
       .limit(k)
   }
 
+  /** Sparse weighted cosine similarity pairs (Bayardo et al.'s all-pairs
+    * problem): documents as tf-idf vectors, pairs scored by
+    * dot/(‖a‖·‖b‖) over the shared-term inverted join — the WEIGHTED
+    * sibling of the set-Jaccard family (rare shared terms matter more
+    * than stopwords, which carry ≈0 idf weight). The join key is the
+    * term, so cost concentrates in high-df terms — exactly the terms
+    * whose weights are near zero; at corpus scale add a df cap / prefix
+    * filter (the Dedup.jaccardInvertedIndex treatment) before the join.
+    * tf-idf weights come pre-rounded (6 dp) from [[score]], so both
+    * engines aggregate identical doubles.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    // materialize once: feeds the norm aggregate and both join sides
+    val w = score(docs, idCol, textCol)
+      .select(col("doc_id"), col("term"), col("tfidf").as("w"))
+      .localCheckpoint()
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
+    a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .filter(col("dot") / (col("na") * col("nb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed bag of query
     * terms — the retrieval scorer behind quality-filtering a corpus by
     * closeness to a target domain. One token explode feeding three
