@@ -117,5 +117,81 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("user_id"), col("event_type"))
         .limit(25))
+,
+
+    // Cumulative distinct users per day in the SCALE-CORRECT form: a
+    // naive count(DISTINCT) over an expanding window re-scans history per
+    // day; first-seen-day + running sum computes the same curve with two
+    // bounded aggregations and a window over the tiny per-day table.
+    // new_users/returning split falls out of the same first-seen table.
+    QueryDef(
+      "q_cumulative_distinct",
+      Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |fs AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+             |daily AS (SELECT day, count(DISTINCT user_id) AS active FROM d GROUP BY 1),
+             |news AS (SELECT first_day AS day, count(*) AS new_users
+             |  FROM fs GROUP BY 1)
+             |SELECT daily.day, CAST(daily.active AS BIGINT) AS active_users,
+             |  CAST(coalesce(news.new_users, 0) AS BIGINT) AS new_users,
+             |  CAST(daily.active - coalesce(news.new_users, 0) AS BIGINT) AS returning_users,
+             |  CAST(sum(coalesce(news.new_users, 0)) OVER (ORDER BY daily.day
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+             |FROM daily LEFT JOIN news USING (day)""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val d = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val fs = d.groupBy("user_id").agg(min("day").as("first_day"))
+        val daily = d.groupBy("day")
+          .agg(countDistinct("user_id").as("active_users"))
+        val news = fs.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        // the global window runs over ONE ROW PER DAY — bounded state by
+        // construction (the calendar), unlike a window over raw events
+        daily.join(news, Seq("day"), "left")
+          .select(col("day"), col("active_users"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"),
+            (col("active_users") - coalesce(col("new_users"), lit(0L)))
+              .as("returning_users"),
+            sum(coalesce(col("new_users"), lit(0L))).over(w)
+              .as("cumulative_users"))
+      }),
+
+    // Robust outlier detection via median absolute deviation (the
+    // Hampel/MAD rule — immune to the outliers it hunts, unlike z-scores):
+    // per event type, median and MAD from Spark's EXACT percentile
+    // aggregate (same linear-interpolation definition as DuckDB's
+    // quantile_cont/median), then count values beyond 3·1.4826·MAD.
+    QueryDef(
+      "q_mad_outliers",
+      Some("""WITH med AS (SELECT event_type, median(value) AS med
+             |  FROM events GROUP BY 1),
+             |mad AS (SELECT e.event_type, med.med,
+             |    median(abs(e.value - med.med)) AS mad
+             |  FROM events e JOIN med USING (event_type)
+             |  GROUP BY 1, 2)
+             |SELECT e.event_type, round(mad.med, 4) AS med,
+             |  round(mad.mad, 4) AS mad,
+             |  CAST(sum(CASE WHEN abs(e.value - mad.med)
+             |      > 3 * 1.4826::DOUBLE * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM events e JOIN mad USING (event_type)
+             |GROUP BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events").select("event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(percentile(col("value"), lit(0.5)).as("med"))
+        val mad = e.join(med, Seq("event_type"))
+          .groupBy(col("event_type"), col("med"))
+          .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+        e.join(mad, Seq("event_type"))
+          .groupBy(col("event_type"), col("med"), col("mad"))
+          .agg(sum(when(abs(col("value") - col("med"))
+              > lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+          .select(col("event_type"), round(col("med"), 4).as("med"),
+            round(col("mad"), 4).as("mad"), col("n_outliers"))
+      })
   )
 }
