@@ -211,6 +211,29 @@ object ScalarQueries {
           col("n_nationkey").cast("int").as("n_nationkey"),
           upper(col("n_name")).as("n_name"),
           Coerce.fillIntCast(col("n_regionkey")).as("n_regionkey"))
-      })
+      }),
+
+    // EXACT decimal money aggregation — the warehouse-finance contract the
+    // reference's BigQuery NUMERIC columns rely on: cast to DECIMAL(18,2)
+    // at the boundary, aggregate in decimal (no float drift, associative,
+    // partition-order-independent by construction). The double→decimal
+    // rounding can never hit a half-point tie (x.xx5 has no exact binary
+    // representation), so both engines round identically. Output widened
+    // to DECIMAL(38,2) — the one width both engines' sum types reach.
+    QueryDef(
+      "q_decimal_money",
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS max_price
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("total"),
+          max(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("max_price"))
+        .select(col("o_orderstatus"), col("n"), col("total"), col("max_price")))
   )
 }

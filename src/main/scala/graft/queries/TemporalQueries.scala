@@ -310,6 +310,30 @@ object TemporalQueries {
             + element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0)
         Tables.t(s, dir, "events")
           .select(col("event_id"), col("event_type"), med.as("rolling_median"))
+      }),
+
+    // IANA-timezone bucketing (the reference schedules in German local
+    // time — airflow.cfg crons, Berlin business days): UTC event time →
+    // Europe/Berlin local day/hour, DST handled by the shared tz
+    // database. DuckDB's two-hop `(ts AT TIME ZONE 'UTC') AT TIME ZONE
+    // 'Europe/Berlin'` is the verified equivalent of Spark's
+    // from_utc_timestamp (the one-hop timezone() call converts the WRONG
+    // direction — it reads the naive timestamp as Berlin time).
+    QueryDef(
+      "q_tz_localize",
+      Some("""WITH l AS (SELECT (ts::TIMESTAMP AT TIME ZONE 'UTC')
+             |    AT TIME ZONE 'Europe/Berlin' AS lt FROM events)
+             |SELECT CAST(lt AS DATE) AS berlin_day,
+             |  CAST(EXTRACT(hour FROM lt) AS INT) AS berlin_hour,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM l GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val lt = from_utc_timestamp(col("ts"), "Europe/Berlin")
+        Tables.t(s, dir, "events")
+          .select(to_date(lt).as("berlin_day"),
+            hour(lt).as("berlin_hour"))
+          .groupBy("berlin_day", "berlin_hour")
+          .agg(count(lit(1)).as("n"))
       })
   )
 }
