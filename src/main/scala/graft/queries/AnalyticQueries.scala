@@ -133,6 +133,35 @@ object AnalyticQueries {
         val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         graft.ops.PageRank.ranks(edges, iters = 5)
           .select(col("node"), round(col("rank"), 6).as("rank"))
+      }),
+
+    // 2-D SKYLINE (Pareto front: cheapest-and-smallest parts — no other
+    // part is <= on both axes with < on one). In 2-D the skyline reduces
+    // to a lexicographic sort + strict prefix-min: a point survives iff
+    // every strictly-prior point (price, then size order) has larger
+    // size. The window here is global — at corpus scale swap it for the
+    // ops/PrefixSum range-partitioned form (per-partition min + broadcast
+    // prefix offsets), the same two-phase trick q_pack_sequences gates.
+    QueryDef(
+      "q_skyline",
+      Some("""WITH p AS (SELECT DISTINCT p_retailprice AS price,
+             |    CAST(p_size AS BIGINT) AS psize FROM part)
+             |SELECT price, psize FROM (
+             |  SELECT price, psize, min(psize) OVER (ORDER BY price, psize
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM p)
+             |WHERE pm IS NULL OR pm > psize""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("price"), col("psize"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.t(s, dir, "part")
+          .select(col("p_retailprice").as("price"),
+            col("p_size").cast("long").as("psize"))
+          .distinct()
+          .withColumn("pm", min(col("psize")).over(w))
+          .filter(col("pm").isNull || col("pm") > col("psize"))
+          .select("price", "psize")
       })
   )
 }

@@ -502,6 +502,42 @@ object TextQueries {
              |WHERE dot / (x.nrm * y.nrm) >= 0.9""".stripMargin),
       (s, dir) => Tfidf.sparseCosinePairs(
         Tables.t(s, dir, "documents").filter(col("doc_id") < 300),
-        "doc_id", "text", threshold = 0.9))
+        "doc_id", "text", threshold = 0.9)),
+
+    // TRIANGLE COUNT over the near-dup graph (clustering-coefficient
+    // denominator; how clique-like are the dup clusters?). id-ordered
+    // wedge join: each triangle a<b<c counted once via (a,b)⋈(b,c) then
+    // closing against (a,c). At web scale orient edges low-degree→high
+    // (not by id) so wedge fan-out is bounded by the SMALLER endpoint's
+    // degree — same joins, one extra degree pass.
+    QueryDef(
+      "q_triangles",
+      Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+             |  FROM documents WHERE doc_id < 300),
+             |g AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, length(t) - 1), i -> substr(t, i, 3))) AS gs FROM n),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+             |      / len(list_distinct(a.gs || b.gs)) >= 0.6)
+             |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM p x JOIN p y ON x.doc_b = y.doc_a
+             |JOIN p z ON z.doc_a = x.doc_a AND z.doc_b = y.doc_b""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
+        val e = Dedup.jaccardPairsFeatures(
+          Dedup.charNgramSets(
+              docs.repartition(s.sparkContext.defaultParallelism),
+              "doc_id", "text", n = 3)
+            .select(col("doc_id"), explode_outer(col("grams")).as("word"))
+            .filter(col("word").isNotNull),
+          threshold = 0.6, strategy = Dedup.JaccardInverted)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val x = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val y = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+        val z = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+        x.join(y, Seq("b")).join(z, Seq("a", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+      })
   )
 }
