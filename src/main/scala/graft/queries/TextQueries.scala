@@ -538,6 +538,63 @@ object TextQueries {
         val z = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
         x.join(y, Seq("b")).join(z, Seq("a", "c"))
           .agg(count(lit(1)).as("n_triangles"))
+      }),
+
+    // DEDUP-METHOD EVALUATION inside the engine: recall/precision of the
+    // cheap SimHash banded pass against exact word-Jaccard ≥0.9 ground
+    // truth — the measurement that justifies running the sketch first and
+    // the exact pass only on survivors. Both member pipelines are already
+    // independently gated (q_simhash_neardup, q_dedup_resolve); this
+    // gates their INTERSECTION arithmetic.
+    QueryDef(
+      "q_dedup_recall",
+      Some("""WITH w AS (SELECT doc_id, list_distinct(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |  FROM documents),
+             |ep AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+             |      / len(list_distinct(a.ws || b.ws)) >= 0.9),
+             |tok AS (SELECT doc_id, list_transform(
+             |    regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+             |    t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS hs
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 60), b ->
+             |    CASE WHEN list_sum(list_transform(hs, h ->
+             |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+             |  FROM tok),
+             |sp AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+             |ne AS (SELECT count(*) AS n_exact FROM ep),
+             |ns AS (SELECT count(*) AS n_simhash FROM sp),
+             |nb AS (SELECT count(*) AS n_both
+             |  FROM ep JOIN sp ON ep.da = sp.da AND ep.db = sp.db)
+             |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+             |  CAST(n_simhash AS BIGINT) AS n_simhash,
+             |  CAST(n_both AS BIGINT) AS n_both,
+             |  round(n_both::DOUBLE / n_exact, 4) AS recall,
+             |  round(n_both::DOUBLE / n_simhash, 4) AS precision
+             |FROM ne, ns, nb""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+            strategy = Dedup.JaccardBitmask, bitmaskMaxDocs = 10000L)
+          .select("doc_a", "doc_b")
+        val sim = Dedup.simhashNearDup(s,
+            docs.repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text", maxHamming = 3)
+          .select("doc_a", "doc_b")
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val ns = sim.agg(count(lit(1)).as("n_simhash"))
+        val nb = exact.join(sim, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_both"))
+        ne.crossJoin(ns).crossJoin(nb)
+          .select(col("n_exact"), col("n_simhash"), col("n_both"),
+            round(col("n_both").cast("double") / col("n_exact"), 4).as("recall"),
+            round(col("n_both").cast("double") / col("n_simhash"), 4).as("precision"))
       })
   )
 }
