@@ -215,6 +215,66 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // LATE-DATA DROP rule, gated explicitly. Three mtime-ordered files
+    // (FileStreamSource processes by (mtime, path)) become three
+    // micro-batches: A = id%4==0, B = id%4==2, C = odd ids. Spark's
+    // watermark propagation (pinned empirically by a micro-fixture this
+    // round): a batch LATE-FILTERS with the PREVIOUS batch's watermark
+    // and EVICTS with the current one — both derived from data seen
+    // BEFORE the batch. So B (batch 1, late-filter watermark −∞) always
+    // merges; C (batch 2, late-filter watermark = max(A)−30min) is
+    // dropped exactly where its window end <= that; emission keeps the
+    // pinned inclusive end <= final-watermark rule. A wrong engine —
+    // filtering with the current watermark, or re-opening evicted
+    // windows (duplicate emission) — reddens this row.
+    QueryDef(
+      "q_stream_late",
+      Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |ev AS (SELECT *, tsu - tsu % 3600000000 AS win_start FROM e),
+             |wa AS (SELECT max(tsu) - 1800000000 AS w FROM ev WHERE event_id % 4 = 0),
+             |wmf AS (SELECT max(tsu) - 1800000000 AS w FROM ev),
+             |acc AS (SELECT ev.* FROM ev, wa
+             |  WHERE event_id % 2 = 0 OR win_start + 3600000000 > wa.w),
+             |agg AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM acc GROUP BY 1, 2)
+             |SELECT win_start AS win_start_us, event_type, n
+             |FROM agg, wmf WHERE win_start + 3600000000 <= wmf.w""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-slate")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        raw.filter(col("event_id") % 4 === 0)
+          .coalesce(1).write.parquet(s"$base/s0")
+        raw.filter(col("event_id") % 4 === 2)
+          .coalesce(1).write.parquet(s"$base/s1")
+        raw.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.parquet(s"$base/s2")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        Seq(("s0", 1000L), ("s1", 2000L), ("s2", 3000L)).foreach { case (sl, mtime) =>
+          val part = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$base/$sl"))
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = java.nio.file.Paths.get(s"$base/in/$sl.parquet")
+          java.nio.file.Files.copy(part, dest)
+          // batch ORDER is the experiment: pin it via mtime
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val agg = streamSession(s).readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"))
+        graft.streaming.IncrementalStream.runAvailableNow(
+          agg, s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+      }),
+
     // Stream-static enrichment: the event stream joins a static broadcast
     // dimension mid-flight (the reference's per-row lookup enrich, done as
     // a join). Append mode, no aggregation — rows flow through enriched.
