@@ -225,4 +225,25 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("rangepartitioning"), s"$name plans a global sort:\n$p")
     }
   }
+
+  test("q_word_pmi: vocab cap and corpus size ride as broadcasts") {
+    val p = plan("q_word_pmi")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bm25: df/avgdl ride as broadcasts, no cartesian product") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_rolling_median window is partitioned (parallel frames)") {
+    val p = plan("q_rolling_median")
+    assert(p.contains("Window"), p)
+    // a partition-less window would print an empty partition spec
+    assert(!p.contains("Window [collect_list") ||
+      p.contains("windowspecdefinition(event_type"), p)
+  }
+
 }
