@@ -16,6 +16,54 @@ import graft.text.{Fingerprint, LangId, TextStats}
   */
 object ExtensionQueries {
 
+  private val ivfPqOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+                 |    v AS cvec
+                 |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+                 |asn AS (SELECT vec_id, centroid_id FROM (
+                 |    SELECT e.vec_id, c.centroid_id,
+                 |      row_number() OVER (PARTITION BY e.vec_id
+                 |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
+                 |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+                 |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+                 |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+                 |grid AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+                 |cb AS (SELECT grid.s, seeds.code, seeds.v[grid.s*8+1 : grid.s*8+8] AS cvec
+                 |  FROM seeds CROSS JOIN grid),
+                 |sub AS (SELECT e.vec_id, grid.s, e.v[grid.s*8+1 : grid.s*8+8] AS sv
+                 |  FROM e CROSS JOIN grid),
+                 |enc AS (SELECT vec_id, s, code FROM (
+                 |  SELECT sub.vec_id, sub.s, cb.code,
+                 |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                 |      ORDER BY list_dot_product(cb.cvec, cb.cvec)
+                 |        - 2.0 * list_dot_product(sub.sv, cb.cvec), cb.code) AS rn
+                 |  FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
+                 |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+                 |probes AS (SELECT query_id, centroid_id FROM (
+                 |    SELECT q.query_id, c.centroid_id,
+                 |      row_number() OVER (PARTITION BY q.query_id
+                 |        ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.centroid_id) AS pr
+                 |    FROM q CROSS JOIN cent c) WHERE pr <= 2),
+                 |lut AS (SELECT qs.vec_id AS query_id, cb.s, cb.code,
+                 |    list_dot_product(qs.sv, cb.cvec) AS part
+                 |  FROM (SELECT * FROM sub WHERE vec_id < 20) qs
+                 |  JOIN cb ON cb.s = qs.s),
+                 |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                 |  FROM probes p JOIN asn a
+                 |  ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id),
+                 |sc AS (SELECT c.query_id, c.neighbor_id,
+                 |    list_reduce(list(l.part ORDER BY l.s), (a, b) -> a + b) AS score
+                 |  FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id
+                 |  JOIN lut l ON l.query_id = c.query_id AND l.s = enc.s AND l.code = enc.code
+                 |  GROUP BY 1, 2)
+                 |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+                 |  round(score, 4) AS adc_score
+                 |FROM (SELECT query_id, neighbor_id, score,
+                 |    row_number() OVER (PARTITION BY query_id
+                 |      ORDER BY score DESC, neighbor_id) AS rn
+                 |  FROM sc) WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality features — identical expression trees both engines.
@@ -652,57 +700,31 @@ object ExtensionQueries {
     // turns this row red even if the component queries stay green.
     QueryDef(
       "q_ann_ivfpq",
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
-             |    v AS cvec
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-             |asn AS (SELECT vec_id, centroid_id FROM (
-             |    SELECT e.vec_id, c.centroid_id,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
-             |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-             |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
-             |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
-             |grid AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
-             |cb AS (SELECT grid.s, seeds.code, seeds.v[grid.s*8+1 : grid.s*8+8] AS cvec
-             |  FROM seeds CROSS JOIN grid),
-             |sub AS (SELECT e.vec_id, grid.s, e.v[grid.s*8+1 : grid.s*8+8] AS sv
-             |  FROM e CROSS JOIN grid),
-             |enc AS (SELECT vec_id, s, code FROM (
-             |  SELECT sub.vec_id, sub.s, cb.code,
-             |    row_number() OVER (PARTITION BY sub.vec_id, sub.s
-             |      ORDER BY list_dot_product(cb.cvec, cb.cvec)
-             |        - 2.0 * list_dot_product(sub.sv, cb.cvec), cb.code) AS rn
-             |  FROM sub JOIN cb ON cb.s = sub.s) WHERE rn = 1),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-             |probes AS (SELECT query_id, centroid_id FROM (
-             |    SELECT q.query_id, c.centroid_id,
-             |      row_number() OVER (PARTITION BY q.query_id
-             |        ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.centroid_id) AS pr
-             |    FROM q CROSS JOIN cent c) WHERE pr <= 2),
-             |lut AS (SELECT qs.vec_id AS query_id, cb.s, cb.code,
-             |    list_dot_product(qs.sv, cb.cvec) AS part
-             |  FROM (SELECT * FROM sub WHERE vec_id < 20) qs
-             |  JOIN cb ON cb.s = qs.s),
-             |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-             |  FROM probes p JOIN asn a
-             |  ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id),
-             |sc AS (SELECT c.query_id, c.neighbor_id,
-             |    list_reduce(list(l.part ORDER BY l.s), (a, b) -> a + b) AS score
-             |  FROM cand c JOIN enc ON enc.vec_id = c.neighbor_id
-             |  JOIN lut l ON l.query_id = c.query_id AND l.s = enc.s AND l.code = enc.code
-             |  GROUP BY 1, 2)
-             |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
-             |  round(score, 4) AS adc_score
-             |FROM (SELECT query_id, neighbor_id, score,
-             |    row_number() OVER (PARTITION BY query_id
-             |      ORDER BY score DESC, neighbor_id) AS rn
-             |  FROM sc) WHERE rn <= 3""".stripMargin),
+      Some(ivfPqOracle),
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         graft.sim.IvfPq.topK(e.filter(col("vec_id") < 20), e,
           "vec_id", "embedding", k = 3, numCells = 8, nprobe = 2,
           m = 8, subDim = 8, ksub = 16, iters = 0)
+      }),
+
+    // PERSISTED IVF-PQ: the same search routed through a warehouse-backed
+    // build-once index (four snapshot tables — centroids, cell map,
+    // codebooks, CODES; the codes table is the only corpus-sized one).
+    // Oracle = q_ann_ivfpq's: a round-trip through persistence must not
+    // change a single rank — any parquet/row-order/codebook drift reddens
+    // this row while q_ann_ivfpq stays green.
+    QueryDef(
+      "q_ann_ivfpq_index",
+      Some(ivfPqOracle),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-ivfpq").toString)
+        graft.sim.IvfPq.buildIndex(wh, "ann", e, "vec_id", "embedding",
+          numCells = 8, m = 8, subDim = 8, ksub = 16, iters = 0)
+        graft.sim.IvfPq.searchIndex(wh, "ann", e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2, m = 8, subDim = 8)
       }),
 
     // Context-window chunking: overlapping token windows (size 32, stride

@@ -31,14 +31,50 @@ object IvfPq {
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, numCells: Int, nprobe: Int,
       m: Int, subDim: Int, ksub: Int, iters: Int = 0): DataFrame = {
-    val spark = queries.sparkSession
     val centroids = Ivf.buildCentroids(corpus, idCol, vecCol, numCells, iters)
     val cells = Ivf.index(corpus, idCol, vecCol, centroids)
       .select("neighbor_id", "centroid_id")
     val cb = Pq.codebooks(corpus, idCol, vecCol, m, subDim, ksub, iters)
     val codes = Pq.encode(corpus, idCol, vecCol, m, subDim, cb)
       .select(col(idCol).as("neighbor_id"), col("subspace").as("s"), col("code"))
+    search(queries, centroids, cells, cb, codes, idCol, vecCol, k, nprobe, m, subDim)
+  }
 
+  /** Build-once: persist the four index tables (centroids, cell
+    * assignment, PQ codebooks, PQ codes) behind the Warehouse's
+    * crash-safe snapshot swap. The CODES table is the only corpus-sized
+    * artifact — M bytes-ish per vector, the 32× compression that makes a
+    * billion-vector index storable; search-many never touches the raw
+    * vectors again.
+    */
+  def buildIndex(wh: graft.tables.Warehouse, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, numCells: Int,
+      m: Int, subDim: Int, ksub: Int, iters: Int = 2): Unit = {
+    val centroids = Ivf.buildCentroids(corpus, idCol, vecCol, numCells, iters)
+    wh.overwrite(s"${name}_centroids", centroids)
+    wh.overwrite(s"${name}_cells", Ivf.index(corpus, idCol, vecCol, centroids)
+      .select("neighbor_id", "centroid_id"))
+    val cb = Pq.codebooks(corpus, idCol, vecCol, m, subDim, ksub, iters)
+    wh.overwrite(s"${name}_codebooks", cb)
+    wh.overwrite(s"${name}_codes",
+      Pq.encode(corpus, idCol, vecCol, m, subDim, cb)
+        .select(col(idCol).as("neighbor_id"), col("subspace").as("s"), col("code")))
+  }
+
+  /** Search a persisted index built by [[buildIndex]]. */
+  def searchIndex(wh: graft.tables.Warehouse, name: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      m: Int, subDim: Int): DataFrame =
+    search(queries,
+      wh.read(s"${name}_centroids"), wh.read(s"${name}_cells"),
+      wh.read(s"${name}_codebooks"), wh.read(s"${name}_codes"),
+      idCol, vecCol, k, nprobe, m, subDim)
+
+  private def search(queries: DataFrame, centroids: DataFrame,
+      cells: DataFrame, cb: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      m: Int, subDim: Int): DataFrame = {
+    val spark = queries.sparkSession
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cs").desc, col("centroid_id"))
