@@ -109,6 +109,28 @@ object SinkQueries {
         wh.read("target")
       }),
 
+    // ORC round-trip — the second columnar format a lake speaks: write
+    // the projected table as ORC (zlib), read it back, aggregate with a
+    // pushed-down filter. The oracle computes the same aggregate from the
+    // parquet fixture, so a lossy or reordered round-trip (dropped rows,
+    // mangled decimals/strings, broken predicate pushdown) reddens it.
+    QueryDef(
+      "q_orc_roundtrip",
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  sum(o_totalprice) AS total
+             |FROM orders WHERE o_custkey % 10 <> 3
+             |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-orc")
+        Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.option("compression", "zlib").orc(s"$base/orders_orc")
+        s.read.orc(s"$base/orders_orc")
+          .filter(col("o_custkey") % 10 =!= 3)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      }),
+
     // W7/G4 — reverse ETL: fold (entity, property, value) rows into
     // first-write-wins property maps (the {id: {prop: val}} dict the
     // reference POSTs, hubspot_bm_contact.py:101-132), assign each entity
