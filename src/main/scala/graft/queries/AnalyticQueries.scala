@@ -96,6 +96,63 @@ object AnalyticQueries {
         "c_custkey", "c_name", maxDist = 1))
 ,
 
+    // GOLDEN-RECORD entity resolution — the full MDM composition the
+    // reference needs for HubSpot identity hygiene: fuzzy-match pairs
+    // (edit distance ≤ 1, BLOCKED on same nation — without the block the
+    // sequential fixture names chain transitively into one giant
+    // cluster) → connected components (large-star contraction) → one
+    // survivor row per cluster (min-key member's name, member count,
+    // summed balances). Every stage is independently gated
+    // (q_fuzzy_match, q_cc_star); this gates their composition plus the
+    // golden-row join-back.
+    QueryDef(
+      "q_golden_record",
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+             |  FROM customer WHERE c_custkey < 200),
+             |p AS (SELECT a.c_custkey AS s, b.c_custkey AS d
+             |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |  WHERE levenshtein(a.c_name, b.c_name) <= 1
+             |    AND a.c_nationkey = b.c_nationkey),
+             |e AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+             |walk(n, l) AS (SELECT DISTINCT s, s FROM e
+             |  UNION SELECT e.d, walk.l FROM walk JOIN e ON e.s = walk.n),
+             |cc AS (SELECT n AS c_custkey, min(l) AS cluster_id
+             |  FROM walk GROUP BY n),
+             |m AS (SELECT c.c_custkey,
+             |    coalesce(cc.cluster_id, c.c_custkey) AS cluster_id,
+             |    c.c_name, c.c_acctbal
+             |  FROM c LEFT JOIN cc USING (c_custkey))
+             |SELECT m.cluster_id, CAST(count(*) AS INT) AS n_members,
+             |  g.c_name AS golden_name,
+             |  round(sum(m.c_acctbal), 2) AS total_acctbal
+             |FROM m JOIN c g ON g.c_custkey = m.cluster_id
+             |GROUP BY m.cluster_id, g.c_name""".stripMargin),
+      (s, dir) => {
+        val cs = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") < 200)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val nat = cs.select(col("c_custkey"), col("c_nationkey"))
+        val pairs = Fuzzy.editDistancePairs(
+            cs.select("c_custkey", "c_name"), "c_custkey", "c_name", maxDist = 1)
+          .join(nat.select(col("c_custkey").as("id_a"),
+            col("c_nationkey").as("__na")), Seq("id_a"))
+          .join(nat.select(col("c_custkey").as("id_b"),
+            col("c_nationkey").as("__nb")), Seq("id_b"))
+          .filter(col("__na") === col("__nb"))
+        val labels = graft.dedup.ConnectedComponents.labels(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        val m = cs.join(labels, col("c_custkey") === col("node"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("cluster_id"), col("c_custkey")).as("cluster_id"),
+            col("c_acctbal"))
+        m.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("int").as("n_members"),
+            round(sum("c_acctbal"), 2).as("total_acctbal"))
+          .join(cs.select(col("c_custkey").as("cluster_id"),
+            col("c_name").as("golden_name")), Seq("cluster_id"))
+          .select("cluster_id", "n_members", "golden_name", "total_acctbal")
+      }),
+
     // PageRank (5 power iterations, d = 0.85) over the symmetrized
     // customer↔supplier purchase graph — iterative graph centrality as a
     // first-class batch op. Node ids are disjoint by parity (customer·2,

@@ -215,6 +215,61 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // UPDATE output mode, gated: every append-mode gate emits a key once;
+    // update mode re-emits a key's CURRENT aggregate in every batch that
+    // changes it. Two mtime-ordered batches (evens then odds) over a
+    // running count per event type ⇒ exactly two emissions per type:
+    // the even-only count tagged batch 0, the full count tagged batch 1.
+    // foreachBatch appends each update set with its batch id; an engine
+    // that emitted finals only, or re-emitted unchanged keys, breaks the
+    // row set.
+    QueryDef(
+      "q_stream_update",
+      Some("""SELECT event_type, CAST(0 AS BIGINT) AS batch_id,
+             |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT event_type, CAST(1 AS BIGINT) AS batch_id,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-supd")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        raw.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.parquet(s"$base/s0")
+        raw.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.parquet(s"$base/s1")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        Seq(("s0", 1000L), ("s1", 2000L)).foreach { case (sl, mtime) =>
+          val part = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$base/$sl"))
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = java.nio.file.Paths.get(s"$base/in/$sl.parquet")
+          java.nio.file.Files.copy(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val counts = streamSession(s).readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$base/chk")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(s"$base/out")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/out")
+          .select("event_type", "batch_id", "n")
+      }),
+
     // LATE-DATA DROP rule, gated explicitly. Three mtime-ordered files
     // (FileStreamSource processes by (mtime, path)) become three
     // micro-batches: A = id%4==0, B = id%4==2, C = odd ids. Spark's
