@@ -109,6 +109,45 @@ object SinkQueries {
         wh.read("target")
       }),
 
+    // Column-level CDC summary: which columns changed between two table
+    // versions, and how often — the drift report a warehouse migration
+    // reviews before merging (row-level diff is snapshotDiff's job; this
+    // is the per-COLUMN rollup). One join, one aggregate, unpivoted to
+    // (column_name, n_changed) via stack.
+    QueryDef(
+      "q_cdc_columns",
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |s AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+             |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 5.0::DOUBLE
+             |         ELSE o_totalprice END AS pr
+             |  FROM orders)
+             |SELECT 'o_orderstatus' AS column_name,
+             |  CAST(sum(CASE WHEN t.o_orderstatus <> s.st THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+             |FROM t JOIN s USING (o_orderkey)
+             |UNION ALL
+             |SELECT 'o_totalprice',
+             |  CAST(sum(CASE WHEN t.o_totalprice <> s.pr THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM t JOIN s USING (o_orderkey)""".stripMargin),
+      (s, dir) => {
+        val t = Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val n = t.select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, "X")
+            .otherwise(col("o_orderstatus")).as("st"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(5.0))
+            .otherwise(col("o_totalprice")).as("pr"))
+        t.join(n, Seq("o_orderkey"))
+          .agg(
+            sum(when(col("o_orderstatus") =!= col("st"), 1L).otherwise(0L))
+              .as("c_status"),
+            sum(when(col("o_totalprice") =!= col("pr"), 1L).otherwise(0L))
+              .as("c_price"))
+          .select(expr(
+            "stack(2, 'o_orderstatus', c_status, 'o_totalprice', c_price)" +
+              " AS (column_name, n_changed)"))
+      }),
+
     // ORC round-trip — the second columnar format a lake speaks: write
     // the projected table as ORC (zlib), read it back, aggregate with a
     // pushed-down filter. The oracle computes the same aggregate from the

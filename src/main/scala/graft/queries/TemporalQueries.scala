@@ -334,6 +334,43 @@ object TemporalQueries {
             hour(lt).as("berlin_hour"))
           .groupBy("berlin_day", "berlin_hour")
           .agg(count(lit(1)).as("n"))
+      }),
+
+    // Day-of-week seasonality profile + per-event deviation share — the
+    // weekly-pattern decomposition a metrics pipeline baselines anomaly
+    // detection on. dow convention pinned to ISO (Monday=1) on both
+    // engines; means as exact-sum/count division.
+    QueryDef(
+      "q_dow_seasonality",
+      Some("""WITH e AS (SELECT event_type, isodow(ts::TIMESTAMP) AS dow, value
+             |  FROM events),
+             |prof AS (SELECT event_type, dow,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    sum(value) / count(*) AS mean_value
+             |  FROM e GROUP BY 1, 2),
+             |tot AS (SELECT event_type, sum(value) / count(*) AS overall
+             |  FROM e GROUP BY 1)
+             |SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n,
+             |  round(p.mean_value, 4) AS mean_value,
+             |  round(p.mean_value - t.overall, 4) AS seasonal_delta
+             |FROM prof p JOIN tot t USING (event_type)""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofweek(col("ts")).as("__dow"),
+            col("value"))
+          // Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+          .withColumn("dow",
+            when(col("__dow") === 1, 7).otherwise(col("__dow") - 1))
+        val prof = e.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n"),
+            (sum("value") / count(lit(1))).as("mean_value"))
+        val tot = e.groupBy("event_type")
+          .agg((sum("value") / count(lit(1))).as("overall"))
+        prof.join(tot, Seq("event_type"))
+          .select(col("event_type"), col("dow").cast("int").as("dow"),
+            col("n"),
+            round(col("mean_value"), 4).as("mean_value"),
+            round(col("mean_value") - col("overall"), 4).as("seasonal_delta"))
       })
   )
 }
