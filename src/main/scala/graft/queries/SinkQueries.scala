@@ -109,6 +109,34 @@ object SinkQueries {
         wh.read("target")
       }),
 
+    // df.observe() metrics — the zero-extra-pass DQ counters a production
+    // pipeline attaches to its writes (row counts, money totals, status
+    // tallies ride the SAME job as the write, no second scan). The query
+    // materializes through a noop sink and returns the OBSERVED values;
+    // the oracle recomputes them relationally, so a metrics API that
+    // under- or over-counts reddens the row.
+    QueryDef(
+      "q_observe",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  round(sum(o_totalprice), 2) AS total,
+             |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation("graft_dq")
+        Tables.t(s, dir, "orders")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            round(sum("o_totalprice"), 2).as("total"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_open"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("total").asInstanceOf[Double],
+          m("n_open").asInstanceOf[Long]))
+          .toDF("n_rows", "total", "n_open")
+      }),
+
     // Column-level CDC summary: which columns changed between two table
     // versions, and how often — the drift report a warehouse migration
     // reviews before merging (row-level diff is snapshotDiff's job; this

@@ -215,6 +215,42 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // CHECKPOINT RECOVERY / exactly-once across RESTARTS: three
+    // sequential AvailableNow runs share one checkpoint — run 1 sees
+    // file 1, run 2 starts after file 2 lands (must process ONLY the new
+    // file), run 3 has nothing new (must no-op). The sink must equal the
+    // source exactly: a restart that re-reads file 1 duplicates rows, a
+    // checkpoint that over-advances loses file 2 — either reddens the
+    // hash.
+    QueryDef(
+      "q_checkpoint_recovery",
+      Some("""SELECT event_id, user_id, event_type, value FROM events""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-ckpt")
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        def land(name: String, flt: org.apache.spark.sql.Column): Unit = {
+          raw.filter(flt).coalesce(1).write.parquet(s"$base/$name")
+          val part = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$base/$name"))
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+        }
+        def drain(): Unit = graft.streaming.IncrementalStream.runAvailableNow(
+          s.readStream.schema(raw.schema).parquet(s"$base/in")
+            .select("event_id", "user_id", "event_type", "value"),
+          s"$base/chk", s"$base/out")
+        land("f1", col("event_id") % 2 === 0)
+        drain()                                   // run 1: file 1 only
+        land("f2", col("event_id") % 2 === 1)
+        drain()                                   // run 2 (restart): only f2 is new
+        drain()                                   // run 3: nothing new, must no-op
+        s.read.parquet(s"$base/out")
+      }),
+
     // UPDATE output mode, gated: every append-mode gate emits a key once;
     // update mode re-emits a key's CURRENT aggregate in every batch that
     // changes it. Two mtime-ordered batches (evens then odds) over a
