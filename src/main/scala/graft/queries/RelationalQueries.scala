@@ -11,6 +11,31 @@ import graft.ops.Relational
   */
 object RelationalQueries {
 
+  /** Typed-API cogroup reconciliation — see q_cogroup_reconcile. */
+  private def cogroupReconcile(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+    val l = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("p"))
+      .as[(Long, Double)]
+    o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+      val orderRows = os.toSeq
+      if (orderRows.isEmpty) Iterator.empty
+      else {
+        var n = 0; var lt = 0.0
+        ls.foreach { r => n += 1; lt += r._2 }
+        Iterator((k, n, orderRows.head._2, lt))
+      }
+    }.toDF("order_key", "n_lines", "order_total", "lines_total")
+      .select(col("order_key"), col("n_lines"),
+        round(col("order_total"), 2).as("order_total"),
+        round(col("lines_total"), 4).as("lines_total"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // TPC-H-Q1-style flagship aggregation (G3/P13 conditional math on the
@@ -308,6 +333,26 @@ object RelationalQueries {
         val req = Seq("o_orderkey" -> "bigint", "o_totalprice" -> "double",
           "o_orderpriority" -> "string")
         Relational.alignSchema(a, req).unionByName(Relational.alignSchema(b, req))
-      })
+      }),
+
+    // TYPED cogroup (KeyValueGroupedDataset.cogroup): per-order
+    // reconciliation of the header total vs its line items in ONE
+    // co-partitioned pass — the typed-API shape for custom two-sided
+    // per-key logic that doesn't fit a join+agg (here it does, which is
+    // exactly what lets the oracle verify the cogroup machinery).
+    // lines_total rounds at 4 (the exact grain of price×(1−discount):
+    // 2+2 decimal digits) — never at 2, where a genuine half-tie meets
+    // engine-specific double rounding.
+    QueryDef(
+      "q_cogroup_reconcile",
+      Some("""WITH ls AS (SELECT l_orderkey, count(*) AS n_lines,
+             |    sum(l_extendedprice * (1 - l_discount)) AS lt
+             |  FROM lineitem GROUP BY 1)
+             |SELECT o.o_orderkey AS order_key,
+             |  CAST(coalesce(ls.n_lines, 0) AS INT) AS n_lines,
+             |  round(o.o_totalprice, 2) AS order_total,
+             |  round(coalesce(ls.lt, 0.0), 4) AS lines_total
+             |FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey""".stripMargin),
+      (s, dir) => cogroupReconcile(s, dir))
   )
 }
