@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Sha2, Substring}
 import org.apache.spark.sql.types.{LongType, StringType}
 
-import graft.expressions.{DotProduct, SimHash64}
+import graft.expressions.{DotProduct, NfcNormalize, SimHash64}
 
 /** graft's SQL surface: the native Catalyst expressions exposed as SQL
   * functions, so `spark.sql("... graft_dot(a, b) ...")` works the same as
@@ -37,7 +37,8 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
-    "graft_sha60" -> (exprs => sha60Expr(exprs.head)))
+    "graft_sha60" -> (exprs => sha60Expr(exprs.head)),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)))
 
   /** Register all graft functions + optimizer rules into a live session.
     * `extraOptimizations` is idempotence-guarded: repeated registration

@@ -540,6 +540,35 @@ object TextQueries {
           .agg(count(lit(1)).as("n_triangles"))
       }),
 
+    // Unicode NFC normalization (native codegen expression wrapping the
+    // JDK's Normalizer — Spark ships no builtin): composed vs decomposed
+    // accents diverge every content hash and shingle downstream, so the
+    // canonicalization must run BEFORE dedup. The fixture text is ASCII,
+    // so each row gets a deterministic decomposed suffix (e + U+0301,
+    // twice); the oracle's nfc_normalize must land on byte-identical
+    // composed text — compared via sha256, the strictest possible gate.
+    QueryDef(
+      "q_nfc_normalize",
+      Some("""WITH p AS (SELECT doc_id,
+             |    substr(text, 1, 30) || 'e' || chr(769) || 'cafe' || chr(769) AS t
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(t) AS INT) AS len_raw,
+             |  CAST(length(nfc_normalize(t)) AS INT) AS len_nfc,
+             |  sha256(nfc_normalize(t)) AS nfc_hash
+             |FROM p""".stripMargin),
+      (s, dir) => {
+        // NB: Spark's chr() is ASCII-mod-256 (chr(769) → U+0001), unlike
+        // DuckDB's codepoint chr — the combining acute must be a literal
+        val t = concat(substring(col("text"), 1, 30),
+          lit("e\u0301cafe\u0301"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), t.as("__t"))
+          .select(col("doc_id"),
+            length(col("__t")).as("len_raw"),
+            length(graft.expressions.NfcNormalize.nfc(s, col("__t"))).as("len_nfc"),
+            sha2(graft.expressions.NfcNormalize.nfc(s, col("__t")), 256).as("nfc_hash"))
+      }),
+
     // DEDUP-METHOD EVALUATION inside the engine: recall/precision of the
     // cheap SimHash banded pass against exact word-Jaccard ≥0.9 ground
     // truth — the measurement that justifies running the sketch first and
