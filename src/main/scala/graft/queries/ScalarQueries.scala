@@ -213,6 +213,25 @@ object ScalarQueries {
           Coerce.fillIntCast(col("n_regionkey")).as("n_regionkey"))
       }),
 
+    // ANSI error-channel arithmetic: under Spark 4's default ANSI mode,
+    // mod-by-zero and bigint overflow THROW — try_mod/try_add are the
+    // per-row error channel (NULL instead of a dead job, the P8 coercion
+    // stance applied to arithmetic). The oracle reproduces the NULL rule
+    // with lazy CASE guards; an engine that wraps instead of nulling (or
+    // nulls the wrong rows) reddens the hash.
+    QueryDef(
+      "q_try_arith",
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_custkey % 5 = 0 THEN NULL
+             |       ELSE o_orderkey % (o_custkey % 5) END AS safe_mod,
+             |  CASE WHEN o_custkey > 7 THEN NULL
+             |       ELSE 9223372036854775800 + o_custkey END AS safe_add
+             |FROM orders""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("try_mod(o_orderkey, o_custkey % 5)").as("safe_mod"),
+          expr("try_add(9223372036854775800L, o_custkey)").as("safe_add"))),
+
     // EXACT decimal money aggregation — the warehouse-finance contract the
     // reference's BigQuery NUMERIC columns rely on: cast to DECIMAL(18,2)
     // at the boundary, aggregate in decimal (no float drift, associative,
