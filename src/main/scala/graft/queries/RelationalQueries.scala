@@ -335,6 +335,48 @@ object RelationalQueries {
         Relational.alignSchema(a, req).unionByName(Relational.alignSchema(b, req))
       }),
 
+    // TPC-H Q3 (shipping priority), adapted to the fixture's columns —
+    // the canonical three-way join + filtered aggregate + top-k that
+    // every optimizer benchmark starts from. The plan wants: both date
+    // filters pushed to the scans, the filtered customer side broadcast,
+    // and TakeOrderedAndProject for the top 10 (selection on unrounded
+    // revenue; float noise ~1e-10 against O(1) revenue gaps).
+    QueryDef(
+      "q_tpch_q3",
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+             |  o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+        val c = Tables.t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("__rev"))
+          .orderBy(col("__rev").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"), round(col("__rev"), 4).as("revenue"),
+            col("o_orderdate"), col("o_orderpriority"))
+      }),
+
     // TYPED cogroup (KeyValueGroupedDataset.cogroup): per-order
     // reconciliation of the header total vs its line items in ONE
     // co-partitioned pass — the typed-API shape for custom two-sided

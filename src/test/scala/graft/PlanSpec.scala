@@ -226,6 +226,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q3: pushed date filters, broadcast customer, top-k heap") {
+    val p = q("q_tpch_q3").queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThan(o_orderdate") || p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_word_pmi: vocab cap and corpus size ride as broadcasts") {
     val p = plan("q_word_pmi")
     assert(p.contains("BroadcastExchange"), p)
