@@ -335,6 +335,40 @@ object RelationalQueries {
         Relational.alignSchema(a, req).unionByName(Relational.alignSchema(b, req))
       }),
 
+    // TPC-H Q1 (pricing summary) — the full aggregate battery (q1_agg is
+    // the slim two-column flagship): one scan, one partial-aggregated
+    // groupBy, every money metric summed in full precision and rounded at
+    // 4 (product grain), means as exact-sum/count division.
+    QueryDef(
+      "q_tpch_q1",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+             |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+             |  round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+             |  round(sum(l_discount) / count(*), 4) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <=
+          lit(java.sql.Timestamp.valueOf("2001-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+          round(sum("l_extendedprice") / count(lit(1)), 4).as("avg_price"),
+          round(sum("l_discount") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
     // TPC-H Q3 (shipping priority), adapted to the fixture's columns —
     // the canonical three-way join + filtered aggregate + top-k that
     // every optimizer benchmark starts from. The plan wants: both date
