@@ -67,4 +67,52 @@ object PrefixSum {
       .withColumn(as, col("__off") + sum(valueCol).over(local))
       .drop("__pid", "__off")
   }
+
+  /** `as` = running MIN of `valueCol` (LongType) over all rows STRICTLY
+    * before the row in the total order `orderCols` — NULL for the globally
+    * first row. Same two-phase shape as [[runningTotal]], but the
+    * per-partition carry is a min, and the carry into partition p is the
+    * min over partitions < p (exclusive scan), combined with the local
+    * strict-prefix window via `least` (which skips NULLs). This is the
+    * range-partitioned form of
+    * `min(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`
+    * without the empty-partition-spec Window that funnels everything
+    * through one task.
+    */
+  def runningMinExclusive(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, as: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val mins = ranged.groupBy("__pid")
+      .agg(min(valueCol).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive prefix-min per partition id: min over all earlier pids
+    val carries = new Array[java.lang.Long](parts)
+    var acc: java.lang.Long = null
+    for (pid <- 0 until parts) {
+      carries(pid) = acc
+      mins.get(pid).foreach { m =>
+        acc = if (acc == null || m < acc) java.lang.Long.valueOf(m) else acc
+      }
+    }
+    val carryDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        (0 until parts).map(pid =>
+          org.apache.spark.sql.Row(pid, carries(pid))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__carry",
+          org.apache.spark.sql.types.LongType))))
+    val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(carryDf), Seq("__pid"))
+      .withColumn(as, least(col("__carry"), min(valueCol).over(local)))
+      .drop("__pid", "__carry")
+  }
 }

@@ -196,9 +196,13 @@ object AnalyticQueries {
     // part is <= on both axes with < on one). In 2-D the skyline reduces
     // to a lexicographic sort + strict prefix-min: a point survives iff
     // every strictly-prior point (price, then size order) has larger
-    // size. The window here is global — at corpus scale swap it for the
-    // ops/PrefixSum range-partitioned form (per-partition min + broadcast
-    // prefix offsets), the same two-phase trick q_pack_sequences gates.
+    // size. The prefix-min runs on ops/PrefixSum's range-partitioned
+    // two-phase scan (per-partition strict-prefix window + broadcast
+    // exclusive carry, the q_pack_sequences machinery) — never a global
+    // empty-partition-spec Window; the oracle expresses the same strict
+    // prefix-min with a plain global window, which DuckDB can afford at
+    // oracle scale. PlanSpec asserts the executed plan has no global
+    // Window node.
     QueryDef(
       "q_skyline",
       Some("""WITH p AS (SELECT DISTINCT p_retailprice AS price,
@@ -209,14 +213,13 @@ object AnalyticQueries {
              |  FROM p)
              |WHERE pm IS NULL OR pm > psize""".stripMargin),
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("price"), col("psize"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        Tables.t(s, dir, "part")
+        val distinctPoints = Tables.t(s, dir, "part")
           .select(col("p_retailprice").as("price"),
             col("p_size").cast("long").as("psize"))
           .distinct()
-          .withColumn("pm", min(col("psize")).over(w))
+        graft.ops.PrefixSum
+          .runningMinExclusive(distinctPoints,
+            Seq(col("price"), col("psize")), col("psize"), "pm")
           .filter(col("pm").isNull || col("pm") > col("psize"))
           .select("price", "psize")
       })

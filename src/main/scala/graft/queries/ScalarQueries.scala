@@ -233,26 +233,31 @@ object ScalarQueries {
           expr("try_add(9223372036854775800L, o_custkey)").as("safe_add"))),
 
     // EXACT decimal money aggregation — the warehouse-finance contract the
-    // reference's BigQuery NUMERIC columns rely on: cast to DECIMAL(18,2)
-    // at the boundary, aggregate in decimal (no float drift, associative,
-    // partition-order-independent by construction). The double→decimal
-    // rounding can never hit a half-point tie (x.xx5 has no exact binary
-    // representation), so both engines round identically. Output widened
-    // to DECIMAL(38,2) — the one width both engines' sum types reach.
+    // reference's BigQuery NUMERIC columns rely on. The boundary goes
+    // through integer CENTS, not a double→DECIMAL cast: engines disagree on
+    // double→decimal rounding (Spark rounds the shortest decimal repr
+    // HALF_UP; DuckDB versions differ on whether they round the exact
+    // binary expansion), but round(x*100) on 2-dp prices lands far from any
+    // .5 boundary, so BIGINT cents are engine-independent — the same path
+    // q_rollup proves. Reconstituting DECIMAL(38,2) multiplies by a
+    // DECIMAL(3,2) 0.01 literal (exact in both engines); decimal/int
+    // division is avoided because DuckDB routes it through DOUBLE.
     QueryDef(
       "q_decimal_money",
       Some("""SELECT o_orderstatus,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
-             |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS max_price
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS total,
+             |  CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS max_price
              |FROM orders GROUP BY 1""".stripMargin),
       (s, dir) => Tables.t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total"),
-          max(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("max_price"))
+          expr("CAST(sum(cents) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2))").as("total"),
+          expr("CAST(max(cents) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2))").as("max_price"))
         .select(col("o_orderstatus"), col("n"), col("total"), col("max_price")))
   )
 }

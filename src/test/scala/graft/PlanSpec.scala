@@ -156,6 +156,18 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows.isEmpty, sp.toString)
   }
 
+  test("q_skyline computes the strict prefix-min without a global window") {
+    // r7 verdict: the skyline's prefix-min gated an empty-partition-spec
+    // Window (single-task funnel). It now rides PrefixSum's range-
+    // partitioned two-phase scan; assert the executed plan proves it.
+    val sp = q("q_skyline").queryExecution.sparkPlan
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+  }
+
   test("q_exists_corr decorrelates EXISTS into a semi join, not a per-row subplan") {
     val p = plan("q_exists_corr")
     assert(p.contains("LeftSemi"), p)
