@@ -42,7 +42,14 @@ object Bench {
         None
       }
     }
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to named queries —
+    // the isolated-probe mode for regression triage (an isolated min-of-N
+    // is the only way to separate a real plan regression from full-suite
+    // contention on a shared host).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to passes).map { pass =>
       ordered.map { case (name, fn) =>
         val dt = timed(name, fn)

@@ -100,33 +100,78 @@ object ExtensionQueries {
     // END-TO-END corpus cleanse — the composition the individual operators
     // exist for, under ONE oracle: quality pre-filter (the crude cheap
     // pass) → exact-dedup to canonical docs (min doc_id per content hash,
-    // among survivors) → deterministic 95/5 train/val split (sha-bucket on
-    // doc_id — reproducible on any engine, stable under reruns and
-    // repartitioning). Each stage is one aggregate/join; the whole plan is
-    // two shuffles at any corpus size.
+    // among survivors) → exact repeated-substring REMOVAL over the
+    // survivor corpus (ExactSubstr.cleanText, the Lee-et-al. heavy pass —
+    // dedup-first on purpose: exact copies would otherwise make every one
+    // of their substrings "repeated") → deterministic 95/5 train/val split
+    // (sha-bucket on doc_id — reproducible on any engine, stable under
+    // reruns and repartitioning). clean_hash pins the full cleaned string
+    // at constant output width; a drift anywhere in the four stages — the
+    // scoring arithmetic, the canonical choice, a span boundary, the
+    // bucket — turns the row red.
     QueryDef(
       "q_corpus_cleanse",
-      Some("""WITH q AS (SELECT doc_id, text, round(
+      Some("""WITH q0 AS (SELECT doc_id, text, round(
              |    least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
              |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) * 0.4 +
              |    least(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) / 5.0, 1.0) * 0.2,
              |    4) AS quality
              |  FROM documents),
-             |k AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+             |k AS (SELECT doc_id, text, quality FROM q0 WHERE quality >= 0.5),
              |c AS (SELECT min(doc_id) AS doc_id FROM k
-             |  GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
-             |SELECT k.doc_id, k.quality,
-             |  CASE WHEN ('0x' || substr(sha256(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |  GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+             |surv AS (SELECT k.doc_id, k.text, k.quality FROM k JOIN c USING (doc_id)),
+             |n AS (SELECT doc_id, quality,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+             |  FROM surv),
+             |p AS (SELECT doc_id, pos, substr(t, pos, 50) AS g
+             |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 49 + 1)) AS pos
+             |    FROM n WHERE length(t) >= 50)),
+             |dg AS (SELECT g FROM p GROUP BY g HAVING count(*) > 1),
+             |dp AS (SELECT doc_id, pos FROM p JOIN dg USING (g)),
+             |st AS (SELECT doc_id, pos,
+             |    CASE WHEN max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR pos > max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             |      THEN 1 ELSE 0 END AS strt
+             |  FROM dp),
+             |isl AS (SELECT doc_id, pos,
+             |    sum(strt) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS UNBOUNDED PRECEDING) AS span
+             |  FROM st),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 49 AS e
+             |  FROM isl GROUP BY doc_id, span),
+             |ch AS (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS cp FROM n),
+             |keep AS (SELECT c2.doc_id, c2.cp, substr(c2.t, c2.cp, 1) AS c1
+             |  FROM ch c2 WHERE NOT EXISTS (SELECT 1 FROM sp
+             |    WHERE sp.doc_id = c2.doc_id AND c2.cp BETWEEN sp.s AND sp.e)),
+             |cl AS (SELECT doc_id, string_agg(c1, '' ORDER BY cp) AS clean_text
+             |  FROM keep GROUP BY doc_id),
+             |fin AS (SELECT n.doc_id, n.quality,
+             |    coalesce(cl.clean_text,
+             |      CASE WHEN EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = n.doc_id)
+             |        THEN '' ELSE n.t END) AS ct
+             |  FROM n LEFT JOIN cl ON cl.doc_id = n.doc_id)
+             |SELECT doc_id, quality,
+             |  CAST(length(ct) AS INT) AS clean_len,
+             |  sha256(ct) AS clean_hash,
+             |  CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
              |    % 100 < 95 THEN 'train' ELSE 'val' END AS split
-             |FROM k JOIN c USING (doc_id)""".stripMargin),
+             |FROM fin""".stripMargin),
       (s, dir) => {
         val scored = TextStats.qualityScore(
           Tables.t(s, dir, "documents").select("doc_id", "text"))
         val kept = scored.filter(col("quality") >= 0.5)
         val canonical = Dedup.exact(kept, "doc_id", "text")
           .select(col("canonical_id").as("doc_id"))
-        kept.join(canonical, Seq("doc_id"))
+        val surv = kept.join(canonical, Seq("doc_id"))
+        val cleaned = graft.dedup.ExactSubstr.cleanText(
+          surv, "doc_id", "text", minMatch = 50)
+        surv.join(cleaned, Seq("doc_id"))
           .select(col("doc_id"), col("quality"),
+            length(col("clean_text")).cast("int").as("clean_len"),
+            sha2(col("clean_text"), 256).as("clean_hash"),
             when(Hashing.sha60(col("doc_id")) % 100 < 95, "train")
               .otherwise("val").as("split"))
       }),
@@ -321,6 +366,19 @@ object ExtensionQueries {
       "q_substr_dedup",
       Some(graft.dedup.ExactSubstr.oracleSql(50)),
       (s, dir) => graft.dedup.ExactSubstr.spanStats(
+        Tables.t(s, dir, "documents"), "doc_id", "text", minMatch = 50)),
+
+    // The REMOVAL q_substr_dedup's statistics exist for: each document's
+    // normalized text with every corpus-duplicated ≥50-char span cut out.
+    // Spark rebuilds by a row-local span-subtraction fold over the sorted
+    // span array; the oracle rebuilds CHARACTER-WISE (keep every position
+    // no span covers, string_agg in order) — two different mechanisms that
+    // must land on byte-identical strings, so an off-by-one in either
+    // span boundary or the fold's cursor arithmetic turns the row red.
+    QueryDef(
+      "q_substr_clean",
+      Some(graft.dedup.ExactSubstr.cleanOracleSql(50)),
+      (s, dir) => graft.dedup.ExactSubstr.cleanText(
         Tables.t(s, dir, "documents"), "doc_id", "text", minMatch = 50)),
 
     // Benchmark CONTAMINATION check (the GPT-3-paper step): flag every
