@@ -144,12 +144,13 @@ object TextQueries {
 
     // BPE merge LEARNING: the top-16 byte-pair merges from corpus word
     // frequencies. One corpus aggregation builds the word table; the merge
-    // loop then runs 16 bounded iterations over it (pair-count aggregate +
-    // 1-row argmax collect each) — never touching the corpus again, the
-    // property that makes BPE learnable at 100 TB. The oracle replays the
-    // ENTIRE loop as 16 generated CTE stages: literal string replace is
-    // left-to-right non-overlapping in both engines, which is exactly
-    // BPE's greedy application order (see text/Bpe.scala).
+    // loop then runs BATCHED rounds over it — each round one pair-count
+    // aggregate + a top-64 collect, keeping the provably-sequential-
+    // identical symbol-disjoint prefix (see Bpe.learnBatched) — never
+    // touching the corpus again, the property that makes BPE learnable at
+    // 100 TB. The oracle replays the ENTIRE loop as 16 generated CTE
+    // stages: literal string replace is left-to-right non-overlapping in
+    // both engines, which is exactly BPE's greedy application order.
     QueryDef(
       "q_bpe_merges",
       Some(Bpe.mergesOracleSql(16)),

@@ -42,13 +42,90 @@ object Bpe {
   /** `hello` → `|h| |e| |l| |l| |o|`. */
   private def symCol = trim(regexp_replace(col("w"), "(.)", "|$1| "))
 
-  /** Learn the top-`k` merges. Each iteration: adjacent-pair weighted
-    * counts over the current symbol sequences (map-side-combining
-    * aggregate over the word table), argmax with the deterministic
-    * tie-break, then one literal replace. localCheckpoint per iteration
-    * keeps the plan flat (the word table is small by construction).
+  /** Learn the top-`k` merges, BATCHED: several provably-safe merges per
+    * driver round-trip. Sequential BPE costs one Spark job per merge —
+    * fine for a gated K of 16, but a production vocab of 30k merges would
+    * serialize 30k jobs. Each round here runs ONE pair-count aggregate,
+    * collects the top-`probe` pairs, and keeps a prefix of them that is
+    * guaranteed to equal what the sequential loop would have picked:
+    *
+    *   - pairs are scanned in (weight desc, pair asc) rank order; a pair
+    *     is kept while its two symbols are disjoint from every
+    *     already-kept pair's symbols; the scan STOPS at the first
+    *     conflicting pair (weight `w_stop`);
+    *   - of the kept pairs, only those with weight strictly > `w_stop`
+    *     are retained (plus the head, which is the exact argmax
+    *     regardless). Applying a merge (a,b) only changes counts of pairs
+    *     touching `a` or `b` — all blocked, so all of weight ≤ w_stop —
+    *     and any pair it CREATES, (x,ab), inherits ≤ the weight of the
+    *     blocked pair (x,a). Retained pairs' counts are therefore exact,
+    *     still above everything that moved, and their (weight, pair)
+    *     order is the sequential tie-break order. If the probe window
+    *     fills without a conflict, the horizon weight is the conservative
+    *     w_stop — anything below the window might conflict unseen.
+    *
+    * Identity with the sequential loop is asserted by BpeSpec on fixture
+    * corpora and by the oracle gate (the DuckDB replay IS sequential).
+    * Returns (merges, driver round-trips). The word table stays
+    * localCheckpoint'd once per ROUND, not per merge.
     */
-  def learn(words: DataFrame, k: Int): Seq[Merge] = {
+  def learnBatched(words: DataFrame, k: Int,
+      probe: Int = 64): (Seq[Merge], Int) = {
+    var cur = words.withColumn("sym", symCol).localCheckpoint()
+    val out = ArrayBuffer[Merge]()
+    var rounds = 0
+    var exhausted = false
+    while (out.size < k && !exhausted) {
+      val arr = split(col("sym"), " ")
+      val topN = cur.filter(size(arr) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("pair").asc)
+        .limit(probe).collect()
+      rounds += 1
+      if (topN.isEmpty) exhausted = true
+      else {
+        val kept = ArrayBuffer[(String, Long)]()
+        val sym = scala.collection.mutable.Set[String]()
+        var wStop = Option.empty[Long]
+        val it = topN.iterator
+        while (it.hasNext && wStop.isEmpty) {
+          val row = it.next()
+          val pair = row.getString(0); val w = row.getLong(1)
+          val ss = pair.split(" ")
+          if (kept.nonEmpty && ss.exists(sym)) wStop = Some(w)
+          else { kept += ((pair, w)); sym ++= ss }
+        }
+        if (wStop.isEmpty && topN.length == probe)
+          wStop = Some(topN.last.getLong(1))
+        val safe = (wStop match {
+          case Some(w) => kept.head +: kept.tail.takeWhile(_._2 > w)
+          case None => kept
+        }).take(k - out.size)
+        safe.foreach { case (pair, w) =>
+          out += Merge(out.size + 1, pair, pair.replace("| |", ""), w)
+        }
+        cur = safe.foldLeft(cur) { case (d, (pair, _)) =>
+          d.withColumn("sym",
+            expr(s"replace(sym, '$pair', '${pair.replace("| |", "")}')"))
+        }.localCheckpoint()
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
+  /** Learn the top-`k` merges (batched under the hood — see
+    * [[learnBatched]] for the safety argument).
+    */
+  def learn(words: DataFrame, k: Int): Seq[Merge] =
+    learnBatched(words, k)._1
+
+  /** The reference one-merge-per-job loop [[learnBatched]] must replicate
+    * exactly; kept for the BpeSpec identity assertion.
+    */
+  private[graft] def learnSequential(words: DataFrame, k: Int): Seq[Merge] = {
     var cur = words.withColumn("sym", symCol).localCheckpoint()
     val out = ArrayBuffer[Merge]()
     var r = 1

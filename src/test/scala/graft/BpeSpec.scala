@@ -40,4 +40,26 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(Bpe.learn(Bpe.wordTable(docs, "text"), 5).isEmpty)
   }
+
+  test("batched learn equals the sequential reference, in fewer rounds") {
+    // A corpus with several symbol-disjoint frequent pairs (so batching
+    // has something to batch) AND overlapping-pair traps: "th"/"he"
+    // share |h| — the batch must stop there, not take both, because
+    // merging (t,h) births (th,e) whose weight can outrank later picks.
+    val docs = Seq(
+      (1L, "the the the then hen queen queen quick quick quick brown fox"),
+      (2L, "jumps over over over the lazy lazy dog dog dog dog end"),
+      (3L, "zw zw zw zw zw yx yx yx yx vu vu vu the queen of dogs")
+    ).toDF("doc_id", "text")
+    val words = Bpe.wordTable(docs, "text")
+    val seq16 = Bpe.learnSequential(words, 16)
+    val (bat16, rounds) = Bpe.learnBatched(words, 16)
+    assert(bat16 == seq16,
+      s"batched diverged:\n  seq=$seq16\n  bat=$bat16")
+    assert(rounds < seq16.size,
+      s"batching saved nothing: $rounds rounds for ${seq16.size} merges")
+    // tiny probe window still has to be exact — the horizon w_stop path
+    val (bat3, _) = Bpe.learnBatched(words, 16, probe = 3)
+    assert(bat3 == seq16, s"probe=3 diverged:\n  seq=$seq16\n  bat=$bat3")
+  }
 }
