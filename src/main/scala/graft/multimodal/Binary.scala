@@ -5,16 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. Two formats have REAL decoders: P6 PPM as pure
-  * Catalyst expressions ([[decodePpm]]: header parse + per-pixel
-  * extraction) and PNG via the JDK's own `javax.imageio`
-  * ([[decodeImage]]: batched mapPartitions — no external library needed;
-  * ImageIO ships PNG/BMP/GIF/JPEG codecs in every JVM). Both are
-  * oracle-gated on actual pixel bytes. Audio/video codecs (not in the
-  * JDK) remain STUBBED with a deterministic byte-level featurizer, but
-  * the Spark-side shape is real: binary payload column, metadata struct,
-  * explicit output schema, fixed batch size (what a vectorized/Arrow UDF
-  * would see), partition parallelism.
+  * with typed metadata. REAL decoders: P6 PPM as pure Catalyst
+  * expressions ([[decodePpm]]: header parse + per-pixel extraction),
+  * PNG and JPEG via the JDK's own `javax.imageio` ([[decodeImage]]:
+  * batched mapPartitions — no external library needed; ImageIO ships
+  * PNG/BMP/GIF/JPEG codecs in every JVM), and canonical 16-bit PCM WAV
+  * ([[decodeWav]]). Lossless formats are oracle-gated on exact pixel
+  * bytes; lossy JPEG is tolerance-gated (exact dims, per-channel means
+  * within ε). Only video codecs (not in the JDK) remain STUBBED with a
+  * deterministic byte-level featurizer, but the Spark-side shape is
+  * real: binary payload column, metadata struct, explicit output schema,
+  * fixed batch size (what a vectorized/Arrow UDF would see), partition
+  * parallelism.
   */
 object Binary {
 
@@ -166,8 +168,27 @@ object Binary {
     * production rows arrive with real encoded bytes.
     */
   def pngFromSeed(df: DataFrame, seedCol: String, width: Int,
-      height: Int): DataFrame = {
-    val outSchema = df.schema.add("png", BinaryType)
+      height: Int): DataFrame =
+    rasterFromSeed(df, seedCol, width, height, "png", "png")
+
+  /** The [[pngFromSeed]] generator for a LOSSY format: identical formula
+    * pixels, encoded with the JDK's JPEG writer (default quality).
+    * Quantization + chroma subsampling mean a decoder recovers the pixels
+    * only approximately — which is exactly what the tolerance-gated
+    * `q_jpeg_decode` exercises (dims exact, per-channel means within ε).
+    */
+  def jpegFromSeed(df: DataFrame, seedCol: String, width: Int,
+      height: Int): DataFrame =
+    rasterFromSeed(df, seedCol, width, height, "jpg", "jpeg")
+
+  /** Shared seed-formula raster generator: pixel byte j of a row is
+    * `(seed·31 + j·7) mod 256`, rendered into a `BufferedImage` and
+    * encoded by the named `javax.imageio` writer. Row-local
+    * mapPartitions; production rows arrive with real encoded bytes.
+    */
+  private def rasterFromSeed(df: DataFrame, seedCol: String, width: Int,
+      height: Int, format: String, outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(seedCol)
     df.mapPartitions { iter =>
@@ -189,7 +210,7 @@ object Binary {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        javax.imageio.ImageIO.write(img, format, bos)
         Row.fromSeq(row.toSeq :+ bos.toByteArray)
       }
     }

@@ -895,6 +895,50 @@ object ExtensionQueries {
         .select("doc_id", "width", "height",
           "mean_r", "mean_g", "mean_b", "ds_checksum")),
 
+    // REAL LOSSY decode under a tolerance gate: the same seed-formula
+    // pixels encoded to JPEG (quantization + chroma subsampling make
+    // byte-exact recovery impossible by design), decoded back through
+    // ImageIO. The gate is the lossy-safe contract: dimensions must be
+    // EXACT (from the decoded header), each decoded channel mean within
+    // ε=12 of the formula mean, and the whole-image per-pixel mean
+    // absolute error ≤ 40 — all recomputed in-plan from the seed.
+    // Empirical bounds over 500 seeds at default JDK JPEG quality:
+    // channel-mean error ≤ 5.375, pixel MAE ≤ 19.45 (JpegSpec pins
+    // both), so the thresholds carry ≥2× margin while NULL pixels or a
+    // garbage inflate (~85 MAE on noise) land far outside. Byte-exact
+    // pixel extraction through this SAME decodeImage path is already
+    // gated by q_png_decode; this query adds the evidence that a lossy
+    // bitstream decodes within tolerance. The oracle is all-true
+    // booleans; the decode evidence lives Spark-side, where a failure
+    // flips a boolean (or NULLs width) and reddens the hash.
+    QueryDef(
+      "q_jpeg_decode",
+      Some("""SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  true AS mean_r_ok, true AS mean_g_ok, true AS mean_b_ok,
+             |  true AS mae_ok
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val dec = Binary.ppmFeatures(Binary.decodeImage(
+          Binary.jpegFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", width = 8, height = 8),
+          "jpeg"))
+        // formula pixel j = (seed·31 + j·7) % 256, recomputed in-plan
+        def formulaMean(c: Int) =
+          aggregate(sequence(lit(0), lit(63)), lit(0L),
+            (acc, i) => acc + (col("doc_id") * 31 + (i * 3 + c) * 7) % 256)
+            .cast("double") / 64.0
+        def ok(decoded: String, c: Int) =
+          (abs(col(decoded) - formulaMean(c)) <= 12.0).as(s"${decoded}_ok")
+        val mae = aggregate(sequence(lit(0), lit(191)), lit(0L),
+          (acc, j) => acc + abs(element_at(col("pixels"), j + 1) -
+            (col("doc_id") * 31 + j * 7) % 256)).cast("double") / 192.0
+        dec.select(col("doc_id"), col("width"), col("height"),
+          ok("mean_r", 0), ok("mean_g", 1), ok("mean_b", 2),
+          (mae <= 40.0).as("mae_ok"))
+      }),
+
     // REAL audio decode under the hash gate: each doc gets a deterministic
     // 64-sample 16-bit PCM WAV (sample j = (doc_id·13 + j·11) mod 65536,
     // two's-complement signed), decodeWav parses the actual bytes — RIFF
@@ -902,8 +946,9 @@ object ExtensionQueries {
     // and wavFeatures reduces to mean/RMS/zero-crossings. The oracle
     // recomputes the features from the generator FORMULA, never touching
     // bytes: a decoder that misreads an LE field, drops sign handling or
-    // mis-offsets a sample turns the row red. (PPM, PNG and WAV are now
-    // real decoders; only video remains stubbed — the JDK has no codec.)
+    // mis-offsets a sample turns the row red. (PPM, PNG, JPEG and WAV are
+    // now real decoders; only video remains stubbed — the JDK has no
+    // codec.)
     QueryDef(
       "q_wav_decode",
       Some {

@@ -74,6 +74,34 @@ class PpmSpec extends SparkSpec {
     }
   }
 
+  test("jpegFromSeed → decodeImage: exact dims, channel means and pixel MAE within the lossy bounds") {
+    val src = spark.range(64).toDF("doc_id")
+    val dec = Binary.decodeImage(
+      Binary.jpegFromSeed(src, "doc_id", width = 8, height = 8), "jpeg")
+      .select("doc_id", "width", "height", "pixels").collect()
+    assert(dec.length == 64)
+    dec.foreach { r =>
+      val seed = r.getLong(0)
+      assert((r.getInt(1), r.getInt(2)) == ((8, 8)), s"seed=$seed dims")
+      val px = r.getSeq[Int](3)
+      assert(px.length == 192)
+      // empirical bounds at default JDK JPEG quality (measured over 500
+      // seeds: channel-mean err ≤ 5.375, pixel MAE ≤ 19.45); q_jpeg_decode
+      // gates with 2× margin (12 / 40) — this spec pins the raw bounds so
+      // an encoder-quality regression surfaces here first
+      (0 until 3).foreach { c =>
+        val decMean = (0 until 64).map(i => px(3 * i + c)).sum / 64.0
+        val srcMean =
+          (0 until 64).map(i => (seed * 31 + (3 * i + c) * 7) % 256).sum / 64.0
+        assert(math.abs(decMean - srcMean) <= 6.0,
+          s"seed=$seed c=$c decMean=$decMean srcMean=$srcMean")
+      }
+      val mae = (0 until 192)
+        .map(j => math.abs(px(j) - (seed * 31 + j * 7) % 256)).sum / 192.0
+      assert(mae <= 20.0, s"seed=$seed mae=$mae")
+    }
+  }
+
   test("decodeImage quarantines undecodable bytes as NULLs instead of failing") {
     val rows = Seq(Row(0L, Array[Byte](1, 2, 3, 4)), Row(1L, Array.empty[Byte]))
     val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
