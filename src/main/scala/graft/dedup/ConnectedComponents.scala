@@ -111,6 +111,16 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // A non-converged star forest can assign a node MULTIPLE labels, and
+    // downstream (golden-record survivorship, dedup cluster joins) assumes
+    // exactly one — fail loudly rather than emit inconsistent clusters.
+    // Star contraction halves component diameter per round, so the default
+    // cap of 25 covers any physically storable graph; hitting it means the
+    // input (or a bug) needs looking at, not a silent result.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter iterations; " +
+          "raise maxIter or inspect the edge set")
     // converged star forest: every edge is (root, child) with root < child
     e.select(col("v").as("node"), col("u").as("cluster_id"))
       .union(e.select(col("u").as("node"), col("u").as("cluster_id")).distinct())

@@ -68,11 +68,18 @@ object Sampling {
     * partition, then a k·P-row merge — never a global sort shuffle, so
     * the plan holds at any corpus size. Ties impossible (priority is a
     * 60-bit hash; the key column breaks the residual 2⁻⁶⁰).
+    *
+    * The output EXPOSES the `priority` column (callers gate and re-sort
+    * on it); a pre-existing column of that name would be silently
+    * overwritten, so it is rejected loudly instead.
     */
-  def prioritySample(df: DataFrame, keyCol: String, k: Int): DataFrame =
+  def prioritySample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column - rename it before prioritySample")
     df.withColumn("priority", Hashing.sha60(col(keyCol)))
       .orderBy(col("priority"), col(keyCol))
       .limit(k)
+  }
 
   /** Efraimidis–Spirakis fixed-size weighted sample without replacement,
     * in the exponential-race form: each row draws the deterministic
@@ -86,11 +93,18 @@ object Sampling {
     * probability 10⁻⁶ a row draws u = 1 exactly and races with e = 0
     * regardless of weight — acceptable for corpus sampling; narrow the
     * quantization if not.
+    *
+    * Rows with weight ≤ 0 (or NULL) are EXCLUDED before the race: a
+    * zero/negative weight would draw a −Inf/negative variate and
+    * deterministically win the sample, which is never the intent.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {
+    require(!df.columns.contains("__es"),
+      "input already has a '__es' column - rename it before weightedSample")
     val u = (Hashing.sha60(col(keyCol)) % 1000000 + 1).cast("double") / 1000000.0
-    df.withColumn("__es", -log(u) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("__es", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("__es"), col(keyCol))
       .limit(k)
       .drop("__es")

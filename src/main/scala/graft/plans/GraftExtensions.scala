@@ -42,16 +42,21 @@ object GraftFunctions {
 
   /** Register all graft functions + optimizer rules into a live session.
     * `extraOptimizations` is idempotence-guarded: repeated registration
-    * (every gated query calls this) must not stack duplicate rules.
+    * (every gated query calls this) must not stack duplicate rules. The
+    * check-then-append is synchronized — concurrent register() calls on
+    * the same session (parallel query threads) must not interleave the
+    * check and the append and stack duplicates.
     */
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
-    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshtein))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BoundedLevenshtein
+    GraftFunctions.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(BoundedLevenshtein))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ BoundedLevenshtein
+    }
   }
 }
 

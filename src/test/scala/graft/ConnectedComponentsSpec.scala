@@ -68,6 +68,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got(200L) == 200L && got(201L) == 200L)
   }
 
+  test("hitting the iteration cap before convergence throws, never emits") {
+    import spark.implicits._
+    // maxIter = 0 forbids even one contraction round on a non-trivial
+    // graph: a silent return here could assign a node several labels
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.labels(
+        Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"), maxIter = 0).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("empty and self-loop-only edge sets yield no labels") {
     import spark.implicits._
     assert(ConnectedComponents.labels(

@@ -62,6 +62,27 @@ class TemporalSpec extends SparkSpec {
     assert(kept > 0 && kept < n)
   }
 
+  test("sampling guards: column collisions rejected, non-positive weights excluded") {
+    import spark.implicits._
+    // prioritySample exposes 'priority'; a pre-existing one must fail
+    // loudly instead of being silently overwritten
+    val clash = Seq((1L, 9L)).toDF("doc_id", "priority")
+    intercept[IllegalArgumentException] {
+      Sampling.prioritySample(clash, "doc_id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(Seq((1L, 0.5, 1.0)).toDF("doc_id", "__es", "w"),
+        "doc_id", "w", 1)
+    }
+    // zero/negative weights would draw -Inf/negative exponential variates
+    // and deterministically win the race - they must be excluded, not win
+    val w = Seq((1L, 0.0), (2L, -3.0), (3L, 1.0), (4L, 2.0))
+      .toDF("doc_id", "w")
+    val won = Sampling.weightedSample(w, "doc_id", "w", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(won == Set(3L, 4L), s"non-positive weights leaked: $won")
+  }
+
   test("charNgramSets: correct grams, short strings empty") {
     val df = Seq((1L, "abcd"), (2L, "ab"), (3L, "aaaa")).toDF("id", "t")
     val got = Dedup.charNgramSets(df, "id", "t", 3)
