@@ -246,6 +246,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_tpch_q6: all three predicates reach the parquet scan, no join") {
+    val sp = q("q_tpch_q6").queryExecution.sparkPlan
+    // toString truncates PushedFilters — read the scan node's metadata
+    val pushed = sp.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(!sp.toString.contains("Join"), sp.toString)
+  }
+
+  test("q_tpch_q5: supplier/nation/region dims ride as one broadcast") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q18: lineitem aggregates before the joins, top-k heap") {
+    val sp = q("q_tpch_q18").queryExecution.sparkPlan
+    assert(sp.toString.contains("TakeOrderedAndProject"), sp.toString)
+    // the quantity rollup must sit BELOW the first join (filter-early): no
+    // aggregate may have a join anywhere beneath it
+    val aggsAboveJoins = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.find(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BaseJoinExec]).isDefined => a
+    }
+    assert(aggsAboveJoins.isEmpty, sp.toString)
+  }
+
+  test("q_tpch_q19: one broadcast join + residual disjunction, no union") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_word_pmi: vocab cap and corpus size ride as broadcasts") {
     val p = plan("q_word_pmi")
     assert(p.contains("BroadcastExchange"), p)
