@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Iterative-traversal and sweep-line operators: BFS shortest path,
+  * pointer-doubling hierarchy closure, interval union, global concurrency
+  * peak, and per-source corpus caps. These are the shapes a warehouse
+  * usually punts to a graph engine or a driver loop; here each one is a
+  * bounded number of co-partitioned joins/windows, oracle-verified against
+  * DuckDB's recursive CTEs.
+  *
+  * Scale designs:
+  *   - BFS/doubling rounds shuffle only the frontier/ancestor table
+  *     (|V| rows), never the edge set per round beyond the equi-join;
+  *     `localCheckpoint` per round truncates the exploding lineage exactly
+  *     like ConnectedComponents (dedup/ConnectedComponents.scala).
+  *   - the interval/window queries keep every window PARTITIONED (by user
+  *     or by physical range partition via ops/PrefixSum) — no empty
+  *     partition spec anywhere (PlanSpec guards).
+  */
+object TraversalQueries {
+
+  /** Bipartite customer↔supplier graph, same node encoding as q_pagerank
+    * (customer c → 2c, supplier s → 2s+1): undirected via both directions.
+    */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val e0 = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Multi-source BFS shortest path (hop count) from three seed
+    // customers, depth-capped at 4 (the bipartite graph's diameter at any
+    // fixture SF is ≤ 4 — dense customer↔supplier incidence). Per round:
+    // frontier ⨝ edges on src, then a min-dist combine — the frontier
+    // (≤ seeds × |V| rows) is the only thing that reshuffles, and newly
+    // settled nodes leave the frontier, so late rounds are near-empty.
+    QueryDef(
+      "q_shortest_path",
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |bfs(seed, node, d) AS (
+             |  SELECT DISTINCT src, src, 0 FROM e WHERE src IN (0, 2, 4)
+             |  UNION
+             |  SELECT bfs.seed, e.dst, bfs.d + 1
+             |  FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.d < 4)
+             |SELECT seed, node, CAST(min(d) AS INT) AS dist
+             |FROM bfs GROUP BY seed, node""".stripMargin),
+      (s, dir) => {
+        val e = edges(s, dir).localCheckpoint()
+        val seeds = Seq(0L, 2L, 4L)
+        var dist = s.createDataFrame(seeds.map(x => (x, x)))
+          .toDF("seed", "node")
+          .withColumn("dist", lit(0).cast("int"))
+        for (i <- 1 to 4) {
+          val frontier = dist.filter(col("dist") === i - 1)
+          val next = frontier
+            .join(e, col("node") === col("src"))
+            .select(col("seed"), col("dst").as("node"),
+              lit(i).cast("int").as("dist"))
+          dist = dist.unionByName(next)
+            .groupBy("seed", "node")
+            .agg(min("dist").as("dist"))
+            .localCheckpoint()
+        }
+        dist
+      }),
+
+    // Hierarchy closure by POINTER DOUBLING: root ancestor + depth for the
+    // decimal-digit hierarchy parent(n) = n div 10 over customer keys
+    // (single-digit keys are roots). Three doubling rounds resolve depth
+    // ≤ 2³ — every fixture SF's key width — in O(log depth) self-joins
+    // instead of O(depth) chain hops; the self-loop on roots (anc = node,
+    // step 0) makes settled rows idempotent under further doubling. The
+    // left join + coalesce keeps rows whose ancestor key has no row in the
+    // node table (can't happen with contiguous fixture keys, but the
+    // operator must not silently drop on sparse key spaces).
+    QueryDef(
+      "q_hierarchy_closure",
+      Some("""WITH RECURSIVE walk(node, cur, d) AS (
+             |  SELECT c_custkey, c_custkey, 0 FROM customer
+             |  UNION ALL
+             |  SELECT node, cur // 10, d + 1 FROM walk WHERE cur >= 10)
+             |SELECT node AS c_custkey, cur AS root_key, CAST(d AS INT) AS depth
+             |FROM walk WHERE cur < 10""".stripMargin),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer").select("c_custkey")
+        var a = c.select(col("c_custkey").as("node"),
+          when(col("c_custkey") < 10, col("c_custkey"))
+            .otherwise(expr("c_custkey div 10")).as("anc"),
+          when(col("c_custkey") < 10, lit(0)).otherwise(lit(1))
+            .cast("int").as("d"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val y = a.select(col("node").as("y_node"), col("anc").as("y_anc"),
+            col("d").as("y_d"))
+          a = a.join(y, col("anc") === col("y_node"), "left_outer")
+            .select(col("node"),
+              coalesce(col("y_anc"), col("anc")).as("anc"),
+              (col("d") + coalesce(col("y_d"), lit(0))).cast("int").as("d"))
+            .localCheckpoint()
+        }
+        a.select(col("node").as("c_custkey"), col("anc").as("root_key"),
+          col("d").as("depth"))
+      }),
+
+    // Interval union (merge-overlaps): each event spans
+    // [ts, ts + value·1s) in ms; per user, overlapping spans merge into
+    // islands, reporting covered time and island count. The island flag is
+    // `start > max(end) over preceding rows` — both windows PARTITIONED by
+    // user, so state is per-user-bounded and users parallelize. Durations
+    // go through round(value·1000) → BIGINT: exact integer ms in both
+    // engines, immune to float summation drift.
+    QueryDef(
+      "q_interval_union",
+      Some("""WITH iv AS (SELECT user_id, event_id,
+             |    epoch_us(ts) // 1000 AS st,
+             |    epoch_us(ts) // 1000 + CAST(round(value * 1000) AS BIGINT) AS en
+             |  FROM events),
+             |m AS (SELECT *, max(en) OVER (PARTITION BY user_id
+             |    ORDER BY st, en, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+             |fl AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END
+             |    AS is_new FROM m),
+             |isl AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY st, en, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+             |g AS (SELECT user_id, island, max(en) - min(st) AS ilen
+             |  FROM isl GROUP BY user_id, island)
+             |SELECT user_id, CAST(sum(ilen) AS BIGINT) AS covered_ms,
+             |  CAST(count(*) AS BIGINT) AS n_islands
+             |FROM g GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            (unix_micros(col("ts")) / 1000).cast("long").as("st"),
+            round(col("value") * 1000).cast("long").as("dur"))
+          .withColumn("en", col("st") + col("dur"))
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("st"), col("en"), col("event_id"))
+        val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val upto = ord.rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("pmax", max("en").over(prev))
+          .withColumn("is_new",
+            when(col("pmax").isNull || col("st") > col("pmax"), 1).otherwise(0))
+          .withColumn("island", sum("is_new").over(upto))
+          .groupBy("user_id", "island")
+          .agg((max("en") - min("st")).as("ilen"))
+          .groupBy("user_id")
+          .agg(sum("ilen").as("covered_ms"), count(lit(1)).as("n_islands"))
+      }),
+
+    // Global concurrency peak: max number of simultaneously-open event
+    // intervals, and the earliest ms it is reached. The sweep line is a
+    // GLOBAL running sum over (+1 at start, −1 at end) deltas — the shape
+    // that naively plans an empty-partition-spec window. It rides
+    // ops/PrefixSum's range-partitioned two-phase scan instead (same
+    // machinery as q_pack_sequences); ends sort before starts at equal t
+    // (delta −1 < +1), closing [st, en) intervals before opening new ones.
+    QueryDef(
+      "q_concurrency_peak",
+      Some("""WITH iv AS (SELECT event_id,
+             |    epoch_us(ts) // 1000 AS st,
+             |    epoch_us(ts) // 1000 + CAST(round(value * 1000) AS BIGINT) AS en
+             |  FROM events),
+             |pts AS (
+             |  SELECT st AS t, 1 AS delta, event_id FROM iv
+             |  UNION ALL
+             |  SELECT en AS t, -1 AS delta, event_id FROM iv),
+             |rs AS (SELECT t, sum(delta) OVER (ORDER BY t, delta, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+             |  FROM pts)
+             |SELECT CAST(conc AS BIGINT) AS peak, t AS at_ms
+             |FROM rs ORDER BY conc DESC, t LIMIT 1""".stripMargin),
+      (s, dir) => {
+        val iv = Tables.t(s, dir, "events")
+          .select(col("event_id"),
+            (unix_micros(col("ts")) / 1000).cast("long").as("st"),
+            ((unix_micros(col("ts")) / 1000).cast("long") +
+              round(col("value") * 1000).cast("long")).as("en"))
+        val pts = iv.select(col("st").as("t"), lit(1L).as("delta"),
+            col("event_id"))
+          .unionByName(iv.select(col("en").as("t"), lit(-1L).as("delta"),
+            col("event_id")))
+        graft.ops.PrefixSum
+          .runningTotal(pts, Seq(col("t"), col("delta"), col("event_id")),
+            col("delta"), "conc")
+          .orderBy(col("conc").desc, col("t"))
+          .limit(1)
+          .select(col("conc").as("peak"), col("t").as("at_ms"))
+      }),
+
+    // Per-source corpus cap: keep the top-50 documents per source by
+    // length (the per-domain cap every web-corpus pipeline applies so one
+    // crawl host can't dominate the training mix), then report what
+    // survives. row_number is PARTITIONED by source — each source's heap
+    // is independent, skewed sources cost only their own partition.
+    QueryDef(
+      "q_source_cap",
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM r WHERE rk <= 50 GROUP BY source""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .select("source", "doc_id", "n_chars")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 50)
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept"), sum("n_chars").as("total_chars"))
+      })
+  )
+}

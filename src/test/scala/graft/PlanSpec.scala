@@ -285,6 +285,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("traversal/sweep-line queries plan no unpartitioned global window") {
+    for (name <- Seq("q_interval_union", "q_concurrency_peak",
+        "q_source_cap")) {
+      val sp = q(name).queryExecution.sparkPlan
+      val globalWindows = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"$name:\n$sp")
+    }
+  }
+
   test("q_word_pmi: vocab cap and corpus size ride as broadcasts") {
     val p = plan("q_word_pmi")
     assert(p.contains("BroadcastExchange"), p)
