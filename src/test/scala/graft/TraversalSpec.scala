@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the traversal/sweep-line wave that the DuckDB
+  * oracle equivalence alone doesn't pin down (both engines could share a
+  * wrong convention; these checks anchor the intended semantics).
+  */
+class TraversalSpec extends SparkSpec {
+
+  test("q_shortest_path: seeds at distance 0, bipartite parity, cap 4") {
+    val rows = q("q_shortest_path").collect()
+    val bySeed = rows.groupBy(_.getLong(0))
+    assert(bySeed.keySet == Set(0L, 2L, 4L))
+    for ((seed, rs) <- bySeed) {
+      val self = rs.find(_.getLong(1) == seed).get
+      assert(self.getInt(2) == 0, s"seed $seed not at distance 0")
+    }
+    for (r <- rows) {
+      val (node, d) = (r.getLong(1), r.getInt(2))
+      assert(d >= 0 && d <= 4)
+      // customers are even nodes, suppliers odd; every edge flips parity,
+      // and all seeds are customers — so dist parity == node parity
+      assert(d % 2 == (node % 2).toInt,
+        s"node $node at dist $d breaks bipartite parity")
+    }
+  }
+
+  test("q_hierarchy_closure: root is the leading digit, depth = digits-1") {
+    val rows = q("q_hierarchy_closure").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (node, root, depth) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val s = node.toString
+      assert(root == s.head.asDigit.toLong, s"node $node root $root")
+      assert(depth == s.length - 1, s"node $node depth $depth")
+    }
+  }
+
+  test("q_interval_union: covered time bounded by raw duration sum") {
+    val events = Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        round(col("value") * 1000).cast("long").as("dur"))
+      .groupBy("user_id").agg(sum("dur").as("raw"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = q("q_interval_union").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (user, covered, islands) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (raw, n) = events(user)
+      // merging can only shrink total coverage; islands can't exceed spans
+      assert(covered <= raw, s"user $user covered $covered > raw $raw")
+      assert(covered > 0 && islands >= 1 && islands <= n)
+    }
+  }
+
+  test("q_concurrency_peak: peak is positive and witnessed by an interval") {
+    val r = q("q_concurrency_peak").collect().head
+    val (peak, at) = (r.getLong(0), r.getLong(1))
+    assert(peak >= 1)
+    // at the reported ms, at least `peak` intervals are open: [st, en)
+    val open = Tables.t(spark, sf, "events")
+      .select((unix_micros(col("ts")) / 1000).cast("long").as("st"),
+        round(col("value") * 1000).cast("long").as("dur"))
+      .filter(col("st") <= at && col("st") + col("dur") > at)
+      .count()
+    assert(open >= peak, s"only $open open at $at, peak claims $peak")
+  }
+
+  test("q_source_cap: at most 50 docs kept per source") {
+    val rows = q("q_source_cap").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(r.getLong(1) >= 1 && r.getLong(1) <= 50)
+  }
+}
