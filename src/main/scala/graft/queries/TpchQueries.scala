@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
-/** Adapted TPC-H decision-support battery (Q4–Q22) over the fixture
-  * warehouse — the canonical multi-join / selective-filter / top-k shapes a
-  * relational engine must plan well at scale. Q1/Q3 live in
-  * RelationalQueries; this file covers the rest of the suite that the
-  * fixture schema can express (no partsupp table; no
-  * l_commitdate/l_receiptdate/l_shipmode columns — those queries are
-  * adapted to equivalent plan shapes on existing columns, noted per query).
+/** Adapted TPC-H decision-support battery — the FULL 22-query suite over
+  * the fixture warehouse: the canonical multi-join / selective-filter /
+  * top-k shapes a relational engine must plan well at scale. Q1/Q3 live in
+  * RelationalQueries; this file covers the other twenty. Queries whose
+  * schema the fixture lacks (no partsupp table; no l_commitdate /
+  * l_receiptdate / l_shipmode columns) are adapted to equivalent plan
+  * shapes on existing columns, noted per query.
   *
   * Scale discipline shared by the battery:
   *   - every dimension join (nation, region, part, supplier, filtered
@@ -523,6 +523,259 @@ object TpchQueries {
           .groupBy(col("c_nationkey").as("cntrycode"))
           .agg(count(lit(1)).as("numcust"),
             round(sum("c_acctbal"), 4).as("totacctbal"))
+      }),
+
+    // TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so the
+    // observed unit cost min(l_extendedprice / l_quantity) per
+    // (part, supplier) stands in for ps_supplycost. The correlated min
+    // subquery decorrelates into a grouped min joined back on exact
+    // equality — safe across engines because both pick the min of the
+    // SAME per-row doubles (no summation; IEEE division is
+    // deterministic). Dims (supplier⨝nation⨝region, filtered part)
+    // broadcast; the only fact-sized shuffle is the (part,supp) cost agg.
+    QueryDef(
+      "q_tpch_q2",
+      Some("""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(l_extendedprice / l_quantity) AS unit_cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |eligible AS (
+             |  SELECT c.l_partkey AS e_partkey, c.unit_cost,
+             |    s_name, s_acctbal, n_name
+             |  FROM cost c
+             |  JOIN supplier ON s_suppkey = c.l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |best AS (SELECT e_partkey AS b_partkey, min(unit_cost) AS best_cost
+             |  FROM eligible GROUP BY 1)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             |  round(unit_cost, 4) AS unit_cost
+             |FROM eligible
+             |JOIN best ON b_partkey = e_partkey AND unit_cost = best_cost
+             |JOIN part ON p_partkey = e_partkey
+             |WHERE p_type = 'STANDARD' AND p_size <= 10
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select("p_partkey", "p_name")
+        val supGeo = Tables.t(s, dir, "supplier")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val eligible = Tables.t(s, dir, "lineitem")
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .groupBy("p_partkey", "p_name", "l_suppkey")
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+          .join(broadcast(supGeo), col("s_suppkey") === col("l_suppkey"))
+        val best = eligible.groupBy(col("p_partkey").as("b_partkey"))
+          .agg(min("unit_cost").as("best_cost"))
+        eligible
+          .join(best, col("b_partkey") === col("p_partkey") &&
+            col("unit_cost") === col("best_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            round(col("unit_cost"), 4).as("unit_cost"))
+      }),
+
+    // TPC-H Q9 (product-type profit), adapted: no ps_supplycost, so cost
+    // is the deterministic proxy 0.6 × p_retailprice per unit (the
+    // standard TPC-H supplycost is itself retailprice-derived). Part and
+    // supplier⨝nation broadcast; the orders join carries only
+    // (o_orderkey, o_orderdate).
+    QueryDef(
+      "q_tpch_q9",
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)
+             |    - 0.6 * p_retailprice * l_quantity), 4) AS profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+          .filter(col("p_name").like("%bolt%"))
+          .select("p_partkey", "p_retailprice")
+        val sn = Tables.t(s, dir, "supplier")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")
+        Tables.t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+            .as("profit"))
+      }),
+
+    // TPC-H Q11 (important stock), adapted: part value = discounted
+    // revenue shipped by the scoped nations' suppliers, aggregated in
+    // INTEGER CENTS (the q_rollup idiom) so the `share > 0.1%-of-total`
+    // HAVING is exact integer arithmetic — a double-sum threshold could
+    // flip rows near the boundary between engines. cents×1000 stays
+    // far inside int64 up to ~9×10^15 cents (~$90T) total.
+    QueryDef(
+      "q_tpch_q11",
+      Some("""WITH v AS (
+             |  SELECT l_partkey,
+             |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |      AS cents
+             |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name IN ('NATION_7', 'NATION_8')),
+             |pv AS (SELECT l_partkey AS p_partkey,
+             |    CAST(sum(cents) AS BIGINT) AS part_cents
+             |  FROM v GROUP BY 1),
+             |tot AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents
+             |  FROM pv)
+             |SELECT p_partkey, round(part_cents / 100.0, 2) AS value
+             |FROM pv, tot WHERE part_cents * 1000 > total_cents""".stripMargin),
+      (s, dir) => {
+        val sn = Tables.t(s, dir, "supplier")
+          .join(broadcast(Tables.t(s, dir, "nation")
+              .filter(col("n_name").isin("NATION_7", "NATION_8"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val pv = Tables.t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("part_cents"))
+        val tot = pv.agg(sum("part_cents").as("total_cents"))
+        pv.join(broadcast(tot), col("part_cents") * 1000 > col("total_cents"))
+          .select(col("p_partkey"),
+            round(col("part_cents") / 100.0, 2).as("value"))
+      }),
+
+    // TPC-H Q12 (shipping modes / order priority), adapted: no l_shipmode
+    // column, so the two-mode carve uses the returnflag classes R/A —
+    // same plan shape: selective fact filter + fact⨝fact join + two
+    // conditional counts per group.
+    QueryDef(
+      "q_tpch_q12",
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag IN ('R', 'A')
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val l = Tables.t(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("R", "A") &&
+            col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1997-01-01"))
+          .select("l_orderkey", "l_returnflag")
+        Tables.t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+            sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+      }),
+
+    // TPC-H Q20 (potential part promotion), adapted: no partsupp availqty,
+    // so a supplier qualifies by having shipped > 40 units of some 'red%'
+    // part inside the year — the same nested semi-join shape (supplier ⋉
+    // (lineitem⨝part grouped HAVING)). Quantities are integral doubles:
+    // the HAVING threshold is exact in both engines.
+    QueryDef(
+      "q_tpch_q20",
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5', 'NATION_6')
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+             |    WHERE p_name LIKE 'red%'
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 40)""".stripMargin),
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+          .filter(col("p_name").like("red%")).select("p_partkey")
+        val qualified = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1997-01-01"))
+          .select("l_partkey", "l_suppkey", "l_quantity")
+          .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum("l_quantity").as("__q"))
+          .filter(col("__q") > 40)
+          .select("l_suppkey")
+        Tables.t(s, dir, "supplier")
+          .join(broadcast(Tables.t(s, dir, "nation")
+              .filter(col("n_name").isin(
+                "NATION_3", "NATION_4", "NATION_5", "NATION_6"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+          .join(qualified, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late line"
+    // := returned line (the Q4 proxy — no receipt/commit dates). The
+    // correlated EXISTS / NOT EXISTS pair decorrelates into ONE per-order
+    // aggregate: n_supp>1 ⇔ "another supplier shipped on this order",
+    // n_ret=1 ⇔ "no OTHER supplier's line was returned" (this line is
+    // returned, so its supplier is the one). One extra fact-side agg
+    // replaces two correlated probes — at scale that's one shuffle
+    // instead of two fact⨝fact semi-joins.
+    QueryDef(
+      "q_tpch_q21",
+      Some("""WITH os AS (
+             |  SELECT l_orderkey AS a_orderkey,
+             |    count(DISTINCT l_suppkey) AS n_supp,
+             |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+             |      AS n_ret
+             |  FROM lineitem GROUP BY 1)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+             |JOIN os ON a_orderkey = l1.l_orderkey
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_returnflag = 'R' AND n_supp > 1 AND n_ret = 1
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+        val os = l.groupBy(col("l_orderkey").as("a_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_ret"))
+          .filter(col("n_supp") > 1 && col("n_ret") === 1)
+          .select("a_orderkey")
+        val fOrders = Tables.t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        l.filter(col("l_returnflag") === "R")
+          .join(fOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .join(os, col("a_orderkey") === col("l_orderkey"), "left_semi")
+          .join(broadcast(Tables.t(s, dir, "supplier")
+            .select("s_suppkey", "s_name")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
       })
   )
 }

@@ -285,6 +285,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_tpch_q2: filtered part + supplier geo dims broadcast, no cartesian") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q9: all three dims broadcast; only orders joins by shuffle") {
+    val sp = q("q_tpch_q9").queryExecution.executedPlan
+    val shuffleJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.size <= 1, sp.toString)
+    assert(sp.toString.contains("BroadcastHashJoin"), sp.toString)
+  }
+
+  test("q_tpch_q12: shipdate+returnflag predicates reach the lineitem scan") {
+    val sp = q("q_tpch_q12").queryExecution.sparkPlan
+    val pushed = sp.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("In(l_returnflag"), pushed)
+  }
+
+  test("q_tpch_q20/q21 plan semi-joins, never inner-join row expansion") {
+    for (name <- Seq("q_tpch_q20", "q_tpch_q21")) {
+      val p = plan(name)
+      assert(p.contains("LeftSemi"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("traversal/sweep-line queries plan no unpartitioned global window") {
     for (name <- Seq("q_interval_union", "q_concurrency_peak",
         "q_source_cap")) {
