@@ -73,8 +73,20 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("\"failed\"")(_.toString)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(perQueryLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // The stdout stream's consumer keeps only a bounded tail, which has
+    // repeatedly truncated the per-query dict out of the round artifacts —
+    // so ALSO write it to a file (committed per round = per-query history
+    // survives). Best-effort: an unwritable cwd must not fail the bench.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), perQueryLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

@@ -35,26 +35,93 @@ object Tables {
     *
     * The events fixture has shipped `ts` as both timestamp[ns] (read as
     * LongType under `nanosAsLong`) and timestamp[us] (read natively as
-    * TIMESTAMP_NTZ) across driver generations — normalize either to a
-    * µs timestamp so every query sees one schema.
+    * TIMESTAMP_NTZ) across driver generations — [[normalizeEventTs]]
+    * maps either to a µs timestamp so every query sees one schema. For
+    * the LongType generation, the parquet footer's logical type is
+    * verified once per dir: a plain-int64 `ts` that is NOT annotated
+    * timestamp(NANOS) would be silently corrupted by the ÷1000, so it
+    * fails loudly instead.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      // ns generation: ns → µs truncation via integer division —
-      // `ts / 1000` in double arithmetic would corrupt epoch-ns values
-      // (> 2^53).
+    if (name == "events") {
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        requireNanosFooter(spark, s"$dir/$name.parquet")
+      normalizeEventTs(df)
+    } else df
+  }
+
+  /** Normalize the events `ts` column to a µs TIMESTAMP regardless of
+    * which fixture generation produced it. Dispatches purely on the
+    * DataFrame schema, so it works identically on batch reads and on
+    * `readStream` DataFrames built with the batch-read schema.
+    *
+    *  - LongType (timestamp[ns] under `nanosAsLong`): integer-divide to
+    *    µs — `ts / 1000` in double arithmetic would corrupt epoch-ns
+    *    values (> 2^53).
+    *  - TIMESTAMP_NTZ (native timestamp[us] without tz): cast to
+    *    TIMESTAMP — value-identical ONLY under a UTC session timezone,
+    *    which is asserted here so a session built without
+    *    [[sessionConfigs]] fails loudly instead of silently shifting
+    *    every event time by the local-tz offset.
+    *  - TIMESTAMP: already normalized, no-op.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
       case LongType => df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      // µs generation: parquet timestamp[us] without tz reads as
-      // TIMESTAMP_NTZ; cast to TIMESTAMP (value-identical under the UTC
-      // session tz) so every query keeps the one schema it was built on.
-      case TimestampNTZType => df.withColumn("ts",
-        df("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"events ts is TIMESTAMP_NTZ and session timeZone is '$tz' — the " +
+            "NTZ→TIMESTAMP cast is only value-preserving under UTC; apply " +
+            "Tables.sessionConfigs to the session")
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events ts has unexpected type $other — fixture generation drift; " +
+          "extend Tables.normalizeEventTs for it")
     }
-    else df
+  }
+
+  private val verifiedNsPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A LongType `ts` is only epoch-NANOS if the parquet footer says so
+    * (`nanosAsLong` is the sole source of long-typed ts in our fixtures).
+    * One driver-side footer read per path, cached.
+    */
+  private def requireNanosFooter(spark: SparkSession, path: String): Unit = {
+    if (verifiedNsPaths.contains(path)) return
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet file under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val ann = schema.getType(schema.getFieldIndex("ts"))
+        .asPrimitiveType().getLogicalTypeAnnotation
+      val isNanos = ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+      if (!isNanos) throw new IllegalStateException(
+        s"events ts reads as BIGINT but the parquet logical type is $ann, " +
+          s"not timestamp(NANOS) — refusing the ns→µs division ($file)")
+      verifiedNsPaths.add(path)
+    } finally reader.close()
   }
 }

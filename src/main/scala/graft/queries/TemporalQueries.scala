@@ -10,8 +10,9 @@ import graft.streaming.{IncrementalStream, Sessionize}
   * rolling windows, sessionization, deciles, a star-schema rollup, exact
   * group quantiles, and a real Structured Streaming windowed aggregation
   * under the oracle gate. Timestamps are compared as epoch microseconds
-  * (`unix_micros` ↔ DuckDB `epoch_us`, both truncating the fixture's
-  * nanosecond column identically).
+  * (`unix_micros` ↔ DuckDB `epoch_us`): whichever ts generation the
+  * fixture ships (ns or µs — [[graft.Tables.normalizeEventTs]]), both
+  * engines see the same µs values.
   */
 object TemporalQueries {
 

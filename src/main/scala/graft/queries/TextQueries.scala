@@ -506,11 +506,16 @@ object TextQueries {
         "doc_id", "text", threshold = 0.9)),
 
     // TRIANGLE COUNT over the near-dup graph (clustering-coefficient
-    // denominator; how clique-like are the dup clusters?). id-ordered
-    // wedge join: each triangle a<b<c counted once via (a,b)⋈(b,c) then
-    // closing against (a,c). At web scale orient edges low-degree→high
-    // (not by id) so wedge fan-out is bounded by the SMALLER endpoint's
-    // degree — same joins, one extra degree pass.
+    // denominator; how clique-like are the dup clusters?). DEGREE-ORIENTED
+    // wedge join (the at-scale algorithm, now the gated default): orient
+    // each undirected edge low-degree→high-degree (ties by id) — the
+    // orientation is acyclic, so every triangle has exactly ONE vertex
+    // with both edges outgoing and is counted exactly once at that
+    // vertex. Wedge fan-out is then bounded by the SMALLER endpoint's
+    // out-degree (≤ O(√m) on any graph), which is what survives a
+    // power-law web graph where id-ordered wedges explode at hub nodes.
+    // Costs one extra degree aggregate + broadcastable join; the count is
+    // identical (TraversalSpec pins parity vs the id-ordered wedge join).
     QueryDef(
       "q_triangles",
       Some("""WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
@@ -534,11 +539,7 @@ object TextQueries {
             .filter(col("word").isNotNull),
           threshold = 0.6, strategy = Dedup.JaccardInverted)
           .select("doc_a", "doc_b").localCheckpoint()
-        val x = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        val y = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
-        val z = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
-        x.join(y, Seq("b")).join(z, Seq("a", "c"))
-          .agg(count(lit(1)).as("n_triangles"))
+        graft.ops.Triangles.count(s, e)
       }),
 
     // Unicode NFC normalization (native codegen expression wrapping the

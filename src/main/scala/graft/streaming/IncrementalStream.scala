@@ -50,9 +50,11 @@ object IncrementalStream {
       window_ : String = "1 hour",
       watermarkDelay: String = "2 hours"): (DataFrame, String) = {
     val schema = spark.read.parquet(srcGlob).schema
-    val stream = spark.readStream.schema(schema).parquet(srcGlob)
-      // ns→µs exactly as Tables.t (nanosAsLong reads ts as long)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize ts for whichever fixture generation landed (ns-long or
+    // µs-NTZ) — the helper dispatches on the schema, so it works on the
+    // streaming DataFrame directly
+    val stream = graft.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(srcGlob))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -92,8 +94,8 @@ object IncrementalStream {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(src),
       java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
-    val agg = statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeEventTs(
+        statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in"))
       .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
       .withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -20,19 +20,16 @@ class IncrementalSpec extends SparkSpec {
     // the SAME content delivered twice (two distinct files = two batches)
     Files.copy(part, java.nio.file.Paths.get(s"$base/in/a.parquet"))
     Files.copy(part, java.nio.file.Paths.get(s"$base/in/b.parquet"))
-    val stream = spark.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in"))
       .select("user_id", "event_id", "event_type", "value", "ts")
     val wh = new Warehouse(spark, s"$base/wh")
     graft.streaming.StreamMerge.runMergeLatest(stream, s"$base/chk", wh,
       "latest", Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
     val got = wh.read("latest")
     val expect = graft.ops.Relational.latestPerKey(
-      spark.read.parquet(s"$base/in/a.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      Tables.normalizeEventTs(spark.read.parquet(s"$base/in/a.parquet"))
         .select("user_id", "event_id", "event_type", "value", "ts"),
       Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
     assert(got.count() == expect.count())

@@ -319,6 +319,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q21: two semi-join probes, broadcast supplier, top-k heap") {
+    // the decorrelated EXISTS/NOT-EXISTS pair must stay SEMI joins (probe,
+    // not row-expand), the supplier dim must broadcast, and the final
+    // ORDER BY+LIMIT must plan as a heap — a global sort of the s_name
+    // aggregate would serialize the reduce side at scale
+    val p = q("q_tpch_q21").queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q8: every dim broadcasts; facts shuffle-join at most twice") {
+    // the widest join in the battery (7 tables): part/supplier/nation×2/
+    // region must all ride as broadcasts — only lineitem⨝orders and
+    // ⨝customer may shuffle. A third shuffle join means a dim fell off
+    // the broadcast path and would move TBs at scale.
+    val sp = q("q_tpch_q8").queryExecution.executedPlan
+    val shuffleJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.size <= 2, sp.toString)
+    assert(sp.toString.contains("BroadcastHashJoin"), sp.toString)
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
+  }
+
   test("traversal/sweep-line queries plan no unpartitioned global window") {
     for (name <- Seq("q_interval_union", "q_concurrency_peak",
         "q_source_cap")) {

@@ -72,4 +72,36 @@ class TraversalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     for (r <- rows) assert(r.getLong(1) >= 1 && r.getLong(1) <= 50)
   }
+
+  test("degree-oriented triangle count equals id-ordered on a hub graph") {
+    import graft.ops.Triangles
+    // a star hub (node 0 — where id-ordered wedges explode) overlaid
+    // with cliques and chains touching the hub: exercises tie-breaking
+    // (equal-degree leaves), hub orientation, and non-hub triangles
+    val edges = (
+      (1L to 20L).map(i => (0L, i)) ++                 // star: no triangles
+        Seq((1L, 2L), (3L, 4L), (5L, 6L)) ++           // hub triangles
+        Seq((21L, 22L), (22L, 23L), (21L, 23L)) ++     // off-hub triangle
+        Seq((24L, 25L))                                 // isolated edge
+      ).distinct
+    val df = spark.createDataFrame(edges).toDF("doc_a", "doc_b")
+    val fast = Triangles.count(spark, df).first().getLong(0)
+    val base = Triangles.countIdOrdered(df).first().getLong(0)
+    assert(fast == base, s"degree-oriented $fast != id-ordered $base")
+    assert(fast == 4L, s"expected 4 triangles, got $fast")
+  }
+
+  test("triangle parity holds on a random graph (seeded)") {
+    import graft.ops.Triangles
+    val rnd = new scala.util.Random(42)
+    val edges = (for (_ <- 1 to 400) yield {
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val df = spark.createDataFrame(edges).toDF("doc_a", "doc_b")
+    val fast = Triangles.count(spark, df).first().getLong(0)
+    val base = Triangles.countIdOrdered(df).first().getLong(0)
+    assert(fast == base, s"degree-oriented $fast != id-ordered $base")
+    assert(fast > 0, "vacuous random graph — raise edge count")
+  }
 }

@@ -50,7 +50,36 @@ def canon(rows, cols, types):
             [canon_type(types[i]) for i in order], out)
 
 
+# DuckDB constructs whose semantics have MOVED across DuckDB versions —
+# the local gate runs one DuckDB, the driver may run another, so an oracle
+# leaning on any of these can be locally green yet driver-red
+# (q_decimal_money was, twice, via sum(BIGINT)→HUGEINT × DECIMAL).
+# Flagged statically so the drift is named before it costs a round.
+VERSION_SENSITIVE = [
+    ("* CAST(0.01 AS DECIMAL", "HUGEINT×DECIMAL reconstitution"),
+    ("AS DECIMAL", "DECIMAL in gated output (prefer integer cents/BIGINT)"),
+    ("::DECIMAL", "DECIMAL cast in gated output"),
+]
+
+
+def lint_oracles(oracle):
+    hits = []
+    for name, sql in sorted(oracle.items()):
+        for pat, why in VERSION_SENSITIVE:
+            if pat in sql:
+                hits.append(f"  ! {name}: oracle uses '{pat}' — {why}")
+                break
+    if hits:
+        print(f"version-sensitive oracle constructs ({len(hits)}):")
+        for h in hits:
+            print(h)
+
+
 def main(sf_dir, out_dir):
+    # The gate's verdict depends on the DuckDB that renders the oracle;
+    # record it so a locally-green/driver-red row can be attributed to a
+    # version gap instead of re-litigating the query.
+    print(f"duckdb={duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -58,6 +87,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    lint_oracles(oracle)
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
