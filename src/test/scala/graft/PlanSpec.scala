@@ -346,6 +346,33 @@ class PlanSpec extends SparkSpec {
     assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 
+  test("q_ngram_novelty: first-occurrence is a partial aggregate, no window") {
+    // hot boilerplate grams must collapse map-side (min(doc_id) partial),
+    // and novelty must never plan a corpus-ordered window
+    val sp = q("q_ngram_novelty").queryExecution.sparkPlan
+    assert(sp.toString.contains("partial_min"), sp.toString)
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, sp.toString)
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
+  }
+
+  test("mixture queries: corpus reduces before any cross join (one-row totals only)") {
+    // q_mix_weights/q_token_budget cross-join ONE-ROW totals — every
+    // BroadcastNestedLoopJoin in the plan must sit above the per-source
+    // aggregate, so its inputs are |sources|-sized, never the corpus
+    for (name <- Seq("q_mix_weights", "q_token_budget")) {
+      val sp = q(name).queryExecution.sparkPlan
+      val bad = sp.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+            if j.find(_.isInstanceOf[
+              org.apache.spark.sql.execution.aggregate.BaseAggregateExec]).isEmpty => j
+      }
+      assert(bad.isEmpty, s"$name cross-joins un-aggregated input:\n$sp")
+    }
+  }
+
   test("traversal/sweep-line queries plan no unpartitioned global window") {
     for (name <- Seq("q_interval_union", "q_concurrency_peak",
         "q_source_cap")) {
