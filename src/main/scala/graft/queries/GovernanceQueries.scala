@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Corpus-GOVERNANCE operators: the audit reports a data pipeline owner
+  * runs before shipping a corpus — filter-funnel attrition, per-source
+  * dedup impact, k-anonymity suppression cost, and embedding-space
+  * separability.
+  *
+  * Reference behavior: the reference's per-connector data-quality and
+  * row-count audit queries (dq dashboards over load stats), generalized
+  * to the corpus-curation checks an LLM data pipeline needs.
+  *
+  * Scale shape: every query is one corpus scan reduced by
+  * map-side-combinable aggregates to a tiny report frame (|stages|,
+  * |sources|, |event types|, |label pairs|); no windows over the corpus,
+  * no cross joins except |labels|²-sized centroid pairing.
+  */
+object GovernanceQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // FILTER-FUNNEL attrition: the cumulative keep/drop ledger for a
+    // 4-rule quality gate (min chars → target langs → min words → max
+    // stopword ratio). ONE scan computes per-doc flags; conditional sums
+    // collapse to a single row; stack() unpivots to one row per stage
+    // with pass/drop/rate bookkeeping. The report a curation run prints
+    // before anyone signs off on "we dropped 37% of the crawl".
+    QueryDef(
+      "q_filter_funnel",
+      Some("""WITH w AS (SELECT n_chars, lang,
+             |    regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+             |f AS (SELECT
+             |    n_chars >= 120 AS c1,
+             |    lang IN ('en', 'de', 'fr', 'es') AS c2,
+             |    len(t) >= 25 AS c3,
+             |    len(list_filter(t, x -> x IN ('the', 'a')))::DOUBLE
+             |      / len(t) <= 0.10 AS c4
+             |  FROM w),
+             |a AS (SELECT
+             |    CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             |    CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+             |  FROM f)
+             |SELECT stage, filter, n_pass,
+             |  n_prev - n_pass AS n_dropped,
+             |  round(n_pass::DOUBLE / n0, 4) AS pass_rate
+             |FROM (
+             |  SELECT n0, 0 AS stage, 'all' AS filter, n0 AS n_pass, n0 AS n_prev FROM a
+             |  UNION ALL SELECT n0, 1, 'min_chars_120', n1, n0 FROM a
+             |  UNION ALL SELECT n0, 2, 'target_langs', n2, n1 FROM a
+             |  UNION ALL SELECT n0, 3, 'min_words_25', n3, n2 FROM a
+             |  UNION ALL SELECT n0, 4, 'stopword_ratio', n4, n3 FROM a)""".stripMargin),
+      (s, dir) => {
+        val f = Tables.t(s, dir, "documents")
+          .select(col("n_chars"), col("lang"),
+            split(trim(col("text")), "\\s+").as("t"))
+          .select(
+            (col("n_chars") >= 120).as("c1"),
+            col("lang").isin("en", "de", "fr", "es").as("c2"),
+            (size(col("t")) >= 25).as("c3"),
+            (size(filter(col("t"), x => x.isin("the", "a"))).cast("double")
+              / size(col("t")) <= 0.10).as("c4"))
+        f.agg(
+            count(lit(1)).as("n0"),
+            sum(when(col("c1"), 1).otherwise(0)).as("n1"),
+            sum(when(col("c1") && col("c2"), 1).otherwise(0)).as("n2"),
+            sum(when(col("c1") && col("c2") && col("c3"), 1).otherwise(0)).as("n3"),
+            sum(when(col("c1") && col("c2") && col("c3") && col("c4"), 1)
+              .otherwise(0)).as("n4"))
+          .selectExpr(
+            """stack(5,
+              |  0, 'all',            n0, n0, n0,
+              |  1, 'min_chars_120',  n1, n0, n0,
+              |  2, 'target_langs',   n2, n1, n0,
+              |  3, 'min_words_25',   n3, n2, n0,
+              |  4, 'stopword_ratio', n4, n3, n0
+              |) AS (stage, filter, n_pass, n_prev, n_all)""".stripMargin)
+          .select(col("stage"), col("filter"),
+            col("n_pass").cast("long").as("n_pass"),
+            (col("n_prev") - col("n_pass")).cast("long").as("n_dropped"),
+            round(col("n_pass").cast("double") / col("n_all"), 4).as("pass_rate"))
+      }),
+
+    // PER-SOURCE DEDUP IMPACT with GLOBAL keeper attribution: dedup on
+    // the normalized 50-char prefix fingerprint keeps the lowest doc_id
+    // per cluster CORPUS-WIDE; each source is then charged for its docs
+    // that lost to a keeper (possibly in another source) — the report
+    // that shows which feeds are re-crawling each other. min(doc_id) per
+    // fingerprint is a partial aggregate (hot boilerplate collapses
+    // map-side); the keeper table joins back on the fingerprint key.
+    QueryDef(
+      "q_dedup_impact",
+      Some("""WITH fp AS (SELECT doc_id, source,
+             |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 50) AS fp
+             |  FROM documents),
+             |k AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  round(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 4) AS dup_rate
+             |FROM fp JOIN k USING (fp) GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val fp = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            substring(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+              1, 50).as("fp"))
+        val k = fp.groupBy("fp").agg(min("doc_id").as("keeper"))
+        fp.join(k, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("keeper"), 1).otherwise(0))
+              .cast("long").as("n_kept"),
+            sum(when(col("doc_id") =!= col("keeper"), 1).otherwise(0))
+              .cast("long").as("n_removed"))
+          .select(col("source"), col("n_docs"), col("n_kept"), col("n_removed"),
+            round(col("n_removed").cast("double") / col("n_docs"), 4)
+              .as("dup_rate"))
+      }),
+
+    // K-ANONYMITY suppression audit (k=5): quasi-identifier =
+    // (event_type, event hour); a group seen by fewer than k distinct
+    // users is re-identifiable, and publishing the table k-anonymized
+    // means suppressing those rows. Reports, per event type, how many
+    // quasi-groups are risky and what fraction of rows suppression
+    // costs — the privacy/utility tradeoff number. Two stacked
+    // aggregates; group cardinality is |types|×|hours|, never user-sized.
+    QueryDef(
+      "q_k_anon",
+      Some("""WITH g AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+             |  CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+             |    AS rows_suppressed,
+             |  round(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)::DOUBLE
+             |    / sum(n_rows), 4) AS suppression_cost
+             |FROM g GROUP BY 1""".stripMargin),
+      (s, dir) => Tables.t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_rows"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_users") < 5, 1).otherwise(0)).cast("long")
+            .as("n_risky"),
+          sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L))
+            .cast("long").as("rows_suppressed"),
+          round(sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L))
+            .cast("double") / sum("n_rows"), 4).as("suppression_cost"))),
+
+    // LABEL-CENTROID COSINE matrix: pairwise similarity between
+    // per-label embedding centroids — the separability audit run before
+    // trusting labels for stratified sampling or eval splits. Centroids
+    // come from ONE posexplode + (label, dim) average (map-side
+    // combinable, |labels|·dims rows); the pairwise stage joins on the
+    // dim key so it is |labels|²·dims — never |vectors|². No arrays are
+    // re-materialized: dot and norms are plain aggregates.
+    QueryDef(
+      "q_centroid_cos",
+      Some("""WITH x AS (SELECT label,
+             |    unnest(embedding::DOUBLE[]) AS v,
+             |    unnest(range(len(embedding))) AS i
+             |  FROM embeddings),
+             |c AS (SELECT label, i, avg(v) AS v FROM x GROUP BY 1, 2),
+             |n AS (SELECT label, sqrt(sum(v * v)) AS nrm FROM c GROUP BY 1),
+             |p AS (SELECT a.label AS label_a, b.label AS label_b,
+             |    sum(a.v * b.v) AS dot
+             |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT label_a, label_b,
+             |  round(dot / (x.nrm * y.nrm), 4) AS cos
+             |FROM p JOIN n x ON x.label = label_a
+             |JOIN n y ON y.label = label_b""".stripMargin),
+      (s, dir) => {
+        val x = Tables.t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .select(col("label"), col("i"), col("v").cast("double").as("v"))
+        val c = x.groupBy("label", "i").agg(avg("v").as("v"))
+        val n = c.groupBy("label").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+        val a = c.select(col("label").as("label_a"), col("i"), col("v").as("va"))
+        val b = c.select(col("label").as("label_b"), col("i"), col("v").as("vb"))
+        a.join(b, Seq("i")).filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sum(col("va") * col("vb")).as("dot"))
+          .join(n.select(col("label").as("label_a"), col("nrm").as("na")), "label_a")
+          .join(n.select(col("label").as("label_b"), col("nrm").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      })
+  )
+}

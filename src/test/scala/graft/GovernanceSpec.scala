@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the governance wave. */
+class GovernanceSpec extends SparkSpec {
+
+  test("q_filter_funnel: monotone attrition, conserved drops, real bite") {
+    val rows = q("q_filter_funnel").collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Long]("n_pass"),
+        r.getAs[Long]("n_dropped"), r.getAs[Double]("pass_rate")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    val all = rows.head._2
+    assert(rows.head._3 == 0 && rows.head._4 == 1.0)
+    // each stage passes no more than the previous; drops are conserved
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._2 <= prev._2, s"stage ${cur._1} grew the corpus")
+      assert(cur._3 == prev._2 - cur._2, s"stage ${cur._1} drop mismatch")
+    }
+    assert(rows.map(_._3).sum == all - rows.last._2)
+    assert(rows.last._2 < all, "no filter dropped anything — funnel is vacuous")
+    assert(rows.last._2 > 0, "funnel dropped everything — thresholds wrong")
+  }
+
+  test("q_dedup_impact: kept+removed conserved, keeper totals match clusters") {
+    val rows = q("q_dedup_impact").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed"),
+        r.getAs[Double]("dup_rate")))
+    assert(rows.nonEmpty)
+    for ((src, n, kept, rem, rate) <- rows) {
+      assert(kept + rem == n, s"$src loses docs")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // Σ kept across sources == distinct global fingerprints
+    val fps = Tables.t(spark, sf, "documents")
+      .select(substring(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+        1, 50).as("fp"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == fps,
+      s"keepers ${rows.map(_._3).sum} != global clusters $fps")
+    assert(rows.map(_._2).sum ==
+      Tables.t(spark, sf, "documents").count())
+  }
+
+  test("q_k_anon: suppression bookkeeping is internally consistent") {
+    val rows = q("q_k_anon").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_risky"), r.getAs[Long]("rows_suppressed"),
+        r.getAs[Double]("suppression_cost")))
+    assert(rows.nonEmpty)
+    for ((t, groups, risky, supp, cost) <- rows) {
+      assert(risky <= groups, s"$t: more risky groups than groups")
+      // a risky group has 1..4 users; rows ≥ users ≥ 1 per risky group
+      assert(supp >= risky, s"$t: fewer suppressed rows than risky groups")
+      assert(cost >= 0.0 && cost <= 1.0)
+    }
+    val totalRows = rows.map(_._4).sum
+    assert(totalRows <= Tables.t(spark, sf, "events").count())
+    assert(rows.exists(_._3 > 0),
+      "no risky quasi-group at this sf — the audit is vacuous here")
+  }
+
+  test("q_centroid_cos: one row per unordered label pair, cosine bounded") {
+    val rows = q("q_centroid_cos").collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"),
+        r.getAs[Double]("cos")))
+    val k = Tables.t(spark, sf, "embeddings")
+      .select("label").distinct().count().toInt
+    assert(rows.length == k * (k - 1) / 2,
+      s"${rows.length} pairs for $k labels")
+    for ((a, b, c) <- rows) {
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(c >= -1.0001 && c <= 1.0001, s"cos($a,$b)=$c out of range")
+    }
+    assert(rows.map(_._3).distinct.length > 1,
+      "all centroid cosines identical — degenerate embedding fixture")
+  }
+}
