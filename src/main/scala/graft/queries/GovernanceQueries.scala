@@ -156,6 +156,105 @@ object GovernanceQueries {
           round(sum(when(col("n_users") < 5, col("n_rows")).otherwise(0L))
             .cast("double") / sum("n_rows"), 4).as("suppression_cost"))),
 
+    // EVAL-SPLIT LEAKAGE: after the deterministic sha-bucket split
+    // (identical to q_split_sample), count test docs that have a ≥0.9
+    // word-Jaccard near-duplicate on the train/val side — the
+    // decontamination check run before any benchmark number is trusted.
+    // Pair generation pins the SAME strategy q_word_jaccard pins — bitmask
+    // with the 10k-doc cap — because this template corpus's 31-word
+    // vocabulary defeats every candidate-pruning scheme (measured there:
+    // prefix-inverted = 11.3M candidates / ~90 s, popcount all-pairs ~2 s;
+    // re-confirmed here: the default auto-routed index cost 85 s at
+    // sf0.1). On a real vocabulary the call would pass JaccardInverted,
+    // exactly like q_word_jaccard_scaled. The split and leak attribution
+    // are joins on the pair ends.
+    QueryDef(
+      "q_split_leakage",
+      Some("""WITH w AS (SELECT doc_id, list_distinct(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |  FROM documents),
+             |s AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+             |      WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 100 AS b FROM documents)),
+             |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+             |      / len(list_distinct(a.ws || b.ws)) >= 0.9),
+             |x AS (SELECT DISTINCT CASE WHEN sa.split = 'test' THEN da ELSE db
+             |    END AS leaked
+             |  FROM p JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+             |  WHERE (sa.split = 'test') <> (sb.split = 'test'))
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s
+             |    WHERE split = 'test') AS n_test,
+             |  CAST(count(*) AS BIGINT) AS n_leaked,
+             |  round(count(*)::DOUBLE / (SELECT count(*) FROM s
+             |    WHERE split = 'test'), 4) AS leak_rate
+             |FROM x""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val splits = graft.ops.Sampling.hashSplit(
+          docs.select("doc_id"), "doc_id").select("doc_id", "split")
+        val pairs = graft.dedup.Dedup.jaccardPairs(
+            docs, "doc_id", "text", threshold = 0.9,
+            strategy = graft.dedup.Dedup.JaccardBitmask,
+            bitmaskMaxDocs = 10000L)
+          .select("doc_a", "doc_b")
+        val leaked = pairs
+          .join(splits.select(col("doc_id").as("doc_a"),
+            (col("split") === "test").as("ta")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"),
+            (col("split") === "test").as("tb")), "doc_b")
+          .filter(col("ta") =!= col("tb"))
+          .select(when(col("ta"), col("doc_a")).otherwise(col("doc_b"))
+            .as("leaked"))
+          .distinct()
+        val nTest = splits.filter(col("split") === "test")
+          .agg(count(lit(1)).as("n_test"))
+        leaked.agg(count(lit(1)).as("n_leaked"))
+          .crossJoin(broadcast(nTest))
+          .select(col("n_test"), col("n_leaked"),
+            round(col("n_leaked").cast("double") / col("n_test"), 4)
+              .as("leak_rate"))
+      }),
+
+    // WINSORIZATION audit: clamp value to per-type exact [p05, p95] and
+    // report the clamp counts + winsorized mean — the outlier treatment
+    // robust pipelines apply before any mean-based statistic. Cuts come
+    // from ops.Quantiles (partitioned rank arithmetic, quantile_cont
+    // parity proven by q_percentile) and ride back as a broadcast join —
+    // the corpus is never windowed or sorted globally.
+    QueryDef(
+      "q_winsorize",
+      Some("""WITH c AS (SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events GROUP BY 1)
+             |SELECT e.event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  round(avg(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+             |    ELSE value END), 4) AS mean_w
+             |FROM events e JOIN c USING (event_type) GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events").select("event_type", "value")
+        val cuts = graft.ops.Quantiles.groupQuantiles(
+            ev, "event_type", "value", Seq("lo" -> 0.05, "hi" -> 0.95))
+          .select("event_type", "lo", "hi")
+        ev.join(broadcast(cuts), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo"), 1).otherwise(0)).cast("long")
+              .as("n_lo"),
+            sum(when(col("value") > col("hi"), 1).otherwise(0)).cast("long")
+              .as("n_hi"),
+            round(avg(when(col("value") < col("lo"), col("lo"))
+              .when(col("value") > col("hi"), col("hi"))
+              .otherwise(col("value"))), 4).as("mean_w"))
+      }),
+
     // LABEL-CENTROID COSINE matrix: pairwise similarity between
     // per-label embedding centroids — the separability audit run before
     // trusting labels for stratified sampling or eval splits. Centroids

@@ -62,6 +62,38 @@ class GovernanceSpec extends SparkSpec {
       "no risky quasi-group at this sf — the audit is vacuous here")
   }
 
+  test("q_split_leakage: leaked docs are test docs with a cross-split twin") {
+    val r = q("q_split_leakage").collect().head
+    val (nTest, nLeaked, rate) =
+      (r.getAs[Long]("n_test"), r.getAs[Long]("n_leaked"),
+        r.getAs[Double]("leak_rate"))
+    assert(nTest > 0 && nLeaked <= nTest)
+    assert(math.abs(rate - nLeaked.toDouble / nTest) < 1e-3)
+    // the template corpus is highly self-similar (q_word_jaccard finds
+    // thousands of ≥0.9 pairs) — zero leakage would mean the join broke
+    assert(nLeaked > 0, "no leakage found on a corpus full of near-dups")
+    // split sizes must match the deterministic hash split
+    val split = graft.ops.Sampling.hashSplit(
+      Tables.t(spark, sf, "documents").select("doc_id"), "doc_id")
+    assert(split.filter(col("split") === "test").count() == nTest)
+  }
+
+  test("q_winsorize: clamp counts sit at the 5% tails, mean is finite") {
+    val rows = q("q_winsorize").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"),
+        r.getAs[Double]("mean_w")))
+    assert(rows.nonEmpty)
+    for ((t, n, lo, hi, mean) <- rows) {
+      // exact p05/p95 cuts on a continuous value: strictly-outside counts
+      // land within a whisker of 5% each side
+      assert(lo <= 0.07 * n + 2 && lo >= 0.03 * n - 2, s"$t n_lo=$lo of $n")
+      assert(hi <= 0.07 * n + 2 && hi >= 0.03 * n - 2, s"$t n_hi=$hi of $n")
+      assert(lo + hi < n, s"$t clamped everything")
+      assert(!mean.isNaN && !mean.isInfinite)
+    }
+  }
+
   test("q_centroid_cos: one row per unordered label pair, cosine bounded") {
     val rows = q("q_centroid_cos").collect()
       .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"),
