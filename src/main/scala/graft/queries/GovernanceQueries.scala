@@ -255,6 +255,89 @@ object GovernanceQueries {
               .otherwise(col("value"))), 4).as("mean_w"))
       }),
 
+    // HARD-NEGATIVE MINING: for each query vector, the top-3 most
+    // cosine-similar vectors with a DIFFERENT label — the
+    // contrastive-pair source a retrieval/embedding trainer feeds on.
+    // Same plan family as q_knn_cosine (broadcast query block × corpus,
+    // native codegen dot product, per-query top-k window over a
+    // |queries|-partitioned frame); the label constraint is a residual
+    // filter on the broadcast join, pruning before any score is computed.
+    QueryDef(
+      "q_hard_negatives",
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+             |    embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS neighbor_id, label AS nlabel,
+             |    embedding::DOUBLE[] AS cv FROM embeddings)
+             |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+             |  round(cos, 4) AS cos
+             |FROM (SELECT query_id, neighbor_id,
+             |    list_cosine_similarity(qv, cv) AS cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+             |  FROM q JOIN c ON qlabel <> nlabel)
+             |WHERE rank <= 3""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.expressions.DotProduct
+        val base = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val withN = base.withColumn("n",
+          sqrt(DotProduct.dot(s, col("v"), col("v"))))
+        val qs = withN.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("v").as("qv"), col("n").as("qn"))
+        val cs = withN.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel"), col("v").as("cv"), col("n").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        cs.crossJoin(broadcast(qs))
+          .filter(col("nlabel") =!= col("qlabel"))
+          .withColumn("cos",
+            DotProduct.dot(s, col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos"))
+      }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX: near-dup pairs (≥0.9 word
+    // Jaccard, same pinned bitmask strategy as q_split_leakage) rolled up
+    // by the source pair — the "which feeds mirror each other" report
+    // that decides crawl dedup priorities. The pair set is tiny relative
+    // to the corpus; source attribution is two joins on the pair ends and
+    // the rollup is |sources|²-bounded.
+    QueryDef(
+      "q_source_overlap",
+      Some("""WITH w AS (SELECT doc_id, source, list_distinct(
+             |    regexp_split_to_array(lower(trim(regexp_replace(
+             |      text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |  FROM documents),
+             |p AS (SELECT a.doc_id AS da, a.source AS sa,
+             |    b.doc_id AS db, b.source AS sb
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+             |      / len(list_distinct(a.ws || b.ws)) >= 0.9)
+             |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        graft.dedup.Dedup.jaccardPairs(
+            docs, "doc_id", "text", threshold = 0.9,
+            strategy = graft.dedup.Dedup.JaccardBitmask,
+            bitmaskMaxDocs = 10000L)
+          .select("doc_a", "doc_b")
+          .join(broadcast(srcs.select(col("doc_id").as("doc_a"),
+            col("source").as("sa"))), "doc_a")
+          .join(broadcast(srcs.select(col("doc_id").as("doc_b"),
+            col("source").as("sb"))), "doc_b")
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
     // LABEL-CENTROID COSINE matrix: pairwise similarity between
     // per-label embedding centroids — the separability audit run before
     // trusting labels for stratified sampling or eval splits. Centroids

@@ -94,6 +94,41 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q_hard_negatives: negatives really cross labels, ranks well-formed") {
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q_hard_negatives").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos")))
+    assert(rows.nonEmpty)
+    for ((qid, nid, _, _) <- rows)
+      assert(labels(qid) != labels(nid),
+        s"negative $nid shares label ${labels(qid)} with query $qid")
+    for ((qid, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3), s"query $qid ranks")
+      val byRank = rs.sortBy(_._3).map(_._4).toSeq
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $qid cos not descending: ${byRank.mkString(",")}")
+    }
+  }
+
+  test("q_source_overlap: canonical source pairs, mass equals the pair set") {
+    val rows = q("q_source_overlap").collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_pairs")))
+    assert(rows.nonEmpty)
+    for ((a, b, n) <- rows) {
+      assert(a <= b, s"pair ($a,$b) not canonical")
+      assert(n > 0)
+    }
+    // cross-query consistency: the matrix is a rollup of exactly the
+    // q_word_jaccard pair set (same threshold, same strategy)
+    val pairCount = q("q_word_jaccard").count()
+    assert(rows.map(_._3).sum == pairCount,
+      s"matrix mass ${rows.map(_._3).sum} != pair set $pairCount")
+  }
+
   test("q_centroid_cos: one row per unordered label pair, cosine bounded") {
     val rows = q("q_centroid_cos").collect()
       .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b"),
