@@ -368,6 +368,65 @@ object StreamQueries {
         s.read.parquet(s"$base/out")
       }),
 
+    // CUSTOM CROSS-BATCH STATE under the hash gate: a per-(user, day)
+    // admission cap via flatMapGroupsWithState — admit the first 2 events
+    // per key in event-time order, with the admitted count carried across
+    // micro-batches in the state store. Staging puts every key's FIRST
+    // event in file 1 and the rest in file 2 (per-key event-time order
+    // preserved — the arrival shape of a pipeline draining one
+    // rank-ordered landing file per run), so EVERY multi-event key spans
+    // the batch boundary: batch 2 can only admit the correct second event
+    // if batch 1's admission count survived the checkpoint. Oracle = the
+    // batch row_number()<=2 twin, which only matches if that state works.
+    QueryDef(
+      "q_stream_ratelimit",
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM (
+             |  SELECT event_id, user_id, ts, row_number() OVER (
+             |    PARTITION BY user_id, date_trunc('day', ts)
+             |    ORDER BY ts, event_id) AS rn
+             |  FROM events) WHERE rn <= 2""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-q-srate")
+        // normalize BEFORE staging: slices carry a plain TIMESTAMP ts, so
+        // the stream side needs no generation dispatch of its own
+        val rn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), to_date(col("ts")))
+          .orderBy(col("ts"), col("event_id"))
+        val norm = Tables.t(s, dir, "events")
+          .select("event_id", "user_id", "ts")
+          .withColumn("__rn", row_number().over(rn))
+        norm.filter(col("__rn") === 1).drop("__rn")
+          .coalesce(1).write.parquet(s"$base/s0")
+        norm.filter(col("__rn") > 1).drop("__rn")
+          .coalesce(1).write.parquet(s"$base/s1")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        Seq(("s0", 1000L), ("s1", 2000L)).foreach { case (sl, mtime) =>
+          val part = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$base/$sl"))
+            .filter(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = java.nio.file.Paths.get(s"$base/in/$sl.parquet")
+          java.nio.file.Files.copy(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+        val ss = streamSession(s)
+        import ss.implicits._
+        val stream = ss.readStream.schema(norm.drop("__rn").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$base/in")
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .as[graft.streaming.RateLimit.Ev]
+        val admitted = graft.streaming.RateLimit.admitFirstN(stream, 2)
+        graft.streaming.IncrementalStream.runAvailableNow(
+          admitted.toDF(), s"$base/chk", s"$base/out")
+        s.read.parquet(s"$base/out")
+          .select("event_id", "user_id", "ts_us")
+      }),
+
     // Stream-static enrichment: the event stream joins a static broadcast
     // dimension mid-flight (the reference's per-row lookup enrich, done as
     // a join). Append mode, no aggregation — rows flow through enriched.

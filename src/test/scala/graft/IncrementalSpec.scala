@@ -119,6 +119,30 @@ class IncrementalSpec extends SparkSpec {
     assert(streamed2 == streamed)
   }
 
+  test("q_stream_ratelimit: caps hold and multi-event keys span both batches") {
+    val out = q("q_stream_ratelimit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // never more than 2 admitted per (user, utc-day)
+    val byKey = out.groupBy { case (_, uid, tsUs) =>
+      (uid, tsUs / 86400000000L)
+    }
+    assert(byKey.values.forall(_.length <= 2), "cap exceeded")
+    // staging puts rank-1 events in batch 1 and the rest in batch 2, so
+    // every key with 2 admitted events crossed the batch boundary — there
+    // must be MANY of them or cross-batch state went untested
+    val spanned = byKey.values.count(_.length == 2)
+    assert(spanned > 0,
+      "no (user, day) admitted 2 events — cross-batch state untested")
+    // and those keys' second event must be the true rank-2 event: the
+    // raw twin says how many events each key really has
+    val raw = Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .count().filter(col("count") >= 2).count()
+    assert(spanned == raw,
+      s"$spanned keys admitted 2 events but $raw keys have >=2 raw events")
+  }
+
   test("reverse-ETL property maps reduce deterministically and batch out") {
     import graft.reverse.BatchSink
     val e = Tables.t(spark, sf, "events")
