@@ -77,11 +77,11 @@ object Binary {
     (len, head, sum)
   }
 
-  /** STUB image resize: a real implementation decodes `payload`, resizes,
-    * and re-encodes; the stub only rewrites the metadata struct (the
-    * payload is opaque). The Spark-side contract — meta-struct rewrite,
-    * payload passthrough, row-local, codegen-friendly — is exactly what a
-    * JNI-backed resize exposes.
+  /** STUB image resize for OPAQUE payloads: a JNI/codec-backed
+    * implementation decodes `payload`, resizes, and re-encodes; the stub
+    * only rewrites the metadata struct. For formats this module really
+    * decodes (PPM/PNG/JPEG → `pixels`), [[avgPool2]] below is the REAL
+    * resize kernel and is oracle-gated (q_image_resize).
     */
   def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame =
     df.withColumn("meta", struct(
@@ -89,6 +89,41 @@ object Binary {
       col("meta.byte_len"),
       lit(width).as("width"),
       lit(height).as("height")))
+
+  /** REAL 2×2 box-filter downsample over a DECODED frame — one output
+    * pixel per 2×2 input block, per channel, as the exact integer sum of
+    * the four samples (`r4/g4/b4`) plus the /4 average. Pure Catalyst
+    * (explode over output pixels + aggregate over the 4-tap kernel):
+    * codegen'd, row-local per output pixel, zero shuffle — the shape a
+    * resize kernel keeps at 100 TB (embarrassingly parallel over frames;
+    * megapixel assets swap the per-pixel expression for a codec library
+    * in batched mapPartitions, same schema).
+    *
+    * Expects [[decodePpm]]-style columns (width, height, pixels). Odd
+    * trailing rows/columns are truncated (floor(w/2)×floor(h/2) output).
+    */
+  def avgPool2(decoded: DataFrame): DataFrame = {
+    def chanSum(c: Int) = expr(
+      s"""aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) ->
+         |  acc + element_at(pixels, CAST(
+         |    ((2*py + k div 2) * width + (2*px + k % 2)) * 3 + $c + 1
+         |    AS INT)))""".stripMargin)
+    decoded
+      .withColumn("out_w", expr("CAST(width div 2 AS INT)"))
+      .withColumn("out_h", expr("CAST(height div 2 AS INT)"))
+      .withColumn("__p", explode(expr("sequence(0, out_w * out_h - 1)")))
+      .withColumn("px", expr("CAST(__p % out_w AS INT)"))
+      .withColumn("py", expr("CAST(__p div out_w AS INT)"))
+      .withColumn("r4", chanSum(0))
+      .withColumn("g4", chanSum(1))
+      .withColumn("b4", chanSum(2))
+      // sums are exact ints; the averages are exact quarters, identical
+      // in any IEEE engine — no rounding needed
+      .withColumn("r_avg", col("r4") / 4.0)
+      .withColumn("g_avg", col("g4") / 4.0)
+      .withColumn("b_avg", col("b4") / 4.0)
+      .drop("__p")
+  }
 
   /** Deterministic P6 PPM test-image generator: pixel byte j of a row is
     * `(seed·31 + j·7) mod 256`, so an external engine can recompute every

@@ -863,6 +863,49 @@ object ExtensionQueries {
         .select("doc_id", "width", "height", "maxval",
           "mean_r", "mean_g", "mean_b", "ds_checksum")),
 
+    // REAL image RESIZE under the hash gate: decode the seed-formula PPM,
+    // then 2×2 box-filter downsample the DECODED pixels (avgPool2 — one
+    // output pixel per 2×2 block, exact integer 4-tap sums + exact-quarter
+    // averages). The oracle recomputes every pooled sum from the seed
+    // formula without parsing a byte, so a decoder or kernel that reads
+    // any wrong source pixel reddens the row. This retires the last
+    // still-image stub surface: resize is now real for decodable formats
+    // (resizeStub remains only for opaque codec payloads).
+    QueryDef(
+      "q_image_resize",
+      Some("""WITH g AS (SELECT doc_id, unnest(range(0, 16)) AS p FROM documents),
+             |q AS (SELECT doc_id, CAST(p % 4 AS INT) AS px,
+             |    CAST(p // 4 AS INT) AS py FROM g)
+             |SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+             |  px, py,
+             |  CAST(list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 0)*7) % 256))
+             |    AS BIGINT) AS r4,
+             |  CAST(list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 1)*7) % 256))
+             |    AS BIGINT) AS g4,
+             |  CAST(list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 2)*7) % 256))
+             |    AS BIGINT) AS b4,
+             |  list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 0)*7) % 256))
+             |    / 4.0 AS r_avg,
+             |  list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 1)*7) % 256))
+             |    / 4.0 AS g_avg,
+             |  list_sum(list_transform(range(0, 4), k ->
+             |    (doc_id*31 + (((2*py + k//2)*8 + (2*px + k%2))*3 + 2)*7) % 256))
+             |    / 4.0 AS b_avg
+             |FROM q""".stripMargin),
+      (s, dir) => Binary.avgPool2(Binary.decodePpm(
+          Binary.ppmFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", width = 8, height = 8),
+          "ppm"))
+        .select("doc_id", "out_w", "out_h", "px", "py",
+          "r4", "g4", "b4", "r_avg", "g_avg", "b_avg")),
+
     // REAL compressed-image decode under the hash gate: the same
     // seed-formula pixels as q_ppm_decode, but ENCODED to PNG with the
     // JDK's javax.imageio and decoded back through ImageIO.read in

@@ -127,4 +127,23 @@ class PpmSpec extends SparkSpec {
       }
     }
   }
+
+  test("avgPool2 pools each 2x2 block into exact channel sums") {
+    // 4×2 image with hand-picked channel values: two 2×2 blocks
+    // left block Rs: 10,20,30,40  Gs: 1,2,3,4  Bs: 5,6,7,8
+    // right block Rs: 100,110,120,130  Gs: 9,10,11,12  Bs: 13,14,15,16
+    val px = Array(
+      10, 1, 5, /**/ 20, 2, 6, /**/ 100, 9, 13, /**/ 110, 10, 14, // row 0
+      30, 3, 7, /**/ 40, 4, 8, /**/ 120, 11, 15, /**/ 130, 12, 16) // row 1
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, ppmBytes(4, 2, 255, px))),
+      StructType(Seq(StructField("id", LongType), StructField("ppm", BinaryType))))
+    val pooled = Binary.avgPool2(Binary.decodePpm(df, "ppm"))
+      .select("px", "py", "r4", "g4", "b4", "r_avg").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(pooled.size == 2)
+    assert(pooled((0, 0)) == ((100L, 10L, 26L, 25.0)))
+    assert(pooled((1, 0)) == ((460L, 42L, 58L, 115.0)))
+  }
 }
