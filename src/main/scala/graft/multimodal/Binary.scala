@@ -419,6 +419,38 @@ object Binary {
           .otherwise(lit(0)))
   }
 
+  /** Frame-level audio features over [[decodeWav]] output: split the
+    * sample array into fixed-length frames (trailing partial frame
+    * dropped) and emit per-frame RMS energy and zero-crossing count —
+    * the energy-envelope / spectrogram precursor every audio pipeline
+    * computes before VAD, silence trimming, or feature stacking. One
+    * explode multiplies rows per frame; the per-frame folds are
+    * row-local Catalyst aggregates, zero shuffle — frames then flow
+    * through the pipeline exactly like documents.
+    */
+  def wavFrames(df: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen >= 2, "frameLen must be >= 2")
+    def el(i: org.apache.spark.sql.Column) =
+      element_at(col("samples"), (i + 1).cast("int")).cast("long")
+    df
+      .withColumn("frame",
+        explode(sequence(lit(0), (col("n_samples") / frameLen).cast("int") - 1)))
+      .withColumn("frame", col("frame").cast("int"))
+      .withColumn("rms",
+        round(sqrt(aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0L),
+          (acc, k) => {
+            val s = el(col("frame") * frameLen + k)
+            acc + s * s
+          }).cast("double") / frameLen), 4))
+      .withColumn("zero_crossings",
+        aggregate(sequence(lit(0), lit(frameLen - 2)), lit(0),
+          (acc, k) => {
+            val a = el(col("frame") * frameLen + k)
+            val b = el(col("frame") * frameLen + k + 1)
+            acc + when(a * b < 0, 1).otherwise(0)
+          }))
+  }
+
   /** STUB video frame sampling: emit one row per sampled "frame" — every
     * `step`-th byte offset of the payload stands in for a decoded frame,
     * with the byte value as the frame's stub feature. The shape is the

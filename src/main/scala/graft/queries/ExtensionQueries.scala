@@ -558,6 +558,77 @@ object ExtensionQueries {
           Tables.t(s, dir, "documents").select("doc_id", "text", "lang"))
         .select("doc_id", "lang", "lang_pred", "lang_score")),
 
+    // FRAME-level audio features over the REAL decoded samples: 16-sample
+    // frames, per-frame RMS energy + zero crossings — the energy envelope
+    // a VAD/silence-trim stage consumes. The oracle recomputes every
+    // frame from the WAV seed formula without parsing bytes (the
+    // q_wav_decode contract, one level finer-grained).
+    QueryDef(
+      "q_audio_frames",
+      Some {
+        def s(e: String) =
+          s"""CASE WHEN (doc_id*13 + ($e)*11) % 65536 >= 32768
+             |  THEN (doc_id*13 + ($e)*11) % 65536 - 65536
+             |  ELSE (doc_id*13 + ($e)*11) % 65536 END""".stripMargin
+        s"""WITH fr AS (SELECT doc_id, unnest(range(0, 4)) AS frame FROM documents),
+           |sm AS (SELECT doc_id, frame,
+           |    list_transform(range(0, 16), k -> ${s("frame*16 + k")}) AS v
+           |  FROM fr)
+           |SELECT doc_id, CAST(frame AS INT) AS frame,
+           |  round(sqrt(list_sum(list_transform(v, x -> x*x))::DOUBLE / 16), 4)
+           |    AS rms,
+           |  CAST(list_sum(list_transform(range(0, 15), k ->
+           |    CASE WHEN v[k+1] * v[k+2] < 0 THEN 1 ELSE 0 END)) AS INT)
+           |    AS zero_crossings
+           |FROM sm""".stripMargin
+      },
+      (s, dir) => Binary.wavFrames(
+          Binary.decodeWav(
+            Binary.wavFromSeed(
+              Tables.t(s, dir, "documents").select("doc_id")
+                .repartition(s.sparkContext.defaultParallelism),
+              "doc_id", nSamples = 64),
+            "wav"),
+          frameLen = 16)
+        .select("doc_id", "frame", "rms", "zero_crossings")),
+
+    // LANGID EVALUATION in-engine: confusion matrix of the n-gram
+    // heuristic against the fixture's ground-truth lang column, with
+    // per-truth-language recall — the measurement that decides whether
+    // the cheap classifier is good enough to gate a corpus on. Pure
+    // rollup of the q_lang_id contract; |langs|² output.
+    QueryDef(
+      "q_langid_confusion",
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS INT) AS s_de,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS INT) AS s_en,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|para)\b')) AS INT) AS s_es,
+             |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que)\b')) AS INT) AS s_fr,
+             |  CAST(3 * len(regexp_extract_all(text, '[\p{Han}]')) AS INT) AS s_zh
+             |FROM documents),
+             |b AS (SELECT doc_id, lang, (list_sort([
+             |    {'s': s_de, 'l': 'de'}, {'s': s_en, 'l': 'en'},
+             |    {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'},
+             |    {'s': s_zh, 'l': 'zh'}]))[-1] AS best
+             |FROM s),
+             |p AS (SELECT lang,
+             |    CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
+             |  FROM b),
+             |t AS (SELECT lang, count(*) AS n_lang FROM p GROUP BY 1)
+             |SELECT p.lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+             |  round(count(*)::DOUBLE / any_value(n_lang), 4) AS share
+             |FROM p JOIN t USING (lang) GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val pred = LangId.detect(
+            Tables.t(s, dir, "documents").select("doc_id", "text", "lang"))
+          .select("lang", "lang_pred")
+        val totals = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("lang_pred"), col("n"),
+            round(col("n").cast("double") / col("n_lang"), 4).as("share"))
+      }),
+
     // Brute-force cosine top-k (ANN correctness baseline).
     QueryDef(
       "q_knn_cosine",

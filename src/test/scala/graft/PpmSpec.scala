@@ -146,4 +146,20 @@ class PpmSpec extends SparkSpec {
     assert(pooled((0, 0)) == ((100L, 10L, 26L, 25.0)))
     assert(pooled((1, 0)) == ((460L, 42L, 58L, 115.0)))
   }
+
+  test("wavFrames: per-frame RMS and crossings on hand-built samples") {
+    // 4 samples → 2 frames of 2: frame 0 = (3, -4), frame 1 = (0, 5)
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).toDF("id")
+      .withColumn("n_samples", lit(4))
+      .withColumn("samples", array(lit(3), lit(-4), lit(0), lit(5)))
+    val out = Binary.wavFrames(df, frameLen = 2)
+      .select("frame", "rms", "zero_crossings").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(out.size == 2)
+    // both frames: sqrt((9+16)/2) = sqrt((0+25)/2) = 3.5355 at 4 dp;
+    // frame 0 has the one sign flip (3 → -4), frame 1 none (0·5 = 0)
+    assert(out(0) == ((3.5355, 1)), s"frame0=${out(0)}")
+    assert(out(1) == ((3.5355, 0)), s"frame1=${out(1)}")
+  }
 }
