@@ -123,6 +123,37 @@ object MixtureQueries {
               2).as("alloc"))
       }),
 
+    // OUTPUT-SHARD ASSIGNMENT: place docs (in doc_id order) into
+    // fixed-token-budget shards — the webdataset/tfrecord export planning
+    // step that decides which output file each document lands in. A doc
+    // starts in the shard its cumulative predecessor count falls in
+    // (greedy, order-preserving — shard boundaries never split a doc).
+    // The running total rides ops.PrefixSum's two-phase range-partitioned
+    // scan: no empty-partition-spec Window, state bounded per partition —
+    // the same machinery (and PlanSpec gate) as q_pack_sequences.
+    QueryDef(
+      "q_shard_assign",
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             |      AS n_tok
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_tok,
+             |    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS running
+             |  FROM t)
+             |SELECT doc_id, n_tok, CAST(running AS BIGINT) AS running,
+             |  CAST((running - n_tok) // 4000 AS BIGINT) AS shard_id
+             |FROM r""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        graft.ops.PrefixSum.runningTotal(
+            toks, Seq(col("doc_id")), col("n_tok"), "running")
+          .select(col("doc_id"), col("n_tok"), col("running"),
+            expr("(running - n_tok) div 4000").as("shard_id"))
+      }),
+
     // N-GRAM NOVELTY in doc_id order: per doc, the fraction of its
     // distinct word-3-grams whose FIRST corpus occurrence is this doc —
     // the saturation curve corpus curation watches to decide when more

@@ -66,6 +66,31 @@ class MixtureSpec extends SparkSpec {
       "novelty did not decay over doc order")
   }
 
+  test("q_shard_assign: shards are contiguous, ordered, and budget-bounded") {
+    val rows = q("q_shard_assign").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("running"), r.getAs[Long]("shard_id")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // running totals really accumulate in doc order
+    rows.foldLeft(0L) { case (acc, (id, n, run, _)) =>
+      assert(run == acc + n, s"doc $id running $run != ${acc + n}")
+      run
+    }
+    // shard ids start at 0, are monotone in doc order, and skip nothing
+    assert(rows.head._4 == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._4 - a._4 <= 1,
+        s"shard jump ${a._4} -> ${b._4} at doc ${b._1}")
+    }
+    // greedy start-based placement: a shard holds < budget + its last
+    // doc's tokens (a doc is never split, so only the final doc overflows)
+    val maxDoc = rows.map(_._2).max
+    for ((sid, docs) <- rows.groupBy(_._4))
+      assert(docs.map(_._2).sum < 4000L + maxDoc, s"shard $sid over budget")
+    assert(rows.map(_._4).distinct.length > 1, "single shard — raise corpus")
+  }
+
   test("q_cluster_size_hist: doc mass conserved, cluster arithmetic holds") {
     val rows = q("q_cluster_size_hist").collect()
       .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),

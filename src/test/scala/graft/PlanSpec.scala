@@ -144,16 +144,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_pack_sequences computes the global prefix sum without a global window") {
+  test("prefix-sum consumers compute the global scan without a global window") {
     // the two-phase scan (range partition → pid-bounded window + broadcast
     // offsets) must never plan a Window with an empty partition spec —
     // that is the single-task global sort PrefixSum exists to avoid
-    val sp = q("q_pack_sequences").queryExecution.sparkPlan
-    val globalWindows = sp.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+    for (name <- Seq("q_pack_sequences", "q_shard_assign")) {
+      val sp = q(name).queryExecution.sparkPlan
+      val globalWindows = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"$name:\n$sp")
     }
-    assert(globalWindows.isEmpty, sp.toString)
   }
 
   test("q_skyline computes the strict prefix-min without a global window") {
@@ -371,6 +373,29 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty, s"$name cross-joins un-aggregated input:\n$sp")
     }
+  }
+
+  test("q_hard_negatives: query block broadcasts, corpus never shuffle-joins") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("media kernels are row-local: no join, no window in resize/frames") {
+    for (name <- Seq("q_image_resize", "q_audio_frames")) {
+      val sp = q(name).queryExecution.sparkPlan
+      assert(!sp.toString.contains("Join"), s"$name:\n$sp")
+      val windows = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$name:\n$sp")
+    }
+  }
+
+  test("q_langid_confusion: totals ride as a broadcast") {
+    val p = plan("q_langid_confusion")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("traversal/sweep-line queries plan no unpartitioned global window") {
