@@ -111,7 +111,11 @@ object Binary {
     decoded
       .withColumn("out_w", expr("CAST(width div 2 AS INT)"))
       .withColumn("out_h", expr("CAST(height div 2 AS INT)"))
-      .withColumn("__p", explode(expr("sequence(0, out_w * out_h - 1)")))
+      // sequence(0, -1) is NOT empty (Spark infers step -1): a frame with
+      // a zero output dimension must explode to ZERO rows, not two
+      .withColumn("__p", explode(expr(
+        "CASE WHEN out_w * out_h >= 1 THEN sequence(0, out_w * out_h - 1) " +
+          "ELSE array() END")))
       .withColumn("px", expr("CAST(__p % out_w AS INT)"))
       .withColumn("py", expr("CAST(__p div out_w AS INT)"))
       .withColumn("r4", chanSum(0))
@@ -433,8 +437,13 @@ object Binary {
     def el(i: org.apache.spark.sql.Column) =
       element_at(col("samples"), (i + 1).cast("int")).cast("long")
     df
+      // same sequence(0, -1) trap as avgPool2: clips shorter than one
+      // frame (incl. n_samples=0 header-only WAVs) must emit ZERO frames —
+      // the guard decodeWav/wavFeatures already keep for their folds
       .withColumn("frame",
-        explode(sequence(lit(0), (col("n_samples") / frameLen).cast("int") - 1)))
+        explode(when(col("n_samples") >= frameLen,
+          sequence(lit(0), (col("n_samples") / frameLen).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame", col("frame").cast("int"))
       .withColumn("rms",
         round(sqrt(aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0L),

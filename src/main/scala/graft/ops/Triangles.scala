@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => fn}
 
@@ -31,7 +31,7 @@ object Triangles {
     *              canonical doc_a < doc_b, no duplicates.
     * @return single-row DataFrame: n_triangles BIGINT
     */
-  def count(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def count(edges: DataFrame): DataFrame = {
     val und = edges.select(col("doc_a"), col("doc_b"))
     val deg = und.select(col("doc_a").as("v"))
       .unionAll(und.select(col("doc_b").as("v")))

@@ -539,7 +539,7 @@ object TextQueries {
             .filter(col("word").isNotNull),
           threshold = 0.6, strategy = Dedup.JaccardInverted)
           .select("doc_a", "doc_b").localCheckpoint()
-        graft.ops.Triangles.count(s, e)
+        graft.ops.Triangles.count(e)
       }),
 
     // Unicode NFC normalization (native codegen expression wrapping the

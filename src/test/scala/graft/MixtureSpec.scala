@@ -14,12 +14,17 @@ class MixtureSpec extends SparkSpec {
     assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
     val shSum = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(shSum - 1.0) < 1e-4, s"shares sum to $shSum")
-    // α<1 smoothing boosts below-average sources, shrinks above-average
+    // α=0.5 smoothing boosts sources below the TRUE pivot share
+    // (1/Σ√share)² and shrinks those above it — the pivot is the average
+    // share only for uniform mixtures, so compute it from the data
+    val pivot = {
+      val s = rows.map(r => math.sqrt(r.getAs[Double]("share"))).sum
+      1.0 / (s * s)
+    }
     for (r <- rows) {
       val (share, boost) = (r.getAs[Double]("share"), r.getAs[Double]("boost"))
-      val avg = 1.0 / rows.length
-      if (share < avg * 0.95) assert(boost > 1.0, s"tail source not boosted: $r")
-      if (share > avg * 1.05) assert(boost < 1.0, s"head source not shrunk: $r")
+      if (share < pivot * 0.95) assert(boost > 1.0, s"tail source not boosted: $r")
+      if (share > pivot * 1.05) assert(boost < 1.0, s"head source not shrunk: $r")
     }
   }
 
@@ -77,12 +82,16 @@ class MixtureSpec extends SparkSpec {
       assert(run == acc + n, s"doc $id running $run != ${acc + n}")
       run
     }
-    // shard ids start at 0, are monotone in doc order, and skip nothing
+    // shard ids start at 0, are monotone, and equal the start-offset
+    // formula exactly (an over-budget doc may legitimately SKIP shard
+    // ids — its successor starts several budgets later — so "no gaps"
+    // would misfire on a fixture with one huge doc)
     assert(rows.head._4 == 0L)
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(b._4 >= a._4 && b._4 - a._4 <= 1,
-        s"shard jump ${a._4} -> ${b._4} at doc ${b._1}")
+      assert(b._4 >= a._4, s"shard not monotone at doc ${b._1}")
     }
+    for ((id, n, run, sid) <- rows)
+      assert(sid == (run - n) / 4000L, s"doc $id shard $sid != formula")
     // greedy start-based placement: a shard holds < budget + its last
     // doc's tokens (a doc is never split, so only the final doc overflows)
     val maxDoc = rows.map(_._2).max

@@ -85,7 +85,7 @@ class TraversalSpec extends SparkSpec {
         Seq((24L, 25L))                                 // isolated edge
       ).distinct
     val df = spark.createDataFrame(edges).toDF("doc_a", "doc_b")
-    val fast = Triangles.count(spark, df).first().getLong(0)
+    val fast = Triangles.count(df).first().getLong(0)
     val base = Triangles.countIdOrdered(df).first().getLong(0)
     assert(fast == base, s"degree-oriented $fast != id-ordered $base")
     assert(fast == 4L, s"expected 4 triangles, got $fast")
@@ -99,7 +99,7 @@ class TraversalSpec extends SparkSpec {
       if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
     }).flatten.distinct
     val df = spark.createDataFrame(edges).toDF("doc_a", "doc_b")
-    val fast = Triangles.count(spark, df).first().getLong(0)
+    val fast = Triangles.count(df).first().getLong(0)
     val base = Triangles.countIdOrdered(df).first().getLong(0)
     assert(fast == base, s"degree-oriented $fast != id-ordered $base")
     assert(fast > 0, "vacuous random graph — raise edge count")
