@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** EXPERIMENTATION analytics: the A/B-testing primitives a BI warehouse
+  * runs daily — Welch's t, CUPED variance reduction, and the
+  * sample-ratio-mismatch guardrail.
+  *
+  * Reference behavior: the reference's BigQuery marts feed exactly this
+  * kind of per-variant metric comparison (its dashboards aggregate
+  * revenue/engagement per cohort); re-expressed as self-contained
+  * deterministic queries over the events fixture.
+  *
+  * Variant assignment is the deterministic sha-bucket split
+  * (ops.Sampling.hashBucket — reproducible on any engine, never rand()),
+  * exactly the q_split_sample contract. Every statistic reduces to
+  * map-side-combinable sums (n, Σy, Σy², Σxy) — one corpus scan per
+  * query, |variants|- or |types|-sized frames after, no windows.
+  */
+object ExperimentQueries {
+
+  /** events + deterministic 50/50 variant on user_id (buckets 0-49 = A). */
+  private def assigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "events")
+      .withColumn("variant",
+        when(graft.ops.Sampling.hashBucket(col("user_id")) < 50, "A")
+          .otherwise("B"))
+
+  private val bucketSql =
+    "('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // WELCH's t per event type: unequal-variance two-sample t statistic
+    // between the deterministic A/B halves, with the Welch–Satterthwaite
+    // degrees of freedom. var_samp/means come from partial-aggregable
+    // sums; the only float work is the final ratio — round(4) absorbs
+    // last-ulp libm differences like every scored gate here.
+    QueryDef(
+      "q_ab_ttest",
+      Some(s"""WITH a AS (SELECT event_type,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant,
+             |    value
+             |  FROM events),
+             |g AS (SELECT event_type, variant,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    avg(value) AS m, var_samp(value) AS v
+             |  FROM a GROUP BY 1, 2),
+             |w AS (SELECT x.event_type,
+             |    x.n AS n_a, y.n AS n_b,
+             |    round(x.m, 4) AS mean_a, round(y.m, 4) AS mean_b,
+             |    (x.m - y.m) / sqrt(x.v / x.n + y.v / y.n) AS t,
+             |    (x.v / x.n + y.v / y.n) * (x.v / x.n + y.v / y.n)
+             |      / ((x.v / x.n) * (x.v / x.n) / (x.n - 1)
+             |        + (y.v / y.n) * (y.v / y.n) / (y.n - 1)) AS df
+             |  FROM g x JOIN g y USING (event_type)
+             |  WHERE x.variant = 'A' AND y.variant = 'B')
+             |SELECT event_type, n_a, n_b, mean_a, mean_b,
+             |  round(t, 4) AS t_stat, round(df, 2) AS df
+             |FROM w""".stripMargin),
+      (s, dir) => {
+        val g = assigned(s, dir)
+          .groupBy("event_type", "variant")
+          .agg(count(lit(1)).as("n"), avg("value").as("m"),
+            var_samp("value").as("v"))
+        val a = g.filter(col("variant") === "A")
+          .select(col("event_type"), col("n").as("n_a"),
+            col("m").as("m_a"), col("v").as("v_a"))
+        val b = g.filter(col("variant") === "B")
+          .select(col("event_type"), col("n").as("n_b"),
+            col("m").as("m_b"), col("v").as("v_b"))
+        val se2a = col("v_a") / col("n_a")
+        val se2b = col("v_b") / col("n_b")
+        a.join(b, "event_type")
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("m_a"), 4).as("mean_a"),
+            round(col("m_b"), 4).as("mean_b"),
+            round((col("m_a") - col("m_b")) / sqrt(se2a + se2b), 4)
+              .as("t_stat"),
+            round((se2a + se2b) * (se2a + se2b)
+              / (se2a * se2a / (col("n_a") - 1)
+                + se2b * se2b / (col("n_b") - 1)), 2).as("df"))
+      }),
+
+    // CUPED variance reduction: per-user pre-period covariate x (event
+    // count before the ts midpoint) against post-period outcome y (value
+    // sum after it); θ = cov(x,y)/var(x) over ALL users (pooled — θ must
+    // not be fit per variant), adjusted outcome y − θ·(x − x̄). Reports
+    // per-variant raw vs adjusted means and the variance-reduction ratio
+    // 1 − var(adj)/var(y) — the number that justifies running CUPED at
+    // all. Two corpus scans (pre/post split by the deterministic global
+    // ts midpoint), then user-level frames only.
+    QueryDef(
+      "q_cuped",
+      Some(s"""WITH bnd AS (SELECT min(epoch_us(ts)) +
+             |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS cut
+             |  FROM events),
+             |u AS (SELECT user_id,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant,
+             |    CAST(sum(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END)
+             |      AS DOUBLE) AS x,
+             |    sum(CASE WHEN epoch_us(ts) >= cut THEN value ELSE 0.0 END) AS y
+             |  FROM events, bnd GROUP BY 1, 2),
+             |th AS (SELECT covar_samp(x, y) / var_samp(x) AS theta,
+             |    avg(x) AS mx FROM u),
+             |adj AS (SELECT variant, y, y - theta * (x - mx) AS ya FROM u, th),
+             |vr AS (SELECT 1.0 - var_samp(ya) / var_samp(y) AS red FROM adj)
+             |SELECT variant,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  round(avg(y), 4) AS mean_raw,
+             |  round(avg(ya), 4) AS mean_adj,
+             |  round(any_value(vr.red), 4) AS var_reduction
+             |FROM adj, vr GROUP BY variant""".stripMargin),
+      (s, dir) => {
+        val ev = assigned(s, dir)
+        val bnd = ev.agg((min(unix_micros(col("ts"))) +
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long").as("cut"))
+        val u = ev.crossJoin(broadcast(bnd))
+          .groupBy("user_id", "variant")
+          .agg(
+            sum(when(unix_micros(col("ts")) < col("cut"), 1).otherwise(0))
+              .cast("double").as("x"),
+            sum(when(unix_micros(col("ts")) >= col("cut"), col("value"))
+              .otherwise(lit(0.0))).as("y"))
+        val th = u.agg((covar_samp(col("x"), col("y")) / var_samp(col("x")))
+          .as("theta"), avg("x").as("mx"))
+        val adj = u.crossJoin(broadcast(th))
+          .withColumn("ya", col("y") - col("theta") * (col("x") - col("mx")))
+        val vr = adj.agg((lit(1.0) - var_samp(col("ya")) / var_samp(col("y")))
+          .as("red"))
+        adj.crossJoin(broadcast(vr))
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_users"),
+            round(avg("y"), 4).as("mean_raw"),
+            round(avg("ya"), 4).as("mean_adj"),
+            round(first("red"), 4).as("var_reduction"))
+      }),
+
+    // SAMPLE-RATIO MISMATCH guardrail: χ² of the observed per-variant
+    // USER counts against the designed 50/50 split — the first sanity
+    // check before reading any experiment metric (assignment bugs show
+    // up here, not in the metrics). One distinct-user aggregate;
+    // srm_flag fires at the p<0.05 critical value (χ²₁ = 3.841).
+    QueryDef(
+      "q_srm_check",
+      Some(s"""WITH v AS (SELECT DISTINCT user_id,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events),
+             |c AS (SELECT
+             |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b
+             |  FROM v)
+             |SELECT n_a, n_b,
+             |  round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0)
+             |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0), 4) AS chi2,
+             |  ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0)
+             |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0)) > 3.841 AS srm_flag
+             |FROM c""".stripMargin),
+      (s, dir) => {
+        val c = assigned(s, dir)
+          .select("user_id", "variant").distinct()
+          .agg(
+            sum(when(col("variant") === "A", 1).otherwise(0)).cast("long")
+              .as("n_a"),
+            sum(when(col("variant") === "B", 1).otherwise(0)).cast("long")
+              .as("n_b"))
+        val exp = (col("n_a") + col("n_b")) / 2.0
+        val chi2 = (col("n_a") - exp) * (col("n_a") - exp) / exp +
+          (col("n_b") - exp) * (col("n_b") - exp) / exp
+        c.select(col("n_a"), col("n_b"),
+          round(chi2, 4).as("chi2"), (chi2 > 3.841).as("srm_flag"))
+      })
+  )
+}
