@@ -222,6 +222,67 @@ object AnalyticQueries {
             Seq(col("price"), col("psize")), col("psize"), "pm")
           .filter(col("pm").isNull || col("pm") > col("psize"))
           .select("price", "psize")
+      }),
+
+    // PER-TYPE METRIC TREND: OLS slope/intercept/R2 of daily event counts
+    // against the day index - the "is this metric growing" line every BI
+    // dashboard fits. All five moments (n, Sx, Sy, Sxy, Sxx, Syy) are
+    // EXACT integer sums over a |types|x|days| frame (map-side partial,
+    // two stacked aggregates); the only float work is the three final
+    // ratios - round(4) absorbs last-ulp division differences. The day
+    // index is anchored on the GLOBAL min day (one-row broadcast), so
+    // intercepts are comparable across types.
+    QueryDef(
+      "q_trend_ols",
+      Some("""WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT min(day) AS mind FROM d),
+             |xy AS (SELECT event_type,
+             |    CAST(date_diff('day', mind, day) AS BIGINT) AS x, y
+             |  FROM d, m),
+             |g AS (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM xy GROUP BY 1)
+             |SELECT event_type, n,
+             |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 4)
+             |    AS slope,
+             |  round((sy - (n * sxy - sx * sy)
+             |      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / n, 4)
+             |    AS intercept,
+             |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |      * (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+             |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r2
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val m = d.agg(min("day").as("mind"))
+        val xy = d.crossJoin(broadcast(m))
+          .select(col("event_type"),
+            datediff(col("day"), col("mind")).cast("long").as("x"),
+            col("y"))
+        val g = xy.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val den = col("n").cast("double") * col("sxx") - col("sx") * col("sx")
+        val num = col("n").cast("double") * col("sxy") - col("sx") * col("sy")
+        g.select(col("event_type"), col("n"),
+          round(num / den, 4).as("slope"),
+          round((col("sy") - num / den * col("sx")) / col("n"), 4)
+            .as("intercept"),
+          round(num * num / (den *
+            (col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("r2"))
       })
   )
 }

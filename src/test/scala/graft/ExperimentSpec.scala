@@ -51,6 +51,36 @@ class ExperimentSpec extends SparkSpec {
       s"adjustment shifted the global mean: $wRaw vs $wAdj")
   }
 
+  test("q_trend_ols: r2 bounded, day counts match, slope cross-checked") {
+    val rows = q("q_trend_ols").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept"), r.getAs[Double]("r2")))
+      .toMap
+    assert(rows.nonEmpty)
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getLong(2)))
+    val minDay = daily.map(_._2.toLocalDate).min(
+      Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    for ((t, (n, slope, intercept, r2)) <- rows) {
+      val pts = daily.filter(_._1 == t).map { case (_, d, y) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(minDay, d.toLocalDate)
+          .toDouble, y.toDouble)
+      }
+      assert(n == pts.length, s"$t: n=$n but ${pts.length} days")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$t: r2=$r2")
+      // recompute OLS independently
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - m) < 1e-3, s"$t: slope $slope vs $m")
+      assert(math.abs(intercept - (sy - m * sx) / n) < 1e-3, s"$t intercept")
+    }
+  }
+
   test("q_srm_check: user counts conserved, flag consistent with chi2") {
     val r = q("q_srm_check").collect().head
     val (na, nb, chi2, flag) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
