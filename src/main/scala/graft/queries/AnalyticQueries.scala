@@ -224,6 +224,94 @@ object AnalyticQueries {
           .select("price", "psize")
       }),
 
+    // SESSION PATH ANALYSIS: the event-type transition matrix — per user,
+    // consecutive events (by ts, event_id) form (from → to) transitions;
+    // counts roll up with P(to|from). The Markov view of user journeys
+    // every product-analytics suite draws. The lag window is partitioned
+    // per user (bounded state); row counts collapse map-side.
+    QueryDef(
+      "q_markov_transitions",
+      Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |t AS (SELECT prev AS from_type, event_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+             |  FROM t GROUP BY 1)
+             |SELECT from_type, to_type, n,
+             |  round(n::DOUBLE / n_from, 4) AS p
+             |FROM t JOIN f USING (from_type)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val t = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val f = t.groupBy("from_type").agg(sum("n").as("n_from"))
+        t.join(broadcast(f), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            round(col("n").cast("double") / col("n_from"), 4).as("p"))
+      }),
+
+    // MARKET-BASKET association rules at the brand level:
+    // support/confidence/lift for brand pairs co-purchased in one order —
+    // the cross-sell report of the reference's commerce marts. Baskets
+    // are DISTINCT (order, brand) with the 25-brand dim broadcast; the
+    // pair join is an equi-join on the order key (never a cross join),
+    // and the n_ab ≥ 50 floor bounds the output like any support
+    // threshold does at scale.
+    QueryDef(
+      "q_basket_lift",
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |nn AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+             |s AS (SELECT brand, CAST(count(*) AS BIGINT) AS n1 FROM b GROUP BY 1),
+             |p AS (SELECT x.brand AS brand_a, y.brand AS brand_b,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM b x JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+             |  GROUP BY 1, 2 HAVING count(*) >= 50)
+             |SELECT brand_a, brand_b, n_ab,
+             |  round(n_ab::DOUBLE / nn.n, 4) AS support,
+             |  round(n_ab::DOUBLE / sa.n1, 4) AS confidence,
+             |  round(n_ab::DOUBLE * nn.n / (sa.n1 * sb.n1), 4) AS lift
+             |FROM p
+             |JOIN s sa ON sa.brand = brand_a
+             |JOIN s sb ON sb.brand = brand_b
+             |CROSS JOIN nn""".stripMargin),
+      (s, dir) => {
+        val b = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+          .join(broadcast(Tables.t(s, dir, "part")
+            .select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val nn = b.agg(countDistinct("ok").as("n"))
+        val sup = b.groupBy("brand").agg(count(lit(1)).as("n1"))
+        val pairs = b.select(col("ok"), col("brand").as("brand_a"))
+          .join(b.select(col("ok"), col("brand").as("brand_b")), "ok")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 50)
+        pairs
+          .join(broadcast(sup.select(col("brand").as("brand_a"),
+            col("n1").as("na"))), "brand_a")
+          .join(broadcast(sup.select(col("brand").as("brand_b"),
+            col("n1").as("nb"))), "brand_b")
+          .crossJoin(broadcast(nn))
+          .select(col("brand_a"), col("brand_b"), col("n_ab"),
+            round(col("n_ab").cast("double") / col("n"), 4).as("support"),
+            round(col("n_ab").cast("double") / col("na"), 4).as("confidence"),
+            round(col("n_ab").cast("double") * col("n")
+              / (col("na") * col("nb")), 4).as("lift"))
+      }),
+
     // PER-TYPE METRIC TREND: OLS slope/intercept/R2 of daily event counts
     // against the day index - the "is this metric growing" line every BI
     // dashboard fits. All five moments (n, Sx, Sy, Sxy, Sxx, Syy) are

@@ -81,6 +81,38 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("q_markov_transitions: rows are a stochastic matrix over real transitions") {
+    val rows = q("q_markov_transitions").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p")))
+    assert(rows.nonEmpty)
+    for ((from, ps) <- rows.groupBy(_._1)) {
+      val total = ps.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-2, s"$from rows sum to $total")
+    }
+    // total transitions = total events - one per user (no predecessor)
+    val ev = Tables.t(spark, sf, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      s"${rows.map(_._3).sum} transitions != $expected")
+  }
+
+  test("q_basket_lift: rule arithmetic is internally consistent") {
+    val rows = q("q_basket_lift").collect()
+      .map(r => (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"),
+        r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(rows.nonEmpty)
+    for ((a, b, nAb, sup, conf, lift) <- rows) {
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(nAb >= 50)
+      assert(sup > 0.0 && sup <= 1.0 && conf > 0.0 && conf <= 1.0)
+      // confidence = n_ab/n_a >= n_ab/N = support (n_a <= N)
+      assert(conf >= sup - 1e-9, s"($a,$b): conf $conf < support $sup")
+      assert(lift > 0.0)
+    }
+  }
+
   test("q_srm_check: user counts conserved, flag consistent with chi2") {
     val r = q("q_srm_check").collect().head
     val (na, nb, chi2, flag) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
