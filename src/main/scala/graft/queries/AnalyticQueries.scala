@@ -291,6 +291,10 @@ object AnalyticQueries {
             col("p_partkey") === col("l_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
           .distinct()
+          // four consumers (N, supports, both pair sides) — materialize
+          // once; column pruning pushes distinct projections below each
+          // exchange, so ReuseExchange alone does not unify the scans
+          .localCheckpoint()
         val nn = b.agg(countDistinct("ok").as("n"))
         val sup = b.groupBy("brand").agg(count(lit(1)).as("n1"))
         val pairs = b.select(col("ok"), col("brand").as("brand_a"))
@@ -337,16 +341,16 @@ object AnalyticQueries {
              |    CAST(sum(y * y) AS BIGINT) AS syy
              |  FROM xy GROUP BY 1)
              |SELECT event_type, n,
-             |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 4)
-             |    AS slope,
-             |  round((sy - (n * sxy - sx * sy)
-             |      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / n, 4)
+             |  CASE WHEN dd > 0 THEN round(nm / dd, 4) END AS slope,
+             |  CASE WHEN dd > 0 THEN round((sy - nm / dd * sx) / n, 4) END
              |    AS intercept,
-             |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             |      * (CAST(n AS DOUBLE) * sxy - sx * sy)
-             |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-             |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r2
-             |FROM g""".stripMargin),
+             |  CASE WHEN dd > 0 AND dy > 0
+             |    THEN round(nm * nm / (dd * dy), 4) END AS r2
+             |FROM (SELECT *,
+             |    CAST(n AS DOUBLE) * sxx - sx * sx AS dd,
+             |    CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+             |    CAST(n AS DOUBLE) * sxy - sx * sy AS nm
+             |  FROM g)""".stripMargin),
       (s, dir) => {
         val d = Tables.t(s, dir, "events")
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -362,15 +366,18 @@ object AnalyticQueries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // degenerate fits are NULL in BOTH engines (one-day types → zero
+        // x-variance; constant counts → zero y-variance), never a NaN
+        // whose NULL-vs-NaN rendering moved across DuckDB versions
         val den = col("n").cast("double") * col("sxx") - col("sx") * col("sx")
+        val dy = col("n").cast("double") * col("syy") - col("sy") * col("sy")
         val num = col("n").cast("double") * col("sxy") - col("sx") * col("sy")
         g.select(col("event_type"), col("n"),
-          round(num / den, 4).as("slope"),
-          round((col("sy") - num / den * col("sx")) / col("n"), 4)
+          when(den > 0, round(num / den, 4)).as("slope"),
+          when(den > 0,
+            round((col("sy") - num / den * col("sx")) / col("n"), 4))
             .as("intercept"),
-          round(num * num / (den *
-            (col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 4)
-            .as("r2"))
+          when(den > 0 && dy > 0, round(num * num / (den * dy), 4)).as("r2"))
       })
   )
 }

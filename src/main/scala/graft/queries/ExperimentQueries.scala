@@ -27,8 +27,10 @@ object ExperimentQueries {
         when(graft.ops.Sampling.hashBucket(col("user_id")) < 50, "A")
           .otherwise("B"))
 
+  // the ONE cross-engine hash contract (Hashing.sha60Sql) — never a
+  // hand-rolled copy that could drift from the Spark-side sha60
   private val bucketSql =
-    "('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    graft.expressions.Hashing.sha60Sql("CAST(user_id AS VARCHAR)") + " % 100"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -50,10 +52,14 @@ object ExperimentQueries {
              |w AS (SELECT x.event_type,
              |    x.n AS n_a, y.n AS n_b,
              |    round(x.m, 4) AS mean_a, round(y.m, 4) AS mean_b,
-             |    (x.m - y.m) / sqrt(x.v / x.n + y.v / y.n) AS t,
-             |    (x.v / x.n + y.v / y.n) * (x.v / x.n + y.v / y.n)
-             |      / ((x.v / x.n) * (x.v / x.n) / (x.n - 1)
-             |        + (y.v / y.n) * (y.v / y.n) / (y.n - 1)) AS df
+             |    CASE WHEN x.n > 1 AND y.n > 1
+             |        AND x.v / x.n + y.v / y.n > 0
+             |      THEN (x.m - y.m) / sqrt(x.v / x.n + y.v / y.n) END AS t,
+             |    CASE WHEN x.n > 1 AND y.n > 1
+             |        AND x.v / x.n + y.v / y.n > 0
+             |      THEN (x.v / x.n + y.v / y.n) * (x.v / x.n + y.v / y.n)
+             |        / ((x.v / x.n) * (x.v / x.n) / (x.n - 1)
+             |          + (y.v / y.n) * (y.v / y.n) / (y.n - 1)) END AS df
              |  FROM g x JOIN g y USING (event_type)
              |  WHERE x.variant = 'A' AND y.variant = 'B')
              |SELECT event_type, n_a, n_b, mean_a, mean_b,
@@ -72,15 +78,19 @@ object ExperimentQueries {
             col("m").as("m_b"), col("v").as("v_b"))
         val se2a = col("v_a") / col("n_a")
         val se2b = col("v_b") / col("n_b")
+        // degenerate cells (n=1 → var_samp NULL; zero variance both
+        // sides) yield NULL — identically in both engines — instead of
+        // an engine-version-dependent NaN/NULL divergence
+        val ok = col("n_a") > 1 && col("n_b") > 1 && (se2a + se2b) > 0
         a.join(b, "event_type")
           .select(col("event_type"), col("n_a"), col("n_b"),
             round(col("m_a"), 4).as("mean_a"),
             round(col("m_b"), 4).as("mean_b"),
-            round((col("m_a") - col("m_b")) / sqrt(se2a + se2b), 4)
+            when(ok, round((col("m_a") - col("m_b")) / sqrt(se2a + se2b), 4))
               .as("t_stat"),
-            round((se2a + se2b) * (se2a + se2b)
+            when(ok, round((se2a + se2b) * (se2a + se2b)
               / (se2a * se2a / (col("n_a") - 1)
-                + se2b * se2b / (col("n_b") - 1)), 2).as("df"))
+                + se2b * se2b / (col("n_b") - 1)), 2)).as("df"))
       }),
 
     // CUPED variance reduction: per-user pre-period covariate x (event
@@ -102,10 +112,13 @@ object ExperimentQueries {
              |      AS DOUBLE) AS x,
              |    sum(CASE WHEN epoch_us(ts) >= cut THEN value ELSE 0.0 END) AS y
              |  FROM events, bnd GROUP BY 1, 2),
-             |th AS (SELECT covar_samp(x, y) / var_samp(x) AS theta,
+             |th AS (SELECT CASE WHEN var_samp(x) > 0
+             |      THEN covar_samp(x, y) / var_samp(x) ELSE 0.0 END AS theta,
              |    avg(x) AS mx FROM u),
              |adj AS (SELECT variant, y, y - theta * (x - mx) AS ya FROM u, th),
-             |vr AS (SELECT 1.0 - var_samp(ya) / var_samp(y) AS red FROM adj)
+             |vr AS (SELECT CASE WHEN var_samp(y) > 0
+             |    THEN 1.0 - var_samp(ya) / var_samp(y) ELSE 0.0 END AS red
+             |  FROM adj)
              |SELECT variant,
              |  CAST(count(*) AS BIGINT) AS n_users,
              |  round(avg(y), 4) AS mean_raw,
@@ -124,12 +137,19 @@ object ExperimentQueries {
               .cast("double").as("x"),
             sum(when(unix_micros(col("ts")) >= col("cut"), col("value"))
               .otherwise(lit(0.0))).as("y"))
-        val th = u.agg((covar_samp(col("x"), col("y")) / var_samp(col("x")))
-          .as("theta"), avg("x").as("mx"))
+        // constant covariate (no pre-period) → θ=0: adjustment becomes a
+        // no-op instead of a NULL/NaN cascade that diverges by engine
+        val th = u.agg(
+          when(var_samp(col("x")) > 0,
+            covar_samp(col("x"), col("y")) / var_samp(col("x")))
+            .otherwise(lit(0.0)).as("theta"),
+          avg("x").as("mx"))
         val adj = u.crossJoin(broadcast(th))
           .withColumn("ya", col("y") - col("theta") * (col("x") - col("mx")))
-        val vr = adj.agg((lit(1.0) - var_samp(col("ya")) / var_samp(col("y")))
-          .as("red"))
+        val vr = adj.agg(
+          when(var_samp(col("y")) > 0,
+            lit(1.0) - var_samp(col("ya")) / var_samp(col("y")))
+            .otherwise(lit(0.0)).as("red"))
         adj.crossJoin(broadcast(vr))
           .groupBy("variant")
           .agg(count(lit(1)).as("n_users"),

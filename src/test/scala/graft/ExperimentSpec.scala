@@ -16,6 +16,9 @@ class ExperimentSpec extends SparkSpec {
         r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
       assert(na + nb == typeCounts(t), s"$t: $na+$nb != ${typeCounts(t)}")
       assert(na > 1 && nb > 1, s"$t: degenerate variant size")
+      // degenerate cells carry NULL t/df by contract — current fixtures
+      // must produce real statistics, so NULL here is a failure
+      assert(!r.isNullAt(r.fieldIndex("t_stat")), s"$t: NULL t_stat")
       val tStat = r.getAs[Double]("t_stat")
       assert(!tStat.isNaN && !tStat.isInfinite)
       // Welch df ∈ [min(n)-1, n_a+n_b-2]
