@@ -158,6 +158,95 @@ object ExperimentQueries {
             round(first("red"), 4).as("var_reduction"))
       }),
 
+    // KAPLAN–MEIER survival curve over SESSION lifetimes (24h-gap
+    // sessions; duration in whole hours): a session "dies" at its end
+    // unless it ends within 24h of the global horizon, where it is
+    // right-CENSORED — the standard estimator that handles still-open
+    // spells correctly instead of counting them as ended. (User-level
+    // churn is vacuous on this fixture — every user is active at the
+    // horizon — so the spell unit is the session, the thing that
+    // actually ends.) Survival(t) = Π(1 − d_s/n_s) over death times
+    // s ≤ t via a cumulative ln-sum; the ordered windows run over the
+    // DISTINCT-DURATION table (aggregated BEFORE any window — bounded
+    // by the duration domain, never corpus-sized). A time where everyone
+    // remaining dies makes a factor 0: Spark's log returns NULL there
+    // while DuckDB's ln gives -inf, so zeroing rides an explicit
+    // cumulative flag computed identically in both engines.
+    QueryDef(
+      "q_kaplan_meier",
+      Some("""WITH hz AS (SELECT max(ts) AS mx FROM events),
+             |s AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) -
+             |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+             |      >= 86400000000 THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM s),
+             |ses AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+             |  FROM g GROUP BY 1, 2),
+             |u AS (SELECT
+             |    (epoch_us(en) - epoch_us(st)) // 3600000000 AS life,
+             |    en <= mx - INTERVAL 24 HOUR AS died
+             |  FROM ses, hz),
+             |t AS (SELECT life AS t,
+             |    CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS ended
+             |  FROM u GROUP BY 1),
+             |r AS (SELECT t, d,
+             |    CAST(sum(ended) OVER (ORDER BY t DESC
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+             |  FROM t),
+             |k AS (SELECT t, d, n_risk,
+             |    sum(CASE WHEN d < n_risk AND d > 0
+             |        THEN ln(1.0 - d::DOUBLE / n_risk) ELSE 0.0 END)
+             |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+             |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeroed
+             |  FROM r WHERE d > 0)
+             |SELECT CAST(t AS BIGINT) AS t, d, n_risk,
+             |  CASE WHEN zeroed = 1 THEN 0.0
+             |    ELSE round(exp(lsum), 4) END AS survival
+             |FROM k""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.t(s, dir, "events")
+        val hz = ev.agg(max("ts").as("mx"))
+        val wU = Window.partitionBy("user_id").orderBy(col("ts"))
+        val ses = ev.select(col("user_id"), col("ts"))
+          .withColumn("brk",
+            when(unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(wU) >= 86400000000L, 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum("brk").over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("st"), max("ts").as("en"))
+        val u = ses.crossJoin(broadcast(hz))
+          .select(expr("(unix_micros(en) - unix_micros(st)) div 3600000000")
+            .as("life"),
+            (col("en") <= col("mx") - expr("INTERVAL 24 HOURS")).as("died"))
+        val t = u.groupBy(col("life").as("t"))
+          .agg(sum(when(col("died"), 1).otherwise(0)).cast("long").as("d"),
+            count(lit(1)).as("ended"))
+        // the windows below run over the |distinct lifetimes| frame
+        // (already aggregated) — bounded by days, never corpus-sized
+        val wDesc = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAsc = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.withColumn("n_risk", sum("ended").over(wDesc))
+          .filter(col("d") > 0)
+          .withColumn("lsum",
+            sum(when(col("d") < col("n_risk") && col("d") > 0,
+              log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+              .otherwise(lit(0.0))).over(wAsc))
+          .withColumn("zeroed",
+            max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wAsc))
+          .select(col("t"), col("d"), col("n_risk"),
+            when(col("zeroed") === 1, lit(0.0))
+              .otherwise(round(exp(col("lsum")), 4)).as("survival"))
+      }),
+
     // SAMPLE-RATIO MISMATCH guardrail: χ² of the observed per-variant
     // USER counts against the designed 50/50 split — the first sanity
     // check before reading any experiment metric (assignment bugs show

@@ -116,6 +116,26 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("q_kaplan_meier: survival is a proper non-increasing step curve") {
+    val rows = q("q_kaplan_meier").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("d"),
+        r.getAs[Long]("n_risk"), r.getAs[Double]("survival")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty, "no death times — curve is vacuous")
+    for ((t, d, nRisk, s) <- rows) {
+      assert(d > 0 && d <= nRisk, s"t=$t: d=$d n_risk=$nRisk")
+      assert(s >= 0.0 && s < 1.0, s"t=$t: survival $s out of (0,1)")
+    }
+    // risk sets shrink and survival never increases as t grows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 < a._3, s"n_risk grew: ${a._3} -> ${b._3} at t=${b._1}")
+      assert(b._4 <= a._4 + 1e-9, s"survival rose at t=${b._1}")
+    }
+    // the curve must reflect real censoring: total deaths < total spells
+    val spells = rows.head._3 // n_risk at the smallest death time is ≤ total
+    assert(rows.map(_._2).sum <= spells)
+  }
+
   test("q_srm_check: user counts conserved, flag consistent with chi2") {
     val r = q("q_srm_check").collect().head
     val (na, nb, chi2, flag) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
