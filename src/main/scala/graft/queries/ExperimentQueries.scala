@@ -247,6 +247,94 @@ object ExperimentQueries {
               .otherwise(round(exp(col("lsum")), 4)).as("survival"))
       }),
 
+    // TIME-TO-CONVERT: minutes from a user's FIRST click to their first
+    // purchase at-or-after it — conversion count, rate, and exact
+    // p50/p90 delay (ops.Quantiles rank arithmetic, quantile_cont
+    // parity). The funnel's "how long does conversion take" companion:
+    // two per-user aggregates and a |users|-frame quantile, no corpus
+    // window.
+    QueryDef(
+      "q_time_to_convert",
+      Some("""WITH c AS (SELECT user_id, min(ts) AS fc FROM events
+             |  WHERE event_type = 'click' GROUP BY 1),
+             |p AS (SELECT c.user_id, fc, min(e.ts) AS fp
+             |  FROM c JOIN events e ON e.user_id = c.user_id
+             |    AND e.event_type = 'purchase' AND e.ts >= c.fc
+             |  GROUP BY 1, 2),
+             |d AS (SELECT (epoch_us(fp) - epoch_us(fc)) // 60000000
+             |    AS delay_min FROM p),
+             |qn AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |    round(quantile_cont(delay_min, 0.5), 4) AS p50_min,
+             |    round(quantile_cont(delay_min, 0.9), 4) AS p90_min
+             |  FROM d),
+             |ck AS (SELECT CAST(count(*) AS BIGINT) AS n_clickers FROM c)
+             |SELECT n_clickers, n_converted,
+             |  round(n_converted::DOUBLE / n_clickers, 4) AS cvr,
+             |  p50_min, p90_min
+             |FROM qn, ck""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("fc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+          .join(c, "user_id")
+          .filter(col("ts") >= col("fc"))
+          .groupBy("user_id", "fc").agg(min("ts").as("fp"))
+        val d = p.select(
+          expr("(unix_micros(fp) - unix_micros(fc)) div 60000000")
+            .as("delay_min"), lit(1).as("g"))
+        val qn = graft.ops.Quantiles.groupQuantiles(
+            d, "g", "delay_min", Seq("p50_min" -> 0.5, "p90_min" -> 0.9))
+          .select(col("n").as("n_converted"),
+            round(col("p50_min"), 4).as("p50_min"),
+            round(col("p90_min"), 4).as("p90_min"))
+        val ck = c.agg(count(lit(1)).as("n_clickers"))
+        qn.crossJoin(broadcast(ck))
+          .select(col("n_clickers"), col("n_converted"),
+            round(col("n_converted").cast("double") / col("n_clickers"), 4)
+              .as("cvr"),
+            col("p50_min"), col("p90_min"))
+      }),
+
+    // GINI CONCENTRATION of per-user spend: "is 1% of users driving all
+    // the volume" — the inequality audit behind rate-limit and skew
+    // decisions. Per-user totals in EXACT integer cents; ranks come from
+    // ops.PrefixSum's range-partitioned running count (no global
+    // row_number window over users); the closed-form
+    // G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy) is computed from exact BIGINT
+    // sums — the only float op is the final division.
+    QueryDef(
+      "q_gini_value",
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT y, row_number() OVER (ORDER BY y, user_id) AS i
+             |  FROM u),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(i * y) AS BIGINT) AS siy
+             |  FROM r)
+             |SELECT n AS n_users, sy AS total_cents,
+             |  CASE WHEN sy > 0
+             |    THEN round((2.0 * siy - (n + 1) * sy) / (CAST(n AS DOUBLE) * sy), 6)
+             |  END AS gini
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val u = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy("user_id").agg(sum("cents").as("y"))
+        val ranked = graft.ops.PrefixSum.runningTotal(
+          u, Seq(col("y"), col("user_id")), lit(1L), "i")
+        val a = ranked.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("i") * col("y")).as("siy"))
+        a.select(col("n").as("n_users"), col("sy").as("total_cents"),
+          when(col("sy") > 0,
+            round((lit(2.0) * col("siy") - (col("n") + 1) * col("sy"))
+              / (col("n").cast("double") * col("sy")), 6)).as("gini"))
+      }),
+
     // SAMPLE-RATIO MISMATCH guardrail: χ² of the observed per-variant
     // USER counts against the designed 50/50 split — the first sanity
     // check before reading any experiment metric (assignment bugs show

@@ -136,6 +136,32 @@ class ExperimentSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= spells)
   }
 
+  test("q_time_to_convert: rates and delay quantiles are coherent") {
+    val r = q("q_time_to_convert").collect().head
+    val (nc, nv, cvr) = (r.getAs[Long]("n_clickers"),
+      r.getAs[Long]("n_converted"), r.getAs[Double]("cvr"))
+    assert(nc > 0 && nv > 0 && nv <= nc)
+    assert(math.abs(cvr - nv.toDouble / nc) < 1e-3)
+    val (p50, p90) = (r.getAs[Double]("p50_min"), r.getAs[Double]("p90_min"))
+    assert(p50 >= 0.0 && p90 >= p50, s"p50=$p50 p90=$p90")
+  }
+
+  test("q_gini_value matches an independent Gini computation") {
+    val r = q("q_gini_value").collect().head
+    val (n, total, gini) = (r.getAs[Long]("n_users"),
+      r.getAs[Long]("total_cents"), r.getAs[Double]("gini"))
+    assert(gini >= 0.0 && gini < 1.0, s"gini=$gini")
+    // recompute from per-user cents, sorted ascending
+    val ys = Tables.t(spark, sf, "events")
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("user_id").agg(sum("c").as("y"))
+      .collect().map(_.getLong(1)).sorted
+    assert(ys.length == n && ys.sum == total)
+    val siy = ys.zipWithIndex.map { case (y, i) => (i + 1).toLong * y }.sum
+    val expect = (2.0 * siy - (n + 1) * ys.sum) / (n.toDouble * ys.sum)
+    assert(math.abs(gini - expect) < 1e-4, s"$gini vs $expect")
+  }
+
   test("q_srm_check: user counts conserved, flag consistent with chi2") {
     val r = q("q_srm_check").collect().head
     val (na, nb, chi2, flag) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
