@@ -148,7 +148,7 @@ class PlanSpec extends SparkSpec {
     // the two-phase scan (range partition → pid-bounded window + broadcast
     // offsets) must never plan a Window with an empty partition spec —
     // that is the single-task global sort PrefixSum exists to avoid
-    for (name <- Seq("q_pack_sequences", "q_shard_assign")) {
+    for (name <- Seq("q_pack_sequences", "q_shard_assign", "q_gini_value")) {
       val sp = q(name).queryExecution.sparkPlan
       val globalWindows = sp.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
