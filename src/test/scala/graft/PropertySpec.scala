@@ -109,6 +109,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum.runningTotal equals the naive global scan on random inputs") {
+    import org.apache.spark.sql.functions._
+    val gen: Gen[List[(Long, Long)]] = Gen.listOf(for {
+      k <- Gen.choose(0L, 1000000L)
+      v <- Gen.choose(0L, 500L)
+    } yield (k, v))
+    for (seed <- 1 to 5) {
+      val rows = gen.apply(Gen.Parameters.default.withSize(60), Seed(seed.toLong))
+        .getOrElse(Nil).distinctBy(_._1)
+      if (rows.nonEmpty) {
+        val df = spark.createDataFrame(rows).toDF("k", "v")
+        val got = graft.ops.PrefixSum.runningTotal(
+            df, Seq(col("k")), col("v"), "run")
+          .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("run")).toMap
+        var acc = 0L
+        for ((k, v) <- rows.sortBy(_._1)) {
+          acc += v
+          assert(got(k) == acc, s"seed=$seed k=$k: ${got(k)} != $acc")
+        }
+      }
+    }
+  }
+
+  test("normalizeEventTs is generation-invariant on random instants") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val gen = Gen.listOf(Gen.choose(0L, 4102444800000000L)) // 1970..2100 µs
+    for (seed <- 1 to 3) {
+      val micros = gen.apply(Gen.Parameters.default.withSize(40), Seed(seed.toLong))
+        .getOrElse(Nil).distinct
+      if (micros.nonEmpty) {
+        val base = spark.createDataFrame(micros.map(Tuple1(_))).toDF("us")
+        def out(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+          val n = Tables.normalizeEventTs(df)
+          assert(n.schema("ts").dataType == TimestampType)
+          n.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+        }
+        val fromNs = out(base.select((col("us") * 1000).as("ts")))
+        val fromNtz = out(base.select(
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts")))
+        val fromTs = out(base.select(timestamp_micros(col("us")).as("ts")))
+        assert(fromNs == fromNtz && fromNtz == fromTs,
+          s"seed=$seed: generations disagree")
+        assert(fromTs == micros.sorted)
+      }
+    }
+  }
+
   test("deleteInsert is idempotent and preserves the key partition") {
     import spark.implicits._
     samples(4).zip(samples(4).reverse).foreach { case (target, batch) =>
