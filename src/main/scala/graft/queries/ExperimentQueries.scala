@@ -374,6 +374,189 @@ object ExperimentQueries {
           (col("n_b") - exp) * (col("n_b") - exp) / exp
         c.select(col("n_a"), col("n_b"),
           round(chi2, 4).as("chi2"), (chi2 > 3.841).as("srm_flag"))
+      }),
+
+    // CHI-SQUARE INDEPENDENCE of event_type × variant over event counts —
+    // "does the assignment skew what people do". Uses the grid-complete
+    // identity χ² = Σ o²/e − N (cells with o=0 contribute nothing), so
+    // absent cells need no outer-join scaffolding; every input is an
+    // exact BIGINT count and the only float work is the final Σ o²/e.
+    // One corpus scan, then |R×C|-sized frames and broadcast joins.
+    QueryDef(
+      "q_chi_square",
+      Some(s"""WITH a AS (SELECT event_type,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events),
+             |o AS (SELECT event_type, variant,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM a GROUP BY 1, 2),
+             |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             |  FROM o GROUP BY 1),
+             |ct AS (SELECT variant, CAST(sum(o) AS BIGINT) AS ct
+             |  FROM o GROUP BY 1),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+             |s AS (SELECT
+             |    CAST(count(DISTINCT o.event_type) AS BIGINT) AS r,
+             |    CAST(count(DISTINCT o.variant) AS BIGINT) AS c,
+             |    sum(o.o * o.o * n / (CAST(rt.rt AS DOUBLE) * ct.ct)) AS so2e,
+             |    any_value(n) AS n
+             |  FROM o JOIN rt USING (event_type) JOIN ct USING (variant), tot)
+             |SELECT n AS n_events, (r - 1) * (c - 1) AS dof,
+             |  round(so2e - n, 4) AS chi2
+             |FROM s""".stripMargin),
+      (s, dir) => {
+        val o = assigned(s, dir)
+          .groupBy("event_type", "variant")
+          .agg(count(lit(1)).as("o"))
+        val rt = o.groupBy("event_type").agg(sum("o").as("rt"))
+        val ct = o.groupBy("variant").agg(sum("o").as("ct"))
+        val tot = o.agg(sum("o").as("n"))
+        o.join(broadcast(rt), "event_type")
+          .join(broadcast(ct), "variant")
+          .crossJoin(broadcast(tot))
+          .agg(
+            countDistinct("event_type").as("r"),
+            countDistinct("variant").as("c"),
+            sum(col("o") * col("o") * col("n")
+              / (col("rt").cast("double") * col("ct"))).as("so2e"),
+            first("n").as("n"))
+          .select(col("n").as("n_events"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"),
+            round(col("so2e") - col("n"), 4).as("chi2"))
+      }),
+
+    // MANN–WHITNEY U per event type: the rank-based (distribution-free)
+    // A/B comparison with average-rank tie handling and the tie-corrected
+    // normal approximation. Ranks come WITHOUT any corpus-sized window:
+    // values are first aggregated per (type, value) — ties collapse to
+    // one row — then ops.PrefixSum's range-partitioned running count over
+    // the global (type, value) order gives cumulative counts, and the
+    // per-type rank is recovered by subtracting the earlier-types offset
+    // (a |types|² self-join, window-free). avg_rank is a multiple of ½
+    // and every sum of them is exact in double (< 2⁵³), so u_stat is
+    // deterministic cross-engine; only z rides a rounded float.
+    QueryDef(
+      "q_mannwhitney",
+      Some(s"""WITH a AS (SELECT event_type, value,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events),
+             |g AS (SELECT event_type, value,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS na
+             |  FROM a GROUP BY 1, 2),
+             |r AS (SELECT event_type, n, na,
+             |    sum(n) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS UNBOUNDED PRECEDING) - (n - 1) / 2.0 AS avg_rank
+             |  FROM g),
+             |t AS (SELECT event_type,
+             |    CAST(sum(na) AS BIGINT) AS n_a,
+             |    CAST(sum(n - na) AS BIGINT) AS n_b,
+             |    sum(na * avg_rank) AS r_a,
+             |    CAST(sum(n * n * n - n) AS BIGINT) AS ties3
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n_a, n_b,
+             |  round(r_a - n_a * (n_a + 1) / 2.0, 1) AS u_stat,
+             |  CASE WHEN n_a > 0 AND n_b > 0
+             |      AND (n_a + n_b + 1) - ties3
+             |        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+             |    THEN round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             |      / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) - ties3
+             |        / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 4)
+             |  END AS z_stat
+             |FROM t""".stripMargin),
+      (s, dir) => {
+        val g = assigned(s, dir)
+          .groupBy("event_type", "value")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("variant") === "A", 1).otherwise(0)).cast("long")
+              .as("na"))
+        val ranked = graft.ops.PrefixSum.runningTotal(
+          g, Seq(col("event_type"), col("value")), col("n"), "cum")
+        // earlier-types count offset: |types|² triangle join, no window
+        val tot = g.groupBy("event_type").agg(sum("n").as("tot"))
+        val off = tot.as("x")
+          .join(tot.as("y"), col("y.event_type") < col("x.event_type"),
+            "left")
+          .groupBy(col("x.event_type").as("event_type"))
+          .agg(coalesce(sum(col("y.tot")), lit(0L)).as("off"))
+        val t = ranked.join(broadcast(off), "event_type")
+          .withColumn("avg_rank",
+            (col("cum") - col("off")) - (col("n") - 1) / 2.0)
+          .groupBy("event_type")
+          .agg(sum("na").as("n_a"),
+            sum(col("n") - col("na")).as("n_b"),
+            sum(col("na") * col("avg_rank")).as("r_a"),
+            sum(col("n") * col("n") * col("n") - col("n")).as("ties3"))
+        val nT = col("n_a") + col("n_b")
+        val tieAdj = (nT + 1) - col("ties3") /
+          (nT.cast("double") * (nT - 1))
+        val uA = col("r_a") - col("n_a") * (col("n_a") + 1) / 2.0
+        val ok = col("n_a") > 0 && col("n_b") > 0 && tieAdj > 0
+        t.select(col("event_type"), col("n_a"), col("n_b"),
+          round(uA, 1).as("u_stat"),
+          when(ok, round((uA - col("n_a") * col("n_b") / 2.0)
+            / sqrt(col("n_a") * col("n_b") / 12.0 * tieAdj), 4))
+            .as("z_stat"))
+      }),
+
+    // TWO-PROPORTION z-TEST on user-level conversion (≥1 purchase):
+    // the binary-outcome companion to Welch's t — pooled-variance z on
+    // the A/B conversion rates. One per-user aggregate, then a single
+    // 4-count frame; all counts exact BIGINT, z the only rounded float.
+    QueryDef(
+      "q_prop_ztest",
+      Some(s"""WITH u AS (SELECT user_id,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events GROUP BY 1, 2),
+             |c AS (SELECT
+             |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+             |      AS BIGINT) AS x_a,
+             |    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+             |      AS BIGINT) AS x_b
+             |  FROM u),
+             |z AS (SELECT n_a, n_b, x_a, x_b,
+             |    (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS p
+             |  FROM c)
+             |SELECT n_a, n_b, x_a, x_b,
+             |  round(x_a / CAST(n_a AS DOUBLE), 4) AS p_a,
+             |  round(x_b / CAST(n_b AS DOUBLE), 4) AS p_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND p > 0 AND p < 1
+             |    THEN round((x_a / CAST(n_a AS DOUBLE)
+             |        - x_b / CAST(n_b AS DOUBLE))
+             |      / sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 4)
+             |  END AS z_stat
+             |FROM z""".stripMargin),
+      (s, dir) => {
+        val u = assigned(s, dir)
+          .groupBy("user_id", "variant")
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+        val c = u.agg(
+          sum(when(col("variant") === "A", 1).otherwise(0)).cast("long")
+            .as("n_a"),
+          sum(when(col("variant") === "B", 1).otherwise(0)).cast("long")
+            .as("n_b"),
+          sum(when(col("variant") === "A", col("conv")).otherwise(0))
+            .cast("long").as("x_a"),
+          sum(when(col("variant") === "B", col("conv")).otherwise(0))
+            .cast("long").as("x_b"))
+        val p = (col("x_a") + col("x_b")) /
+          (col("n_a") + col("n_b")).cast("double")
+        val pa = col("x_a") / col("n_a").cast("double")
+        val pb = col("x_b") / col("n_b").cast("double")
+        val ok = col("n_a") > 0 && col("n_b") > 0 && p > 0 && p < 1
+        c.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+          round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
+          when(ok, round((pa - pb)
+            / sqrt(p * (lit(1) - p) * (lit(1.0) / col("n_a")
+              + lit(1.0) / col("n_b"))), 4)).as("z_stat"))
       })
   )
 }

@@ -175,4 +175,58 @@ class ExperimentSpec extends SparkSpec {
     // a healthy sha-bucket split must NOT trip the guardrail
     assert(!flag, s"deterministic 50/50 split flagged SRM: chi2=$chi2")
   }
+
+  test("q_mannwhitney matches an independent pairwise U computation") {
+    val rows = q("q_mannwhitney").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("u_stat"))).toMap
+    assert(rows.nonEmpty)
+    // same deterministic variant assignment as the query
+    val ev = Tables.t(spark, sf, "events")
+      .withColumn("variant",
+        when(graft.ops.Sampling.hashBucket(col("user_id")) < 50, "A")
+          .otherwise("B"))
+      .select("event_type", "value", "variant").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    for ((t, (na, nb, u)) <- rows) {
+      val as = ev.collect { case (`t`, v, "A") => v }
+      val bs = ev.collect { case (`t`, v, "B") => v }
+      assert(as.length == na && bs.length == nb, s"$t: count mismatch")
+      // U_A by brute-force pair counting (wins + half-ties) — the
+      // definition the rank formula must reproduce exactly
+      val uPairs = (for (a <- as; b <- bs)
+        yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+      assert(math.abs(u - uPairs) < 0.06, s"$t: U $u vs pairwise $uPairs")
+      assert(u >= 0.0 && u <= na.toDouble * nb, s"$t: U out of range")
+    }
+  }
+
+  test("q_chi_square: dof from the real grid, chi2 non-negative") {
+    val r = q("q_chi_square").collect().head
+    val (n, dof, chi2) = (r.getAs[Long]("n_events"), r.getAs[Long]("dof"),
+      r.getAs[Double]("chi2"))
+    val ev = Tables.t(spark, sf, "events")
+    assert(n == ev.count())
+    val types = ev.select("event_type").distinct().count()
+    assert(dof == (types - 1) * (2 - 1))
+    assert(chi2 >= -1e-9, s"chi2 $chi2 negative")
+  }
+
+  test("q_prop_ztest: counts conserved, z sign follows the rate gap") {
+    val r = q("q_prop_ztest").collect().head
+    val (na, nb, xa, xb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("x_a"), r.getAs[Long]("x_b"))
+    val users = Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+    assert(xa <= na && xb <= nb)
+    val (pa, pb) = (r.getAs[Double]("p_a"), r.getAs[Double]("p_b"))
+    assert(pa >= 0 && pa <= 1 && pb >= 0 && pb <= 1)
+    if (!r.isNullAt(r.fieldIndex("z_stat"))) {
+      val z = r.getAs[Double]("z_stat")
+      assert(z.sign == (pa - pb).sign || math.abs(pa - pb) < 1e-4,
+        s"z $z vs gap ${pa - pb}")
+    }
+  }
 }
