@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** TIME-SERIES analytics over the events stream's daily domain: the
+  * autocorrelation / smoothing / changepoint / decomposition toolkit a
+  * metrics warehouse runs on its daily counters.
+  *
+  * Reference behavior: the reference's marts materialize daily per-type
+  * counters and its dashboards read trends off them (dags/ aggregate to
+  * calendar grain before charting); these queries re-express the
+  * downstream analysis itself as engine queries.
+  *
+  * Scale shape shared by all four: ONE corpus scan aggregates events to
+  * the (day[, type]) grain — every window, self-join, and lag after that
+  * runs on the day-domain table (|days| or |days|×|types| rows), never on
+  * the corpus. That is the same aggregate-BEFORE-window contract as
+  * q_kaplan_meier: frames stay bounded by the calendar, independent of
+  * corpus scale.
+  */
+object SeriesQueries {
+
+  /** Daily event counts per type: the shared 1-scan base relation. */
+  private def daily(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+
+  private val dailySql =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SAMPLE AUTOCORRELATION of the daily total-event series at lags
+    // 1..7: the "is there weekly structure" probe. r_k uses the standard
+    // ACF form (global mean, lag-0 denominator); lagged pairs come from
+    // an equi-join of the day table against itself shifted by k — the
+    // |days|×7 frame is calendar-bounded, no window at all.
+    QueryDef(
+      "q_autocorr",
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT avg(c) AS mu,
+             |    sum((c - (SELECT avg(c) FROM d))
+             |      * (c - (SELECT avg(c) FROM d))) AS den
+             |  FROM d),
+             |k AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
+             |  AS t(lag)),
+             |p AS (SELECT k.lag,
+             |    CAST(count(*) AS BIGINT) AS n_pairs,
+             |    sum((a.c - m.mu) * (b.c - m.mu)) AS num
+             |  FROM k JOIN d a ON TRUE
+             |    JOIN d b ON b.day = a.day - k.lag, m
+             |  GROUP BY 1)
+             |SELECT p.lag, p.n_pairs,
+             |  CASE WHEN m.den > 0 THEN round(p.num / m.den, 4) END AS acf
+             |FROM p, m
+             |ORDER BY p.lag""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val m = d.agg(avg("c").as("mu")).collect().head.getDouble(0)
+        val den = d.agg(sum((col("c") - m) * (col("c") - m)).as("den"))
+        val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+        d.as("a").crossJoin(broadcast(lags))
+          .join(d.as("b"),
+            col("b.day") === date_sub(col("a.day"), col("lag")))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("a.c") - m) * (col("b.c") - m)).as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"),
+            when(col("den") > 0, round(col("num") / col("den"), 4))
+              .as("acf"))
+          .orderBy("lag")
+      }),
+
+    // TRUNCATED EWMA (α=0.3, 14-day support) per event type, normalized
+    // over the weights of the days that EXIST — series edges and calendar
+    // gaps smooth over available history instead of decaying toward a
+    // phantom zero. The recursion is unrolled into a days×offsets
+    // equi-join (exact, not an approximation, because (1−α)^14 < 0.007 of
+    // the mass is re-normalized away): calendar-bounded, shuffle-free
+    // after the one daily aggregate.
+    QueryDef(
+      "q_ewma_smooth",
+      Some(s"""WITH d AS ($dailySql),
+             |j AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+             |  (8),(9),(10),(11),(12),(13)) AS t(off)),
+             |w AS (SELECT a.event_type, a.day, any_value(a.c) AS c,
+             |    sum(b.c * power(0.7, j.off)) AS num,
+             |    sum(power(0.7, j.off)) AS den
+             |  FROM d a JOIN j ON TRUE
+             |    JOIN d b ON b.event_type = a.event_type
+             |      AND b.day = a.day - j.off
+             |  GROUP BY 1, 2)
+             |SELECT event_type, day, c,
+             |  round(num / den, 4) AS ewma
+             |FROM w""".stripMargin),
+      (s, dir) => {
+        val d = daily(s, dir)
+        val offs = s.range(0, 14).select(col("id").cast("int").as("off"))
+        d.as("a").crossJoin(broadcast(offs))
+          .join(d.as("b"),
+            col("b.event_type") === col("a.event_type") &&
+              col("b.day") === date_sub(col("a.day"), col("off")))
+          .groupBy(col("a.event_type").as("event_type"),
+            col("a.day").as("day"))
+          .agg(first(col("a.c")).as("c"),
+            sum(col("b.c") * pow(lit(0.7), col("off"))).as("num"),
+            sum(pow(lit(0.7), col("off"))).as("den"))
+          .select(col("event_type"), col("day"), col("c"),
+            round(col("num") / col("den"), 4).as("ewma"))
+      }),
+
+    // CUSUM CHANGEPOINT per event type: the day where the cumulative
+    // deviation from the series mean peaks — level-shift detection on
+    // daily counts. The scan statistic is kept EXACT by scaling out the
+    // float mean: S'_t = n·P_t − t·Σc (all BIGINT; P_t = prefix count
+    // sum, t = day index), so argmax and its min-day tie-break are
+    // deterministic on any engine; only the reported normalized stat
+    // max|S|/(σ√n) is float, rounded. Windows: day-domain only.
+    // (Overflow bound: n_days·daily_count < 2⁶³ — ~1e15 events/day over
+    // a decade — before S' saturates.)
+    QueryDef(
+      "q_cusum_change",
+      Some(s"""WITH d AS ($dailySql),
+             |i AS (SELECT event_type, day, c,
+             |    CAST(row_number() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS BIGINT) AS t,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             |  FROM d),
+             |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(c) AS BIGINT) AS sc,
+             |    sqrt(avg(c * c) - avg(c) * avg(c)) AS sd
+             |  FROM d GROUP BY 1),
+             |sc AS (SELECT i.event_type, i.day,
+             |    abs(g.n * i.p - i.t * g.sc) AS s_abs
+             |  FROM i JOIN g USING (event_type)),
+             |mx AS (SELECT event_type, max(s_abs) AS m
+             |  FROM sc GROUP BY 1)
+             |SELECT g.event_type, g.n AS n_days,
+             |  (SELECT min(day) FROM sc
+             |    WHERE sc.event_type = g.event_type AND sc.s_abs = mx.m)
+             |    AS change_day,
+             |  round(mx.m / CAST(g.n AS DOUBLE), 4) AS max_cusum,
+             |  CASE WHEN g.sd > 0
+             |    THEN round(mx.m / (CAST(g.n AS DOUBLE) * g.sd * sqrt(g.n)), 4)
+             |  END AS scan_stat
+             |FROM g JOIN mx USING (event_type)""".stripMargin),
+      (s, dir) => {
+        val d = daily(s, dir)
+        val wT = Window.partitionBy("event_type").orderBy("day")
+        val i = d
+          .withColumn("t", row_number().over(wT).cast("long"))
+          .withColumn("p",
+            sum("c").over(wT.rowsBetween(Window.unboundedPreceding, 0)))
+        val g = d.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+            sqrt(avg(col("c") * col("c")) - avg("c") * avg("c")).as("sd"))
+        val sc = i.join(broadcast(g), "event_type")
+          .withColumn("s_abs", abs(col("n") * col("p") - col("t") * col("sc")))
+        val mx = sc.groupBy("event_type").agg(max("s_abs").as("m"))
+        val change = sc.join(broadcast(mx), "event_type")
+          .filter(col("s_abs") === col("m"))
+          .groupBy("event_type").agg(min("day").as("change_day"))
+        g.join(broadcast(mx), "event_type")
+          .join(broadcast(change), "event_type")
+          .select(col("event_type"), col("n").as("n_days"),
+            col("change_day"),
+            round(col("m") / col("n").cast("double"), 4).as("max_cusum"),
+            when(col("sd") > 0,
+              round(col("m") / (col("n").cast("double") * col("sd")
+                * sqrt(col("n"))), 4)).as("scan_stat"))
+      }),
+
+    // ADDITIVE SEASONAL DECOMPOSITION of the daily total series:
+    // trend = centered 7-day moving average (full windows only),
+    // seasonal = per-ISO-weekday mean of the detrended series (recentered
+    // to sum to zero over the 7 weekdays), residual = remainder. The
+    // classic decompose() shape, all frames day-domain-bounded; edge days
+    // (no full trend window) carry NULL trend/seasonal/residual by
+    // contract.
+    QueryDef(
+      "q_stl_decompose",
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |tr AS (SELECT day, c,
+             |    CASE WHEN count(*) OVER w = 7
+             |      THEN sum(c) OVER w / 7.0 END AS trend
+             |  FROM d
+             |  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY
+             |    PRECEDING AND INTERVAL 3 DAY FOLLOWING)),
+             |sz AS (SELECT isodow(day) AS dow,
+             |    avg(c - trend) AS raw_s
+             |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+             |ctr AS (SELECT avg(raw_s) AS adj FROM sz),
+             |se AS (SELECT dow, raw_s - adj AS seasonal FROM sz, ctr)
+             |SELECT t.day, t.c, round(t.trend, 4) AS trend,
+             |  CASE WHEN t.trend IS NOT NULL
+             |    THEN round(se.seasonal, 4) END AS seasonal,
+             |  CASE WHEN t.trend IS NOT NULL
+             |    THEN round(t.c - t.trend - se.seasonal, 4) END AS residual
+             |FROM tr t JOIN se ON se.dow = isodow(t.day)""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        // day-domain window (|days| rows, aggregated above) — the RANGE
+        // frame tolerates calendar gaps identically to the oracle
+        val w = Window.orderBy(col("day").cast("timestamp").cast("long"))
+          .rangeBetween(-3L * 86400, 3L * 86400)
+        val tr = d
+          .withColumn("trend",
+            when(count(lit(1)).over(w) === 7, sum("c").over(w) / 7.0))
+        val sz = tr.filter(col("trend").isNotNull)
+          .groupBy((weekday(col("day")) + 1).as("dow"))
+          .agg(avg(col("c") - col("trend")).as("raw_s"))
+        val ctr = sz.agg(avg("raw_s").as("adj"))
+        val se = sz.crossJoin(broadcast(ctr))
+          .select(col("dow"), (col("raw_s") - col("adj")).as("seasonal"))
+        tr.join(broadcast(se), (weekday(col("day")) + 1) === se("dow"))
+          .select(col("day"), col("c"),
+            round(col("trend"), 4).as("trend"),
+            when(col("trend").isNotNull, round(col("seasonal"), 4))
+              .as("seasonal"),
+            when(col("trend").isNotNull,
+              round(col("c") - col("trend") - col("seasonal"), 4))
+              .as("residual"))
+      })
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the time-series wave. */
+class SeriesSpec extends SparkSpec {
+
+  private lazy val dailyTotals: Map[java.sql.Date, Long] =
+    Tables.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getDate(0) -> r.getLong(1)).toMap
+
+  test("q_autocorr: ACF bounded, pair counts follow the calendar") {
+    val rows = q("q_autocorr").collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (1 to 7))
+    val nDays = dailyTotals.size
+    for (r <- rows) {
+      val (lag, nPairs) = (r.getAs[Int]("lag"), r.getAs[Long]("n_pairs"))
+      // a contiguous daily calendar yields exactly n-k pairs at lag k
+      assert(nPairs <= nDays - lag, s"lag $lag: $nPairs pairs > ${nDays - lag}")
+      assert(nPairs > 0, s"lag $lag: no pairs")
+      val acf = r.getAs[Double]("acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"lag $lag: acf $acf")
+    }
+  }
+
+  test("q_ewma_smooth: smoother stays inside its input envelope") {
+    val rows = q("q_ewma_smooth").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((t, rs) <- byType) {
+      val byDay = rs.map(r => r.getDate(r.fieldIndex("day")).toLocalDate ->
+        (r.getAs[Long]("c"), r.getAs[Double]("ewma"))).toMap
+      for ((day, (_, ewma)) <- byDay) {
+        // the normalized EWMA is a convex combination of the counts in
+        // its 14-day support — it can never escape their min/max
+        val support = (0 until 14).flatMap(j => byDay.get(day.minusDays(j)))
+          .map(_._1)
+        assert(ewma >= support.min - 1e-6 && ewma <= support.max + 1e-6,
+          s"$t $day: ewma $ewma outside [${support.min}, ${support.max}]")
+      }
+      // first day of the series: the only support term is itself
+      val first = byDay.keys.min[java.time.LocalDate](_ compareTo _)
+      assert(math.abs(byDay(first)._2 - byDay(first)._1) < 1e-6,
+        s"$t: first-day ewma ${byDay(first)._2} != count ${byDay(first)._1}")
+    }
+  }
+
+  test("q_cusum_change matches an independent scan computation") {
+    val rows = q("q_cusum_change").collect()
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getDate(0), r.getLong(2)))
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val series = daily.filter(_._1 == t).sortBy(_._2.getTime)
+      val n = series.length
+      assert(r.getAs[Long]("n_days") == n)
+      val sc = series.map(_._3).sum
+      var p = 0L
+      val sAbs = series.zipWithIndex.map { case ((_, day, c), i) =>
+        p += c; (day, math.abs(n * p - (i + 1) * sc))
+      }
+      val m = sAbs.map(_._2).max
+      val expectDay = sAbs.filter(_._2 == m).map(_._1).minBy(_.getTime)
+      assert(r.getDate(r.fieldIndex("change_day")) == expectDay,
+        s"$t: change_day ${r.getDate(r.fieldIndex("change_day"))} != $expectDay")
+      assert(math.abs(r.getAs[Double]("max_cusum") - m.toDouble / n) < 1e-3)
+    }
+  }
+
+  test("q_stl_decompose: components recompose, seasonal is centered") {
+    val rows = q("q_stl_decompose").collect()
+    assert(rows.length == dailyTotals.size)
+    val withTrend = rows.filter(!_.isNullAt(2))
+    assert(withTrend.nonEmpty, "every trend NULL — window never filled")
+    for (r <- withTrend) {
+      val (c, tr, se, res) = (r.getAs[Long]("c"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))
+      // rounding each component to 4dp can misalign the identity by at
+      // most 1.5e-4
+      assert(math.abs(c - tr - se - res) < 5e-4,
+        s"${r.getDate(0)}: $c != $tr + $se + $res")
+    }
+    // seasonal offsets are recentered: their mean over the distinct
+    // weekdays present is ~0
+    val perDow = withTrend.map(r =>
+      r.getDate(0).toLocalDate.getDayOfWeek -> r.getAs[Double]("seasonal"))
+      .groupBy(_._1).map(_._2.head._2)
+    assert(math.abs(perDow.sum / perDow.size) < 1e-3,
+      s"seasonal not centered: ${perDow.mkString(",")}")
+    // edge days (incomplete centered window) carry NULLs by contract
+    assert(rows.exists(_.isNullAt(2)), "expected NULL-trend edge days")
+  }
+}
