@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the feature-engineering wave. */
+class FeatureSpec extends SparkSpec {
+
+  test("q_feature_scale: full dim grid, coherent order statistics") {
+    val rows = q("q_feature_scale").collect()
+    assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until 64))
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == nVecs)
+      val (mean, mn, mx) = (r.getAs[Double]("mean"),
+        r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      assert(mn <= mean + 1e-4 && mean <= mx + 1e-4,
+        s"dim ${r.getAs[Int]("dim")}: $mn <= $mean <= $mx violated")
+      if (!r.isNullAt(r.fieldIndex("z_max")))
+        assert(r.getAs[Double]("z_max") >= 0)
+    }
+  }
+
+  test("q_target_encode: shrinkage pulls toward the global mean") {
+    val rows = q("q_target_encode").collect()
+    val gm = Tables.t(spark, sf, "events").agg(avg("value")).head.getDouble(0)
+    for (r <- rows) {
+      val (raw, enc, shrink) = (r.getAs[Double]("raw_mean"),
+        r.getAs[Double]("encoded"), r.getAs[Double]("shrink"))
+      assert(shrink > 0 && shrink < 1)
+      // encoded lies strictly between the category mean and the prior
+      val (lo, hi) = (math.min(raw, gm), math.max(raw, gm))
+      assert(enc >= lo - 1e-3 && enc <= hi + 1e-3,
+        s"${r.getString(0)}: $enc outside [$lo, $hi]")
+    }
+  }
+
+  test("q_class_weights: weighted counts re-sum to N") {
+    val rows = q("q_class_weights").collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.t(spark, sf, "embeddings").count())
+    val reweighted = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("weight")).sum
+    assert(math.abs(reweighted - n) / n < 1e-3,
+      s"sum n_k*w_k = $reweighted != $n")
+  }
+
+  test("q_curriculum_bins: stages partition the corpus, schedule accumulates") {
+    val rows = q("q_curriculum_bins").collect()
+      .sortBy(_.getAs[Int]("stage"))
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getAs[Int]("stage")).distinct.length == rows.length)
+    val docs = Tables.t(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // difficulty is monotone across stages (they're score-range carved)
+    val diffs = rows.map(_.getAs[Double]("mean_difficulty"))
+    assert(diffs.zip(diffs.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"stage difficulty not monotone: ${diffs.mkString(",")}")
+    var cum = 0L
+    for (r <- rows) {
+      cum += r.getAs[Long]("tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum)
+    }
+  }
+}
