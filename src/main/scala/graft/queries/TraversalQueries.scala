@@ -226,6 +226,141 @@ object TraversalQueries {
           .filter(col("rk") <= 50)
           .groupBy("source")
           .agg(count(lit(1)).as("kept"), sum("n_chars").as("total_chars"))
+      }),
+
+    // HITS hub/authority scores over the DIRECTED customer→supplier
+    // purchase graph, 2 full mutual-reinforcement iterations. The
+    // iterates are kept as EXACT path counts (h₀=1; every step is a
+    // BIGINT sum over neighbors — no per-round float normalization to
+    // drift cross-engine); one normalization at the very end turns each
+    // side into a distribution. Overflow bound: counts grow like
+    // deg^(2·iters) ≈ deg⁴ — < 2⁵³ through ~50k-degree graphs, far past
+    // any fixture SF. Per round: one equi-join + partial-agg sum; the
+    // score table (|V| rows) is the only thing that reshuffles.
+    QueryDef(
+      "q_hits",
+      Some("""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+             |    l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS s
+             |  FROM e),
+             |a1 AS (SELECT e.dst AS node, CAST(sum(h0.s) AS BIGINT) AS s
+             |  FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+             |h1 AS (SELECT e.src AS node, CAST(sum(a1.s) AS BIGINT) AS s
+             |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+             |a2 AS (SELECT e.dst AS node, CAST(sum(h1.s) AS BIGINT) AS s
+             |  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+             |h2 AS (SELECT e.src AS node, CAST(sum(a2.s) AS BIGINT) AS s
+             |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+             |u AS (SELECT 'auth' AS side, node, s FROM a2
+             |  UNION ALL SELECT 'hub', node, s FROM h2),
+             |t AS (SELECT side, CAST(sum(s) AS BIGINT) AS tot
+             |  FROM u GROUP BY 1)
+             |SELECT u.side, u.node,
+             |  round(u.s / CAST(t.tot AS DOUBLE), 6) AS score
+             |FROM u JOIN t USING (side)""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val e = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct().localCheckpoint()
+        var h = e.select(col("src").as("node")).distinct()
+          .withColumn("s", lit(1L))
+        var a: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          a = e.join(h.withColumnRenamed("node", "hn"),
+              col("hn") === col("src"))
+            .groupBy(col("dst").as("node")).agg(sum("s").as("s"))
+          h = e.join(a.withColumnRenamed("node", "an"),
+              col("an") === col("dst"))
+            .groupBy(col("src").as("node")).agg(sum("s").as("s"))
+        }
+        val u = a.withColumn("side", lit("auth"))
+          .unionByName(h.withColumn("side", lit("hub")))
+        val t = u.groupBy("side").agg(sum("s").as("tot"))
+        u.join(broadcast(t), "side")
+          .select(col("side"), col("node"),
+            round(col("s") / col("tot").cast("double"), 6).as("score"))
+      }),
+
+    // K-CORE of the symmetrized purchase graph at k = ⌊median degree⌋
+    // (data-adaptive, so the carve is meaningful at every fixture SF).
+    // Iterative peel: drop sub-k nodes, restrict edges to survivors,
+    // recompute — to FIXPOINT, asserted within the same 4 rounds the
+    // oracle unrolls (a future fixture needing more peels fails loudly
+    // on both sides instead of silently diverging). Per round: one
+    // degree aggregate + two semi-joins on the shrinking edge set;
+    // localCheckpoint truncates the loop lineage like ConnectedComponents.
+    QueryDef(
+      "q_kcore",
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             |    l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+             |  FROM e GROUP BY 1),
+             |kk AS (SELECT CAST(floor(quantile_cont(d, 0.5)) AS BIGINT) AS k
+             |  FROM dg),
+             |n1 AS (SELECT src FROM dg, kk WHERE d >= k),
+             |e1 AS (SELECT e.src, e.dst FROM e
+             |  JOIN n1 a ON a.src = e.src JOIN n1 b ON b.src = e.dst),
+             |d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+             |  FROM e1 GROUP BY 1),
+             |n2 AS (SELECT src FROM d1, kk WHERE d >= k),
+             |e2 AS (SELECT e1.src, e1.dst FROM e1
+             |  JOIN n2 a ON a.src = e1.src JOIN n2 b ON b.src = e1.dst),
+             |d2 AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+             |  FROM e2 GROUP BY 1),
+             |n3 AS (SELECT src FROM d2, kk WHERE d >= k),
+             |e3 AS (SELECT e2.src, e2.dst FROM e2
+             |  JOIN n3 a ON a.src = e2.src JOIN n3 b ON b.src = e2.dst),
+             |d3 AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+             |  FROM e3 GROUP BY 1),
+             |n4 AS (SELECT src FROM d3, kk WHERE d >= k),
+             |e4 AS (SELECT e3.src, e3.dst FROM e3
+             |  JOIN n4 a ON a.src = e3.src JOIN n4 b ON b.src = e3.dst)
+             |SELECT e4.src AS node,
+             |  CASE WHEN e4.src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             |    AS side,
+             |  CAST(count(*) AS BIGINT) AS core_degree,
+             |  any_value(kk.k) AS k
+             |FROM e4, kk GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e0 = edges(s, dir)
+        var cur = e0.localCheckpoint()
+        val dg = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        val k = graft.ops.Quantiles
+          .groupQuantiles(dg.withColumn("g", lit(1)), "g", "d",
+            Seq("med" -> 0.5))
+          .select(floor(col("med")).cast("long")).collect().head.getLong(0)
+        var converged = false
+        var round = 0
+        while (!converged && round < 4) {
+          val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select("src").localCheckpoint()
+          val before = cur.select("src").distinct().count()
+          if (keep.count() == before) converged = true
+          else {
+            cur = cur
+              .join(keep.withColumnRenamed("src", "ka"),
+                col("src") === col("ka"))
+              .join(keep.withColumnRenamed("src", "kb"),
+                col("dst") === col("kb"))
+              .select("src", "dst").localCheckpoint()
+            round += 1
+          }
+        }
+        require(converged,
+          s"k-core ($k) did not reach fixpoint within 4 peel rounds — " +
+            "extend the oracle's unrolled rounds to match")
+        cur.groupBy("src")
+          .agg(count(lit(1)).as("core_degree"))
+          .select(col("src").as("node"),
+            when(col("src") % 2 === 0, "customer").otherwise("supplier")
+              .as("side"),
+            col("core_degree"), lit(k).as("k"))
       })
   )
 }

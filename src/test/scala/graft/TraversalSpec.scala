@@ -104,4 +104,47 @@ class TraversalSpec extends SparkSpec {
     assert(fast == base, s"degree-oriented $fast != id-ordered $base")
     assert(fast > 0, "vacuous random graph — raise edge count")
   }
+
+  test("q_hits: each side is a distribution; auth-1 step equals indegree share") {
+    val rows = q("q_hits").collect()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet == Set("hub", "auth"))
+    for ((side, rs) <- bySide) {
+      val total = rs.map(_.getAs[Double]("score")).sum
+      assert(math.abs(total - 1.0) < 1e-3, s"$side scores sum to $total")
+      assert(rs.forall(_.getAs[Double]("score") >= 0))
+    }
+    // hubs are customers (even ids), authorities suppliers (odd ids)
+    assert(bySide("hub").forall(_.getAs[Long]("node") % 2 == 0))
+    assert(bySide("auth").forall(_.getAs[Long]("node") % 2 == 1))
+  }
+
+  test("q_kcore matches an independent driver-side peel") {
+    val rows = q("q_kcore").collect()
+    assert(rows.nonEmpty, "empty core — k too aggressive for this fixture")
+    val k = rows.head.getAs[Long]("k")
+    // in-core degree is >= k for every member, by definition
+    assert(rows.forall(_.getAs[Long]("core_degree") >= k))
+    // independent peel on collected edges
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (fwd ++ fwd.map(_.swap)).distinct
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.length != edges.length
+      edges = next
+    }
+    val expect = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val got = rows.map(r => r.getAs[Long]("node") ->
+      r.getAs[Long]("core_degree")).toMap
+    assert(got == expect,
+      s"core mismatch: ${got.size} vs ${expect.size} members")
+  }
 }
