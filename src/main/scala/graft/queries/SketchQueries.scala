@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.expressions.Hashing
+
+/** KMV (k-minimum-values) distinct sketches over per-source character
+  * shingles: mergeable cardinality + Jaccard estimation with a FIXED
+  * k·|sources| memory footprint — the sketch family for "how much do two
+  * crawls overlap" questions where exact distinct-intersections would
+  * shuffle the full token universe.
+  *
+  * Hashes are sha60 (expressions/Hashing.scala) so the DuckDB oracle
+  * replays them bit-for-bit; everything up to the final estimate division
+  * is integer arithmetic — no float drift anywhere.
+  *
+  * Scale shape: the only corpus-sized stage is the distinct (source,
+  * hash) aggregate. Per-source top-k then runs in TWO phases — a local
+  * top-k per (source, physical partition), then a global top-k over the
+  * ≤ k·P candidates — so no window ever sees a corpus-sized frame (same
+  * two-phase contract as ops/PrefixSum). Pair frames are ≤ 2k rows per
+  * source pair.
+  */
+object SketchQueries {
+
+  private val K = 256
+  /** 2^60 — the sha60 hash space size; estimator scale constant. */
+  private val MaxH = 1152921504606846976L
+
+  /** Distinct (source, sha60(char-8-shingle)) pairs. */
+  private def hashes(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.dedup.Dedup.normalized(col("text"))
+    Tables.t(s, dir, "documents")
+      .select(col("source"), t.as("t"))
+      .filter(length(col("t")) >= 8) // sequence(1, n<1) would descend
+      .withColumn("i", explode(sequence(lit(1), length(col("t")) - 7)))
+      .select(col("source"),
+        Hashing.sha60(expr("substring(t, i, 8)")).as("h"))
+      .distinct()
+  }
+
+  /** Per-source KMV sketch: the K smallest hashes, via local-then-global
+    * top-k (no corpus-sized window frame).
+    */
+  private def sketch(s: SparkSession, dir: String): DataFrame = {
+    val h = hashes(s, dir).withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("source", "__pid").orderBy("h")
+    val cand = h.withColumn("r", row_number().over(wLocal))
+      .filter(col("r") <= K).drop("r", "__pid")
+    val wGlobal = Window.partitionBy("source").orderBy("h")
+    cand.withColumn("r", row_number().over(wGlobal))
+      .filter(col("r") <= K).drop("r")
+  }
+
+  private val hashesSql =
+    s"""SELECT DISTINCT source,
+       |    ${Hashing.sha60Sql("substr(t, CAST(i AS INT), 8)")} AS h
+       |  FROM (SELECT source, t, unnest(range(1, len(t) - 6)) AS i
+       |    FROM (SELECT source,
+       |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+       |      FROM documents))""".stripMargin
+
+  private val sketchSql =
+    s"""SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source
+       |    ORDER BY h) AS r
+       |  FROM ($hashesSql)) WHERE r <= $K""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PER-SOURCE cardinality estimate: (k−1)·2⁶⁰/h_k when the sketch is
+    // full, exact when the source has < k distinct shingles — compared
+    // in-engine against the true distinct count so the estimator's error
+    // is part of the gated evidence.
+    QueryDef(
+      "q_kmv_distinct",
+      Some(s"""WITH sk AS ($sketchSql),
+             |st AS (SELECT source, CAST(count(*) AS BIGINT) AS sk_size,
+             |    CAST(max(h) AS BIGINT) AS hk
+             |  FROM sk GROUP BY 1),
+             |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact
+             |  FROM ($hashesSql) GROUP BY 1)
+             |SELECT st.source, st.sk_size, ex.exact,
+             |  round(CASE WHEN st.sk_size < $K THEN st.sk_size
+             |    ELSE ($K - 1) * ${MaxH}.0 / st.hk END, 2) AS est,
+             |  round(abs(CASE WHEN st.sk_size < $K THEN st.sk_size
+             |      ELSE ($K - 1) * ${MaxH}.0 / st.hk END - ex.exact)
+             |    / ex.exact, 4) AS rel_err
+             |FROM st JOIN ex USING (source)""".stripMargin),
+      (s, dir) => {
+        val st = sketch(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("sk_size"), max("h").as("hk"))
+        val ex = hashes(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("exact"))
+        val est = when(col("sk_size") < K, col("sk_size"))
+          .otherwise(lit(K - 1) * lit(MaxH.toDouble) / col("hk"))
+        st.join(ex, "source")
+          .select(col("source"), col("sk_size"), col("exact"),
+            round(est, 2).as("est"),
+            round(abs(est - col("exact")) / col("exact"), 4).as("rel_err"))
+      }),
+
+    // PAIRWISE Jaccard estimate between sources from MERGED sketches:
+    // take the k smallest of each pair's hash union, count how many live
+    // in both sketches — Ĵ = |M_k ∩ A ∩ B| / k — and scale the union
+    // estimate into an intersection size. All frames ≤ 2k rows per pair;
+    // |sources|² pair table is a governance dimension, never corpus-sized.
+    QueryDef(
+      "q_kmv_jaccard",
+      Some(s"""WITH sk AS ($sketchSql),
+             |src AS (SELECT DISTINCT source FROM sk),
+             |pr AS (SELECT a.source AS sa, b.source AS sb
+             |  FROM src a JOIN src b ON a.source < b.source),
+             |u AS (SELECT pr.sa, pr.sb, sk.h,
+             |    max(CASE WHEN sk.source = pr.sa THEN 1 ELSE 0 END) AS ina,
+             |    max(CASE WHEN sk.source = pr.sb THEN 1 ELSE 0 END) AS inb
+             |  FROM pr JOIN sk ON sk.source IN (pr.sa, pr.sb)
+             |  GROUP BY 1, 2, 3),
+             |rk AS (SELECT sa, sb, h, ina, inb,
+             |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+             |  FROM u),
+             |m AS (SELECT sa, sb,
+             |    CAST(count(*) AS BIGINT) AS k_used,
+             |    CAST(sum(ina * inb) AS BIGINT) AS n_both,
+             |    CAST(max(h) AS BIGINT) AS hk
+             |  FROM rk WHERE r <= $K GROUP BY 1, 2)
+             |SELECT sa, sb, k_used, n_both,
+             |  round(n_both / CAST(k_used AS DOUBLE), 4) AS jaccard_est,
+             |  round(n_both / CAST(k_used AS DOUBLE)
+             |    * (CASE WHEN k_used < $K THEN k_used
+             |        ELSE ($K - 1) * ${MaxH}.0 / hk END), 2)
+             |    AS intersection_est
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        val sk = sketch(s, dir).localCheckpoint() // reused 3× below
+        val src = sk.select("source").distinct()
+        val pr = src.select(col("source").as("sa"))
+          .join(src.select(col("source").as("sb")), col("sa") < col("sb"))
+        val ua = sk.join(pr, sk("source") === col("sa"))
+          .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"),
+            lit(0).as("inb"))
+        val ub = sk.join(pr, sk("source") === col("sb"))
+          .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"),
+            lit(1).as("inb"))
+        val u = ua.unionByName(ub)
+          .groupBy("sa", "sb", "h")
+          .agg(max("ina").as("ina"), max("inb").as("inb"))
+        val w = Window.partitionBy("sa", "sb").orderBy("h")
+        val m = u.withColumn("r", row_number().over(w))
+          .filter(col("r") <= K)
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).as("k_used"),
+            sum(col("ina") * col("inb")).as("n_both"),
+            max("h").as("hk"))
+        val uEst = when(col("k_used") < K, col("k_used"))
+          .otherwise(lit(K - 1) * lit(MaxH.toDouble) / col("hk"))
+        m.select(col("sa"), col("sb"), col("k_used"), col("n_both"),
+          round(col("n_both") / col("k_used").cast("double"), 4)
+            .as("jaccard_est"),
+          round(col("n_both") / col("k_used").cast("double") * uEst, 2)
+            .as("intersection_est"))
+      })
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the KMV sketch wave. */
+class SketchSpec extends SparkSpec {
+
+  private def shingleSets: Map[String, Set[String]] =
+    Tables.t(spark, sf, "documents")
+      .select(col("source"),
+        graft.dedup.Dedup.normalized(col("text")).as("t"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(_.getString(1).sliding(8, 1).filter(_.length == 8))
+          .toSet
+      }
+
+  test("q_kmv_distinct: exact column is truly exact, estimate within KMV error") {
+    val rows = q("q_kmv_distinct").collect()
+    val truth = shingleSets
+    assert(rows.map(_.getAs[String]("source")).toSet == truth.keySet)
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("exact") == truth(src).size,
+        s"$src: exact ${r.getAs[Long]("exact")} != ${truth(src).size}")
+      val skSize = r.getAs[Long]("sk_size")
+      assert(skSize <= 256)
+      if (skSize < 256) // exact branch: sketch holds the whole set
+        assert(math.abs(r.getAs[Double]("est") - truth(src).size) < 0.01)
+      // k=256 → σ ≈ 6.3%; this is deterministic data, 35% is ~5σ slack
+      assert(r.getAs[Double]("rel_err") < 0.35,
+        s"$src: rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
+  test("q_kmv_jaccard tracks the exact shingle Jaccard") {
+    val rows = q("q_kmv_jaccard").collect()
+    val truth = shingleSets
+    val nSrc = truth.size
+    assert(rows.length == nSrc * (nSrc - 1) / 2, "pair grid incomplete")
+    for (r <- rows) {
+      val (sa, sb) = (r.getAs[String]("sa"), r.getAs[String]("sb"))
+      assert(sa < sb)
+      val (kUsed, nBoth) = (r.getAs[Long]("k_used"), r.getAs[Long]("n_both"))
+      assert(nBoth <= kUsed && kUsed <= 256)
+      val est = r.getAs[Double]("jaccard_est")
+      assert(est >= 0 && est <= 1)
+      val (a, b) = (truth(sa), truth(sb))
+      val exact = (a & b).size.toDouble / (a | b).size
+      // σ ≈ sqrt(J(1−J)/k) ≈ 0.031 at J≈0.45 — 0.2 is generous determinism slack
+      assert(math.abs(est - exact) < 0.2,
+        s"$sa×$sb: est $est vs exact $exact")
+    }
+  }
+}
