@@ -52,6 +52,59 @@ object Temporal {
       .select(col("__l.*") +: payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** NEAREST-in-time join: for every left row, attach the right row of
+    * the same key whose timestamp is CLOSEST in either direction
+    * (backward wins exact ties, including the 0-distance tie). The same
+    * union-tag single-shuffle timeline as [[asofJoin]], but the sorted
+    * pass carries BOTH the latest-prior payload (`last … UNBOUNDED
+    * PRECEDING`) and the earliest-later payload (`first … UNBOUNDED
+    * FOLLOWING`) — two frames over one sort, still exactly ONE shuffle,
+    * vs the two asof joins + re-join a naive composition would pay.
+    * Adds `__near_ts` (the chosen right timestamp) alongside the payload;
+    * both are NULL when the key has no right rows at all.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTs).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .select(col(key), col("__ts"), col("__side"),
+        col("__p"), struct(left.columns.map(col).toIndexedSeq: _*).as("__l"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+        lit(0).as("__side"), payload.as("__p"))
+      .withColumn("__l",
+        lit(null).cast(l.select(col("__l")).schema.head.dataType))
+
+    val base = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTsCol = when(col("__side") === 0, col("__ts"))
+    val merged = r.unionByName(l)
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__bts", last(rightTsCol, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wf))
+      .withColumn("__fts", first(rightTsCol, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    // backward candidate wins when the forward one is absent or strictly
+    // farther; equal distance (and the 0-distance same-ts case, which the
+    // sort order routes into the backward frame) resolves backward
+    val useBack = col("__fts").isNull ||
+      (col("__bts").isNotNull &&
+        col("__ts") - col("__bts") <= col("__fts") - col("__ts"))
+    val chosen = when(useBack, col("__b")).otherwise(col("__f"))
+    merged
+      .withColumn("__near", chosen)
+      .withColumn("__near_ts",
+        when(useBack, col("__bts")).otherwise(col("__fts")))
+      .select(col("__l.*") +:
+        payloadCols.map(c => col(s"__near.$c").as(c)) :+
+        col("__near_ts"): _*)
+  }
+
   /** SCD Type-2 historization: turn a change log (one row per key per
     * change event) into versioned dimension rows with `[valid_from,
     * valid_to)` intervals and a current flag — the distributed analogue of

@@ -376,6 +376,81 @@ object GovernanceQueries {
           .join(n.select(col("label").as("label_b"), col("nrm").as("nb")), "label_b")
           .select(col("label_a"), col("label_b"),
             round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      }),
+
+    // ROW-LEVEL TABLE DIFF between two snapshots (the data-diff audit
+    // behind every backfill review): one full-outer join on the key →
+    // added / removed / changed status plus the exact changed-column
+    // list, unchanged rows dropped. The two snapshots are derived
+    // deterministically from orders (v2 drops key%5, adds back key%7,
+    // re-prices key%3 via INTEGER cents·11÷10, flips status on key%4) so
+    // the diff exercises every branch; money stays in integer cents
+    // end-to-end. One co-partitioned shuffle — the plan a 100 TB diff
+    // needs (both sides hash by key; no broadcast of a full snapshot).
+    QueryDef(
+      "q_table_diff",
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    o_custkey AS cust
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |v2 AS (SELECT o_orderkey AS k,
+             |    CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderstatus
+             |      END AS st,
+             |    CASE WHEN o_orderkey % 3 = 0
+             |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11 // 10
+             |      ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             |      END AS cents,
+             |    o_custkey AS cust
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |j AS (SELECT coalesce(v1.k, v2.k) AS o_orderkey,
+             |    v1.k AS k1, v2.k AS k2, v1.st AS st1, v2.st AS st2,
+             |    v1.cents AS c1, v2.cents AS c2,
+             |    v1.cust AS u1, v2.cust AS u2
+             |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             |SELECT o_orderkey,
+             |  CASE WHEN k1 IS NULL THEN 'added'
+             |    WHEN k2 IS NULL THEN 'removed'
+             |    ELSE 'changed' END AS status,
+             |  CASE WHEN k1 IS NULL OR k2 IS NULL THEN ''
+             |    ELSE concat_ws(',',
+             |      CASE WHEN st1 <> st2 THEN 'o_orderstatus' END,
+             |      CASE WHEN c1 <> c2 THEN 'price_cents' END,
+             |      CASE WHEN u1 <> u2 THEN 'o_custkey' END) END AS changed_cols
+             |FROM j
+             |WHERE k1 IS NULL OR k2 IS NULL
+             |  OR st1 <> st2 OR c1 <> c2 OR u1 <> u2""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            col("o_custkey").as("cust"))
+        val v1 = o.filter(col("k") % 7 =!= 0)
+        val v2 = o.filter(col("k") % 5 =!= 0)
+          .select(col("k"),
+            when(col("k") % 4 === 0, "X").otherwise(col("st")).as("st"),
+            when(col("k") % 3 === 0, expr("cents * 11 div 10"))
+              .otherwise(col("cents")).as("cents"),
+            col("cust"))
+        val j = v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"),
+          "full_outer")
+        val changed = concat_ws(",",
+          when(col("a.st") =!= col("b.st"), "o_orderstatus"),
+          when(col("a.cents") =!= col("b.cents"), "price_cents"),
+          when(col("a.cust") =!= col("b.cust"), "o_custkey"))
+        j.select(coalesce(col("a.k"), col("b.k")).as("o_orderkey"),
+            when(col("a.k").isNull, "added")
+              .when(col("b.k").isNull, "removed")
+              .otherwise("changed").as("status"),
+            when(col("a.k").isNull || col("b.k").isNull, "")
+              .otherwise(changed).as("changed_cols"),
+            col("a.k").as("k1"), col("b.k").as("k2"),
+            col("a.st").as("st1"), col("b.st").as("st2"),
+            col("a.cents").as("c1"), col("b.cents").as("c2"),
+            col("a.cust").as("u1"), col("b.cust").as("u2"))
+          .filter(col("k1").isNull || col("k2").isNull ||
+            col("st1") =!= col("st2") || col("c1") =!= col("c2") ||
+            col("u1") =!= col("u2"))
+          .select("o_orderkey", "status", "changed_cols")
       })
   )
 }

@@ -372,6 +372,44 @@ object TemporalQueries {
             col("n"),
             round(col("mean_value"), 4).as("mean_value"),
             round(col("mean_value") - col("overall"), 4).as("seasonal_delta"))
+      }),
+
+    // NEAREST-in-time join: every event gets the temporally CLOSEST
+    // purchase by the same user, in either direction (backward wins
+    // ties). ops/Temporal.nearestJoin carries both the latest-prior and
+    // earliest-later candidates through ONE sorted timeline pass — one
+    // shuffle, where composing two as-of joins would pay two plus a
+    // re-join. The oracle is the independent two-ASOF-join formulation.
+    QueryDef(
+      "q_asof_nearest",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type FROM events),
+             |p AS (SELECT user_id, ts_us, max(event_id) AS purchase_id
+             |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |b AS (SELECT e.event_id, p.purchase_id AS b_id, p.ts_us AS b_ts
+             |  FROM e ASOF LEFT JOIN p
+             |    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us),
+             |f AS (SELECT e.event_id, p.purchase_id AS f_id, p.ts_us AS f_ts
+             |  FROM e ASOF LEFT JOIN p
+             |    ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+             |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+             |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+             |      AND e.ts_us - b_ts <= f_ts - e.ts_us)
+             |    THEN b_id ELSE f_id END AS purchase_id,
+             |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL
+             |      AND e.ts_us - b_ts <= f_ts - e.ts_us)
+             |    THEN b_ts ELSE f_ts END - e.ts_us AS delta_us
+             |FROM e JOIN b USING (event_id) JOIN f USING (event_id)"""
+        .stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).drop("value")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us")
+          .agg(max("event_id").as("purchase_id"))
+        Temporal.nearestJoin(e, purchases, "user_id", "ts_us", "ts_us")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("event_type"), col("purchase_id"),
+            (col("__near_ts") - col("ts_us")).as("delta_us"))
       })
   )
 }

@@ -144,4 +144,34 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.length > 1,
       "all centroid cosines identical — degenerate embedding fixture")
   }
+
+  test("q_table_diff statuses follow the modular snapshot construction") {
+    val rows = q("q_table_diff").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("status"),
+        r.getAs[String]("changed_cols")))
+    assert(rows.nonEmpty)
+    for ((k, st, cols) <- rows) st match {
+      case "added" => // in v2 only: key joined v2 (%5!=0) but not v1 (%7==0)
+        assert(k % 7 == 0 && k % 5 != 0, s"$k wrongly added")
+        assert(cols == "")
+      case "removed" =>
+        assert(k % 5 == 0 && k % 7 != 0, s"$k wrongly removed")
+        assert(cols == "")
+      case "changed" =>
+        assert(k % 7 != 0 && k % 5 != 0, s"$k not in both snapshots")
+        assert(cols.nonEmpty, s"$k changed with empty column list")
+        val parts = cols.split(",").toSet
+        assert(parts.subsetOf(Set("o_orderstatus", "price_cents")),
+          s"$k: unexpected changed cols $cols — custkey never changes")
+        if (parts("price_cents")) assert(k % 3 == 0, s"$k price not re-priced")
+      case other => fail(s"unknown status $other")
+    }
+    // every modified key with a REAL value change is reported: %4 keys in
+    // both snapshots flip status (unless it was already 'X' — it never is)
+    val changedKeys = rows.filter(_._2 == "changed").map(_._1).toSet
+    val orders = Tables.t(spark, sf, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    for (k <- orders if k % 7 != 0 && k % 5 != 0 && k % 4 == 0)
+      assert(changedKeys(k), s"status-flipped $k missing from the diff")
+  }
 }

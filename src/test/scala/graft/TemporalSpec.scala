@@ -105,4 +105,32 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Int)].head()
     assert(r2 === ("clean text", 0))
   }
+
+  test("nearestJoin picks the true minimum-distance match per user") {
+    val rows = q("q_asof_nearest").collect()
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val purchases = ev.filter(_._3 == "purchase")
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toVector }
+    assert(rows.length == ev.length, "nearest join must preserve left rows")
+    for (r <- rows) {
+      val (u, ts) = (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"))
+      purchases.get(u) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("purchase_id")),
+            s"user $u has no purchases but event at $ts matched")
+        case Some(ps) =>
+          val best = ps.map(p => math.abs(p - ts)).min
+          val got = math.abs(r.getAs[Long]("delta_us"))
+          assert(got == best, s"user $u @ $ts: |delta| $got != nearest $best")
+      }
+    }
+    // both directions must actually occur, or the query is a plain as-of
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("delta_us")) &&
+      r.getAs[Long]("delta_us") < 0))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("delta_us")) &&
+      r.getAs[Long]("delta_us") > 0))
+  }
 }
