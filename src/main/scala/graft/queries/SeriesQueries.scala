@@ -235,6 +235,94 @@ object SeriesQueries {
             when(col("trend").isNotNull,
               round(col("c") - col("trend") - col("seasonal"), 4))
               .as("residual"))
+      }),
+
+    // ROLLING 7-DAY ACTIVE USERS (WAU) per calendar day, with DAU and
+    // the DAU/WAU stickiness ratio. COUNT(DISTINCT) over a sliding
+    // window has no partial-aggregable form, so the scale-safe plan is:
+    // dedup to (day, user) once, fan each pair out to the ≤7 target days
+    // it supports (a bounded ×7 explode, NOT a per-day rescan), and
+    // dedup again per target day — two exact shuffles, both on
+    // (day, user)-sized relations, no corpus window. Target days are
+    // restricted to the observed calendar so the series has no phantom
+    // tail past the horizon.
+    QueryDef(
+      "q_rolling_wau",
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             |  FROM events),
+             |days AS (SELECT DISTINCT day FROM du),
+             |fan AS (SELECT DISTINCT du.day + j.off AS day, du.user_id
+             |  FROM du JOIN (SELECT * FROM (VALUES (0),(1),(2),(3),(4),
+             |    (5),(6)) AS t(off)) j ON TRUE),
+             |wau AS (SELECT fan.day, CAST(count(*) AS BIGINT) AS wau
+             |  FROM fan JOIN days USING (day) GROUP BY 1),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |  FROM du GROUP BY 1)
+             |SELECT day, dau.dau, wau.wau,
+             |  round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+             |FROM dau JOIN wau USING (day)""".stripMargin),
+      (s, dir) => {
+        val du = Tables.t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = du.select("day").distinct()
+        val offs = s.range(0, 7).select(col("id").cast("int").as("off"))
+        val fan = du.crossJoin(broadcast(offs))
+          .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+          .distinct()
+        val wau = fan.join(broadcast(days), "day")
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+      }),
+
+    // FEED-FRESHNESS SLA audit per event type: staleness of the latest
+    // arrival against the global horizon, last-24h volume against the
+    // daily mean — the "is this feed degrading" monitor a warehouse runs
+    // before trusting a downstream mart. Two tiny aggregates + broadcast
+    // of the 1-row horizon; breach at >60 min staleness.
+    QueryDef(
+      "q_freshness_sla",
+      Some("""WITH hz AS (SELECT max(ts) AS mx,
+             |    (max(epoch_us(ts)) - min(epoch_us(ts)))
+             |      / 86400000000.0 AS span_days
+             |  FROM events),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    max(ts) AS latest,
+             |    CAST(sum(CASE WHEN epoch_us(ts) >=
+             |        (SELECT max(epoch_us(ts)) FROM events) - 86400000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS last_day
+             |  FROM events GROUP BY 1)
+             |SELECT t.event_type, t.n, t.latest,
+             |  CAST((epoch_us(hz.mx) - epoch_us(t.latest)) // 60000000
+             |    AS BIGINT) AS lag_min,
+             |  (epoch_us(hz.mx) - epoch_us(t.latest)) // 60000000 > 60
+             |    AS sla_breach,
+             |  t.last_day,
+             |  round(t.last_day / (t.n / hz.span_days), 4) AS vs_daily_mean
+             |FROM t, hz""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val hz = ev.agg(max("ts").as("mx"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / 86400000000.0).as("span_days"),
+          max(unix_micros(col("ts"))).as("mx_us"))
+        val t = ev.crossJoin(broadcast(hz))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max("ts").as("latest"),
+            sum(when(unix_micros(col("ts")) >= col("mx_us") - 86400000000L,
+              1).otherwise(0)).cast("long").as("last_day"),
+            first("mx").as("mx"), first("span_days").as("span_days"))
+        t.select(col("event_type"), col("n"), col("latest"),
+          expr("(unix_micros(mx) - unix_micros(latest)) div 60000000")
+            .as("lag_min"),
+          (expr("(unix_micros(mx) - unix_micros(latest)) div 60000000")
+            > 60).as("sla_breach"),
+          col("last_day"),
+          round(col("last_day") / (col("n") / col("span_days")), 4)
+            .as("vs_daily_mean"))
       })
   )
 }

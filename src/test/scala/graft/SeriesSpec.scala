@@ -94,4 +94,37 @@ class SeriesSpec extends SparkSpec {
     // edge days (incomplete centered window) carry NULLs by contract
     assert(rows.exists(_.isNullAt(2)), "expected NULL-trend edge days")
   }
+
+  test("q_rolling_wau matches brute-force 7-day distinct unions") {
+    val rows = q("q_rolling_wau").collect()
+    val du = Tables.t(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val byDay = du.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(rows.length == byDay.size)
+    for (r <- rows) {
+      val d = r.getDate(0).toLocalDate
+      val expect = (0 until 7).flatMap(j => byDay.get(d.minusDays(j)))
+        .foldLeft(Set.empty[Long])(_ ++ _)
+      assert(r.getAs[Long]("wau") == expect.size,
+        s"$d: wau ${r.getAs[Long]("wau")} != ${expect.size}")
+      assert(r.getAs[Long]("dau") == byDay(d).size)
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"))
+    }
+  }
+
+  test("q_freshness_sla: lags non-negative, volumes conserved, flag consistent") {
+    val rows = q("q_freshness_sla").collect()
+    val total = Tables.t(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    for (r <- rows) {
+      val lag = r.getAs[Long]("lag_min")
+      assert(lag >= 0)
+      assert(r.getAs[Boolean]("sla_breach") == (lag > 60))
+      assert(r.getAs[Long]("last_day") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("vs_daily_mean") >= 0)
+    }
+    // at least one type is fresh on this fixture (events run to the horizon)
+    assert(rows.exists(!_.getAs[Boolean]("sla_breach")))
+  }
 }
