@@ -161,6 +161,109 @@ object FeatureQueries {
         g.select(col("stage"), col("n_docs"), col("tokens"),
           round(col("mean_difficulty"), 4).as("mean_difficulty"),
           sum("tokens").over(w).as("cum_tokens"))
+      }),
+
+    // TOP PRINCIPAL COMPONENT of the embedding matrix by POWER ITERATION
+    // (5 rounds, uniform unit start): loadings, dominant eigenvalue of
+    // the scatter matrix XᵀX, and the explained-variance ratio — PCA as
+    // an engine query, no linalg library. Per round: ONE scan of the
+    // centered matrix — scores via a strict left-to-right zip_with/
+    // aggregate dot against the literal v (no join), back-projection via
+    // posexplode + a 64-group map-side-combined sum. The 64-vector is
+    // collected and renormalized on the driver each round (k-bounded,
+    // the IVF-centroid precedent); the centered matrix is materialized
+    // ONCE (localCheckpoint) and re-scanned, never recomputed. Sign is
+    // fixed at the largest-|loading| dimension so both engines agree on
+    // the eigenvector's orientation. The iteration is contractive, so
+    // last-ulp float divergence between engines stays last-ulp — round(4)
+    // absorbs it.
+    QueryDef(
+      "q_pca_power",
+      Some("""WITH x0 AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    unnest(embedding::DOUBLE[]) AS v
+             |  FROM embeddings),
+             |mu AS (SELECT dim, avg(v) AS mu FROM x0 GROUP BY 1),
+             |xc AS (SELECT x0.vec_id, x0.dim, x0.v - mu.mu AS x
+             |  FROM x0 JOIN mu USING (dim)),
+             |v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM x0),
+             |w1 AS (SELECT xc.vec_id, sum(xc.x * v0.v) AS w
+             |  FROM xc JOIN v0 USING (dim) GROUP BY 1),
+             |u1 AS (SELECT xc.dim, sum(xc.x * w1.w) AS u
+             |  FROM xc JOIN w1 USING (vec_id) GROUP BY 1),
+             |v1 AS (SELECT dim, u / sqrt((SELECT sum(u*u) FROM u1)) AS v
+             |  FROM u1),
+             |w2 AS (SELECT xc.vec_id, sum(xc.x * v1.v) AS w
+             |  FROM xc JOIN v1 USING (dim) GROUP BY 1),
+             |u2 AS (SELECT xc.dim, sum(xc.x * w2.w) AS u
+             |  FROM xc JOIN w2 USING (vec_id) GROUP BY 1),
+             |v2 AS (SELECT dim, u / sqrt((SELECT sum(u*u) FROM u2)) AS v
+             |  FROM u2),
+             |w3 AS (SELECT xc.vec_id, sum(xc.x * v2.v) AS w
+             |  FROM xc JOIN v2 USING (dim) GROUP BY 1),
+             |u3 AS (SELECT xc.dim, sum(xc.x * w3.w) AS u
+             |  FROM xc JOIN w3 USING (vec_id) GROUP BY 1),
+             |v3 AS (SELECT dim, u / sqrt((SELECT sum(u*u) FROM u3)) AS v
+             |  FROM u3),
+             |w4 AS (SELECT xc.vec_id, sum(xc.x * v3.v) AS w
+             |  FROM xc JOIN v3 USING (dim) GROUP BY 1),
+             |u4 AS (SELECT xc.dim, sum(xc.x * w4.w) AS u
+             |  FROM xc JOIN w4 USING (vec_id) GROUP BY 1),
+             |v4 AS (SELECT dim, u / sqrt((SELECT sum(u*u) FROM u4)) AS v
+             |  FROM u4),
+             |w5 AS (SELECT xc.vec_id, sum(xc.x * v4.v) AS w
+             |  FROM xc JOIN v4 USING (dim) GROUP BY 1),
+             |u5 AS (SELECT xc.dim, sum(xc.x * w5.w) AS u
+             |  FROM xc JOIN w5 USING (vec_id) GROUP BY 1),
+             |v5 AS (SELECT dim, u / sqrt((SELECT sum(u*u) FROM u5)) AS v
+             |  FROM u5),
+             |lam AS (SELECT sqrt(sum(u * u)) AS l FROM u5),
+             |tr AS (SELECT sum(x * x) AS t FROM xc),
+             |sg AS (SELECT CASE WHEN (SELECT v FROM v5
+             |    ORDER BY abs(v) DESC, dim LIMIT 1) < 0
+             |  THEN -1.0 ELSE 1.0 END AS s)
+             |SELECT CAST(v5.dim AS INT) AS dim,
+             |  round(sg.s * v5.v, 4) AS loading,
+             |  round(lam.l, 2) AS eigenvalue,
+             |  round(lam.l / tr.t, 4) AS evr
+             |FROM v5, sg, lam, tr""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+        val x0 = emb
+          .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+          .select(col("dim"), col("f").cast("double").as("v"))
+        // 64-bounded collects: per-dim means, then one 64-vector per round
+        val mu = x0.groupBy("dim").agg(avg("v").as("mu")).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val muLit = array((0 until 64).map(d => lit(mu(d))): _*)
+        val xc = emb.select(col("vec_id"),
+            zip_with(transform(col("embedding"), _.cast("double")), muLit,
+              (a, b) => a - b).as("x"))
+          .localCheckpoint()
+        val trace = xc.select(explode(col("x")).as("e"))
+          .agg(sum(col("e") * col("e"))).head.getDouble(0)
+        var v = Array.fill(64)(0.125)
+        var lambda = 0.0
+        for (_ <- 1 to 5) {
+          val vLit = array(v.toIndexedSeq.map(lit): _*)
+          val scored = xc.withColumn("w",
+            aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
+              lit(0.0), (acc, e) => acc + e))
+          val u = scored
+            .select(posexplode(col("x")).as(Seq("dim", "xv")), col("w"))
+            .groupBy("dim").agg(sum(col("xv") * col("w")).as("u"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          val uArr = (0 until 64).map(u).toArray
+          lambda = math.sqrt(uArr.map(x => x * x).sum)
+          v = uArr.map(_ / lambda)
+        }
+        val dstar = v.indices.minBy(i => (-math.abs(v(i)), i))
+        if (v(dstar) < 0) v = v.map(x => -x)
+        val out = v.zipWithIndex.map { case (x, d) => (d, x) }.toIndexedSeq
+        s.createDataFrame(out).toDF("dim", "loading")
+          .select(col("dim"), round(col("loading"), 4).as("loading"),
+            round(lit(lambda), 2).as("eigenvalue"),
+            round(lit(lambda / trace), 4).as("evr"))
       })
   )
 }

@@ -62,4 +62,30 @@ class FeatureSpec extends SparkSpec {
       assert(r.getAs[Long]("cum_tokens") == cum)
     }
   }
+
+  test("q_pca_power: unit loadings, sign convention, Rayleigh consistency") {
+    val rows = q("q_pca_power").collect().sortBy(_.getAs[Int]("dim"))
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
+    val v = rows.map(_.getAs[Double]("loading"))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"loading norm $norm")
+    // orientation: the largest-|loading| dimension is positive
+    val dstar = v.indices.minBy(i => (-math.abs(v(i)), i))
+    assert(v(dstar) > 0, s"sign convention violated at dim $dstar")
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    val evr = rows.head.getAs[Double]("evr")
+    assert(lambda > 0 && evr > 0 && evr < 1)
+    // Rayleigh quotient of the returned vector against the real scatter
+    // matrix: within 15% of the reported eigenvalue (5 iterations on a
+    // weak eigengap won't be exact, but it must be the same ballpark)
+    val x = Tables.t(spark, sf, "embeddings").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val mu = (0 until 64).map(d => x.map(_(d)).sum / x.length)
+    val xc = x.map(r => r.indices.map(d => r(d) - mu(d)).toArray)
+    val cv = (0 until 64).map(d =>
+      xc.map(r => r(d) * r.indices.map(e => r(e) * v(e)).sum).sum)
+    val rayleigh = (0 until 64).map(d => v(d) * cv(d)).sum
+    assert(math.abs(rayleigh - lambda) / lambda < 0.15,
+      s"Rayleigh $rayleigh vs reported eigenvalue $lambda")
+  }
 }
