@@ -192,6 +192,123 @@ object BehaviorQueries {
             .as("n_outliers"))
           .select(col("event_type"), round(col("med"), 4).as("med"),
             round(col("mad"), 4).as("mad"), col("n_outliers"))
+      }),
+
+    // ABC REVENUE CLASSIFICATION of parts (the 80/95 Pareto carve every
+    // inventory mart runs): per-part revenue in EXACT integer cents,
+    // cumulative revenue via ops.PrefixSum's range-partitioned running
+    // total over the (revenue desc, partkey) order — no global window —
+    // and pure-integer threshold compares (cum·100 ≤ total·80), so the
+    // class boundary can never flip on a float ulp. Output is the
+    // 3-class summary; the per-part detail is the same relation un-
+    // aggregated.
+    QueryDef(
+      "q_abc_parts",
+      Some("""WITH r AS (SELECT l_partkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |      * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM r),
+             |c AS (SELECT l_partkey, rev,
+             |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM r),
+             |k AS (SELECT l_partkey, rev,
+             |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+             |      WHEN cum * 100 <= total * 95 THEN 'B'
+             |      ELSE 'C' END AS abc_class
+             |  FROM c, t)
+             |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(sum(rev) AS BIGINT) AS revenue_cents,
+             |  round(sum(rev) / (SELECT CAST(total AS DOUBLE) FROM t), 4)
+             |    AS share
+             |FROM k GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val r = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100, 0).cast("long").as("cents"))
+          .groupBy("l_partkey").agg(sum("cents").as("rev"))
+          .withColumn("neg", -col("rev"))
+        val cum = graft.ops.PrefixSum.runningTotal(
+          r, Seq(col("neg"), col("l_partkey")), col("rev"), "cum")
+        val t = r.agg(sum("rev").as("total"))
+        val k = cum.crossJoin(broadcast(t))
+          .withColumn("abc_class",
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise("C"))
+        k.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"), sum("rev").as("revenue_cents"),
+            round(sum("rev") / first(col("total")).cast("double"), 4)
+              .as("share"))
+      }),
+
+    // RFM SEGMENTATION: per-user Recency (days since last event),
+    // Frequency (events), Monetary (value cents, exact), each scored 1–3
+    // against its own tercile boundaries (ops.Quantiles — quantile_cont
+    // parity with the oracle), concatenated into the classic 27-cell
+    // segment grid with per-segment profiles. Terciles come from the
+    // |users| table, aggregated before any quantile work.
+    QueryDef(
+      "q_rfm_segments",
+      Some("""WITH hz AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+             |u AS (SELECT user_id,
+             |    CAST((hz.mx - max(epoch_us(ts))) // 86400000000 AS BIGINT)
+             |      AS r_days,
+             |    CAST(count(*) AS BIGINT) AS f,
+             |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS m
+             |  FROM events, hz GROUP BY user_id, hz.mx),
+             |q AS (SELECT
+             |    quantile_cont(r_days, 1.0/3) AS r1,
+             |    quantile_cont(r_days, 2.0/3) AS r2,
+             |    quantile_cont(f, 1.0/3) AS f1, quantile_cont(f, 2.0/3) AS f2,
+             |    quantile_cont(m, 1.0/3) AS m1, quantile_cont(m, 2.0/3) AS m2
+             |  FROM u),
+             |sc AS (SELECT user_id, r_days, f, m,
+             |    CASE WHEN r_days <= q.r1 THEN 3
+             |      WHEN r_days <= q.r2 THEN 2 ELSE 1 END AS rs,
+             |    CASE WHEN f <= q.f1 THEN 1
+             |      WHEN f <= q.f2 THEN 2 ELSE 3 END AS fs,
+             |    CASE WHEN m <= q.m1 THEN 1
+             |      WHEN m <= q.m2 THEN 2 ELSE 3 END AS ms
+             |  FROM u, q)
+             |SELECT rs || '' || fs || '' || ms AS segment,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  round(avg(r_days), 2) AS avg_r_days,
+             |  round(avg(f), 2) AS avg_f,
+             |  round(avg(m), 2) AS avg_m_cents
+             |FROM sc GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val hz = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+        val u = ev.crossJoin(broadcast(hz))
+          .groupBy("user_id")
+          .agg(
+            ((first("mx") - max(unix_micros(col("ts")))) / lit(86400000000L))
+              .cast("long").as("r_days"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100, 0).cast("long")).as("m"))
+          .localCheckpoint() // reused by 3 quantile passes + the scoring
+        def terciles(c: String) = graft.ops.Quantiles
+          .groupQuantiles(u.withColumn("g", lit(1)), "g", c,
+            Seq(s"${c}_q1" -> 1.0 / 3, s"${c}_q2" -> 2.0 / 3))
+          .drop("g", "n")
+        val q = terciles("r_days").crossJoin(terciles("f"))
+          .crossJoin(terciles("m"))
+        val sc = u.crossJoin(broadcast(q))
+          .withColumn("rs", when(col("r_days") <= col("r_days_q1"), 3)
+            .when(col("r_days") <= col("r_days_q2"), 2).otherwise(1))
+          .withColumn("fs", when(col("f") <= col("f_q1"), 1)
+            .when(col("f") <= col("f_q2"), 2).otherwise(3))
+          .withColumn("ms", when(col("m") <= col("m_q1"), 1)
+            .when(col("m") <= col("m_q2"), 2).otherwise(3))
+        sc.groupBy(concat(col("rs"), col("fs"), col("ms")).as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg("r_days"), 2).as("avg_r_days"),
+            round(avg("f"), 2).as("avg_f"),
+            round(avg("m"), 2).as("avg_m_cents"))
       })
   )
 }

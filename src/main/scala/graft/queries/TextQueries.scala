@@ -626,6 +626,61 @@ object TextQueries {
           .select(col("n_exact"), col("n_simhash"), col("n_both"),
             round(col("n_both").cast("double") / col("n_exact"), 4).as("recall"),
             round(col("n_both").cast("double") / col("n_simhash"), 4).as("precision"))
+      }),
+
+    // ZIPF-LAW FIT of the corpus token frequency distribution: OLS of
+    // ln(freq) on ln(rank) — the exponent (~ −1 for natural text) is a
+    // one-number corpus-health diagnostic (template/generated text bends
+    // it). Frequencies aggregate corpus-wide FIRST; the rank window and
+    // the regression then run on the |vocab| table only. All regression
+    // moments are plain partial-aggregable sums.
+    QueryDef(
+      "q_zipf_fit",
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+             |    AS w
+             |  FROM documents),
+             |f AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+             |  WHERE w <> '' GROUP BY 1),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+             |  FROM f),
+             |p AS (SELECT ln(rk) AS x, ln(c) AS y FROM r),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+             |    avg(y) AS my,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+             |  FROM p)
+             |SELECT n AS vocab,
+             |  round((sxy - n * mx * my) / (sxx - n * mx * mx), 4)
+             |    AS zipf_exponent,
+             |  round(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx, 4)
+             |    AS intercept,
+             |  round(pow(sxy - n * mx * my, 2)
+             |    / ((sxx - n * mx * mx) * (syy - n * my * my)), 4) AS r2
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.t(s, dir, "documents")
+          .select(explode(split(graft.dedup.Dedup.normalized(col("text")),
+            " ")).as("w"))
+          .filter(col("w") =!= "")
+        val f = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        // |vocab|-bounded frame: aggregated before the rank window
+        val r = f.withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        val p = r.select(log(col("rk")).as("x"), log(col("c")).as("y"))
+        val m = p.agg(count(lit(1)).as("n"), avg("x").as("mx"),
+          avg("y").as("my"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val slope = (col("sxy") - col("n") * col("mx") * col("my")) /
+          (col("sxx") - col("n") * col("mx") * col("mx"))
+        m.select(col("n").as("vocab"),
+          round(slope, 4).as("zipf_exponent"),
+          round(col("my") - slope * col("mx"), 4).as("intercept"),
+          round(pow(col("sxy") - col("n") * col("mx") * col("my"), 2)
+            / ((col("sxx") - col("n") * col("mx") * col("mx"))
+              * (col("syy") - col("n") * col("my") * col("my"))), 4)
+            .as("r2"))
       })
   )
 }
