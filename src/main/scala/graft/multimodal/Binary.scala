@@ -460,6 +460,74 @@ object Binary {
           }))
   }
 
+  /** Shared 16-point DFT twiddle tables, formatted to 17 significant
+    * digits so Spark literals and the DuckDB oracle parse the SAME
+    * doubles — every cos/sin product is then bit-identical cross-engine
+    * (libm differences never enter: the trig is evaluated ONCE, here).
+    * cos(2πkn/16) = cosTab((k·n) mod 16).
+    */
+  val dftCosTab: IndexedSeq[Double] =
+    (0 until 16).map(m => math.cos(2 * math.Pi * m / 16))
+  val dftSinTab: IndexedSeq[Double] =
+    (0 until 16).map(m => math.sin(2 * math.Pi * m / 16))
+
+  /** Render a twiddle table as a DuckDB list literal with round-trip-exact
+    * decimal digits.
+    */
+  def tabSql(tab: Seq[Double]): String =
+    tab.map(d => f"$d%.17g").mkString("[", ", ", "]")
+
+  /** 16-point DFT power spectrum per audio frame from [[decodeWav]]
+    * output: for bins k = 0..8 (the real-input half-spectrum), power_k =
+    * re² + im² with re/im folded strictly left-to-right over the frame's
+    * 16 samples against the shared twiddle tables — so the heavy
+    * arithmetic is bit-reproducible on any engine that parses the same
+    * literals. Emits per (frame, bin): power in dB (log compresses any
+    * residual ulp into far below the rounding grid) and the bin's share
+    * of frame energy; plus the frame's spectral centroid over k ≥ 1.
+    * Row-local folds after one explode — zero shuffle, the spectrogram
+    * precursor at corpus scale.
+    */
+  def wavSpectrum(df: DataFrame): DataFrame = {
+    val frameLen = 16
+    val cosLit = array(dftCosTab.map(lit): _*)
+    val sinLit = array(dftSinTab.map(lit): _*)
+    def el(i: org.apache.spark.sql.Column) =
+      element_at(col("samples"), (i + 1).cast("int")).cast("double")
+    val framed = df
+      .withColumn("frame",
+        explode(when(col("n_samples") >= frameLen,
+          sequence(lit(0), (col("n_samples") / frameLen).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("frame", col("frame").cast("int"))
+      .withColumn("bin", explode(sequence(lit(0), lit(8))))
+    val re = aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0.0),
+      (acc, n) => acc + el(col("frame") * frameLen + n) *
+        element_at(cosLit, (col("bin") * n) % 16 + 1))
+    val im = aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0.0),
+      (acc, n) => acc - el(col("frame") * frameLen + n) *
+        element_at(sinLit, (col("bin") * n) % 16 + 1))
+    val spec = framed
+      .withColumn("power", re * re + im * im)
+      .withColumn("tot",
+        sum("power").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("frame"))))
+      .withColumn("ctr_num",
+        sum(when(col("bin") >= 1, col("power") * col("bin"))
+          .otherwise(lit(0.0)))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"), col("frame"))))
+      .withColumn("ctr_den",
+        sum(when(col("bin") >= 1, col("power")).otherwise(lit(0.0)))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"), col("frame"))))
+    spec.select(col("doc_id"), col("frame"), col("bin").cast("int").as("bin"),
+      round(lit(10.0) * log(10.0, col("power") + 1), 3).as("power_db"),
+      round(col("power") / col("tot"), 4).as("share"),
+      when(col("ctr_den") > 0,
+        round(col("ctr_num") / col("ctr_den"), 4)).as("centroid"))
+  }
+
   /** STUB video frame sampling: emit one row per sampled "frame" — every
     * `step`-th byte offset of the payload stands in for a decoded frame,
     * with the byte value as the frame's stub feature. The shape is the

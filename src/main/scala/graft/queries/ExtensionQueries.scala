@@ -592,6 +592,58 @@ object ExtensionQueries {
           frameLen = 16)
         .select("doc_id", "frame", "rms", "zero_crossings")),
 
+    // 16-POINT DFT POWER SPECTRUM per audio frame — real spectral
+    // analysis over the decoded samples (per-bin dB power, energy share,
+    // spectral centroid), the spectrogram row a feature-stacking stage
+    // consumes. The trig is evaluated ONCE into shared 17-digit literal
+    // twiddle tables (multimodal/Binary.dftCosTab), so both engines
+    // multiply bit-identical doubles and libm never enters; dB output
+    // compresses residual sum-order ulp far below the rounding grid.
+    // Row-local folds after one explode; the only windows are 9-row
+    // per-frame normalizations.
+    QueryDef(
+      "q_audio_spectrum",
+      Some {
+        def s(e: String) =
+          s"""CASE WHEN (doc_id*13 + ($e)*11) % 65536 >= 32768
+             |  THEN (doc_id*13 + ($e)*11) % 65536 - 65536
+             |  ELSE (doc_id*13 + ($e)*11) % 65536 END""".stripMargin
+        s"""WITH tw AS (SELECT ${Binary.tabSql(Binary.dftCosTab)} AS ct,
+           |    ${Binary.tabSql(Binary.dftSinTab)} AS st),
+           |fr AS (SELECT doc_id, unnest(range(0, 4)) AS frame FROM documents),
+           |sm AS (SELECT doc_id, frame,
+           |    list_transform(range(0, 16), k -> ${s("frame*16 + k")}) AS v
+           |  FROM fr),
+           |b AS (SELECT doc_id, frame, v, unnest(range(0, 9)) AS bin FROM sm),
+           |sp AS (SELECT doc_id, CAST(frame AS INT) AS frame,
+           |    CAST(bin AS INT) AS bin,
+           |    list_sum(list_transform(range(0, 16),
+           |      n -> v[n+1]::DOUBLE * ct[(bin*n) % 16 + 1])) AS re,
+           |    -list_sum(list_transform(range(0, 16),
+           |      n -> v[n+1]::DOUBLE * st[(bin*n) % 16 + 1])) AS im
+           |  FROM b, tw),
+           |pw AS (SELECT doc_id, frame, bin, re*re + im*im AS power FROM sp),
+           |agg AS (SELECT doc_id, frame, bin, power,
+           |    sum(power) OVER w AS tot,
+           |    sum(CASE WHEN bin >= 1 THEN power * bin ELSE 0 END)
+           |      OVER w AS ctr_num,
+           |    sum(CASE WHEN bin >= 1 THEN power ELSE 0 END) OVER w AS ctr_den
+           |  FROM pw WINDOW w AS (PARTITION BY doc_id, frame))
+           |SELECT doc_id, frame, bin,
+           |  round(10.0 * log10(power + 1), 3) AS power_db,
+           |  round(power / tot, 4) AS share,
+           |  CASE WHEN ctr_den > 0 THEN round(ctr_num / ctr_den, 4) END
+           |    AS centroid
+           |FROM agg""".stripMargin
+      },
+      (s, dir) => Binary.wavSpectrum(
+        Binary.decodeWav(
+          Binary.wavFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", nSamples = 64),
+          "wav"))),
+
     // LANGID EVALUATION in-engine: confusion matrix of the n-gram
     // heuristic against the fixture's ground-truth lang column, with
     // per-truth-language recall — the measurement that decides whether

@@ -75,4 +75,39 @@ class WavSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_audio_spectrum matches a scalar DFT and satisfies Parseval") {
+    val rows = q("q_audio_spectrum").collect()
+    def sample(seed: Long, j: Int): Double = {
+      val u = (seed * 13 + j * 11) % 65536
+      (if (u >= 32768) u - 65536 else u).toDouble
+    }
+    // independent scalar DFT with the SAME shared twiddle tables
+    def power(seed: Long, frame: Int, bin: Int): Double = {
+      val re = (0 until 16).map(n =>
+        sample(seed, frame * 16 + n) * Binary.dftCosTab((bin * n) % 16)).sum
+      val im = (0 until 16).map(n =>
+        -sample(seed, frame * 16 + n) * Binary.dftSinTab((bin * n) % 16)).sum
+      re * re + im * im
+    }
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (d, f, b) = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame"),
+        r.getAs[Int]("bin"))
+      val expectDb = 10.0 * math.log10(power(d, f, b) + 1)
+      assert(math.abs(r.getAs[Double]("power_db") - expectDb) < 2e-3,
+        s"doc $d frame $f bin $b: ${r.getAs[Double]("power_db")} vs $expectDb")
+    }
+    // Parseval over the half-spectrum: X0² + X8² + 2·Σ₁..₇ = 16·Σx²
+    val byFrame = rows.groupBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("frame")))
+    for (((d, f), _) <- byFrame.take(20)) {
+      val p = (0 to 8).map(b => power(d, f, b))
+      val lhs = p(0) + p(8) + 2 * (1 to 7).map(p).sum
+      val rhs = 16 * (0 until 16).map(n =>
+        math.pow(sample(d, f * 16 + n), 2)).sum
+      assert(math.abs(lhs - rhs) / rhs < 1e-9,
+        s"Parseval broken at doc $d frame $f: $lhs vs $rhs")
+    }
+  }
 }
