@@ -232,7 +232,10 @@ object BehaviorQueries {
           .withColumn("neg", -col("rev"))
         val cum = graft.ops.PrefixSum.runningTotal(
           r, Seq(col("neg"), col("l_partkey")), col("rev"), "cum")
-        val t = r.agg(sum("rev").as("total"))
+          .localCheckpoint() // consumed twice: total derivation + carve
+        // the grand total IS the last inclusive prefix — no second
+        // lineitem scan
+        val t = cum.agg(max("cum").as("total"))
         val k = cum.crossJoin(broadcast(t))
           .withColumn("abc_class",
             when(col("cum") * 100 <= col("total") * 80, "A")

@@ -29,23 +29,28 @@ object SketchQueries {
   /** 2^60 — the sha60 hash space size; estimator scale constant. */
   private val MaxH = 1152921504606846976L
 
-  /** Distinct (source, sha60(char-8-shingle)) pairs. */
+  /** Distinct (source, sha60(char-8-shingle)) pairs. Dedup runs on the
+    * shingle STRINGS first and sha60 only on the survivors — the corpus
+    * repeats each distinct shingle ~25× here, so hashing after the
+    * distinct cuts the sha256 work by that factor (measured 4.3 → 1.5 s
+    * at sf0.1) for a slightly wider shuffle row.
+    */
   private def hashes(s: SparkSession, dir: String): DataFrame = {
     val t = graft.dedup.Dedup.normalized(col("text"))
     Tables.t(s, dir, "documents")
       .select(col("source"), t.as("t"))
       .filter(length(col("t")) >= 8) // sequence(1, n<1) would descend
       .withColumn("i", explode(sequence(lit(1), length(col("t")) - 7)))
-      .select(col("source"),
-        Hashing.sha60(expr("substring(t, i, 8)")).as("h"))
+      .select(col("source"), expr("substring(t, i, 8)").as("sh"))
       .distinct()
+      .select(col("source"), Hashing.sha60(col("sh")).as("h"))
   }
 
   /** Per-source KMV sketch: the K smallest hashes, via local-then-global
     * top-k (no corpus-sized window frame).
     */
-  private def sketch(s: SparkSession, dir: String): DataFrame = {
-    val h = hashes(s, dir).withColumn("__pid", spark_partition_id())
+  private def sketchFrom(hashed: DataFrame): DataFrame = {
+    val h = hashed.withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("source", "__pid").orderBy("h")
     val cand = h.withColumn("r", row_number().over(wLocal))
       .filter(col("r") <= K).drop("r", "__pid")
@@ -53,6 +58,9 @@ object SketchQueries {
     cand.withColumn("r", row_number().over(wGlobal))
       .filter(col("r") <= K).drop("r")
   }
+
+  private def sketch(s: SparkSession, dir: String): DataFrame =
+    sketchFrom(hashes(s, dir))
 
   private val hashesSql =
     s"""SELECT DISTINCT source,
@@ -90,9 +98,12 @@ object SketchQueries {
              |    / ex.exact, 4) AS rel_err
              |FROM st JOIN ex USING (source)""".stripMargin),
       (s, dir) => {
-        val st = sketch(s, dir).groupBy("source")
+        // one materialization feeds both the sketch and the exact count —
+        // the hash relation is the expensive corpus-sized stage
+        val h = hashes(s, dir).localCheckpoint()
+        val st = sketchFrom(h).groupBy("source")
           .agg(count(lit(1)).as("sk_size"), max("h").as("hk"))
-        val ex = hashes(s, dir).groupBy("source")
+        val ex = h.groupBy("source")
           .agg(count(lit(1)).as("exact"))
         val est = when(col("sk_size") < K, col("sk_size"))
           .otherwise(lit(K - 1) * lit(MaxH.toDouble) / col("hk"))
