@@ -430,4 +430,59 @@ class PlanSpec extends SparkSpec {
       p.contains("windowspecdefinition(event_type"), p)
   }
 
+  test("rank-based stats ride PrefixSum, never a corpus-global window") {
+    // q_mannwhitney ranks (type, value) groups; q_abc_parts ranks parts
+    // by revenue — both corpus-proportional relations where an
+    // empty-partition-spec window is the classic scale killer
+    for (name <- Seq("q_mannwhitney", "q_abc_parts")) {
+      val sp = q(name).queryExecution.sparkPlan
+      val globalWindows = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"$name:\n$sp")
+    }
+  }
+
+  test("KMV sketches: per-source top-k windows are partitioned; " +
+      "pair frames join on equality") {
+    for (name <- Seq("q_kmv_distinct", "q_kmv_jaccard")) {
+      val sp = q(name).queryExecution.sparkPlan
+      val globalWindows = sp.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty, s"$name:\n$sp")
+      // the |sources|² pair expansion is a bounded dimension join — it
+      // must never show up as a corpus-sized cartesian (the source pair
+      // table itself is tiny; a NestedLoop over it is fine, over the
+      // corpus-sized hash relation it is not)
+      val p = sp.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("q_hits/q_kcore: iterate on equi-joins with broadcast totals only") {
+    for (name <- Seq("q_hits", "q_kcore")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("q_rolling_wau: bounded fan-out join, no window at all") {
+    val sp = q("q_rolling_wau").queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, sp.toString)
+  }
+
+  test("q_pca_power output is the 64-row driver-assembled relation") {
+    // the iterative work runs during construction against the ONE
+    // checkpointed centered matrix; the final plan must be a local
+    // 64-row scan — any parquet/join here would mean the loop's lineage
+    // leaked into the result
+    val p = plan("q_pca_power")
+    assert(p.contains("LocalTableScan") || p.contains("localtablescan"), p)
+    assert(!p.toLowerCase.contains("parquet") && !p.contains("Join"), p)
+  }
 }
