@@ -312,6 +312,135 @@ object BehaviorQueries {
             round(avg("r_days"), 2).as("avg_r_days"),
             round(avg("f"), 2).as("avg_f"),
             round(avg("m"), 2).as("avg_m_cents"))
+      }),
+
+    // COHORT LTV CURVES: users grouped by first-seen day, cumulative
+    // revenue (exact cents) per cohort over account age in days, plus
+    // the per-user LTV — the payback chart under every retention deck.
+    // Per-user day revenue aggregates FIRST; the cumulative window is
+    // partitioned by cohort over ≤|calendar| age rows.
+    QueryDef(
+      "q_cohort_ltv",
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+             |  FROM events GROUP BY 1),
+             |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+             |  FROM f GROUP BY 1),
+             |r AS (SELECT f.cohort,
+             |    CAST(CAST(e.ts AS DATE) - f.cohort AS BIGINT) AS age,
+             |    CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM events e JOIN f ON f.user_id = e.user_id
+             |  GROUP BY 1, 2),
+             |c AS (SELECT cohort, age, cents,
+             |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+             |  FROM r)
+             |SELECT c.cohort, c.age, cs.cohort_users, c.cum_cents,
+             |  round(c.cum_cents / CAST(cs.cohort_users AS DOUBLE), 2)
+             |    AS ltv_cents
+             |FROM c JOIN cs USING (cohort)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val f = ev.groupBy("user_id").agg(min("day").as("cohort"))
+        val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        val r = ev.join(f, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("age"))
+          .agg(sum("cents").as("cents"))
+        // |calendar|-bounded frame per cohort, aggregated above
+        val w = Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        r.withColumn("cum_cents", sum("cents").over(w))
+          .join(broadcast(cs), "cohort")
+          .select(col("cohort"), col("age"), col("cohort_users"),
+            col("cum_cents"),
+            round(col("cum_cents") / col("cohort_users").cast("double"), 2)
+              .as("ltv_cents"))
+      }),
+
+    // REVENUE ATTRIBUTION per channel (event_type of the touch):
+    // last-touch rides ops/Temporal.asofJoin (latest touch at-or-before
+    // each purchase, one shuffle); first-touch is each user's earliest
+    // touch via a min-struct aggregate (no window). Purchases with no
+    // prior touch attribute to 'direct'. Cents exact; shares the only
+    // floats.
+    QueryDef(
+      "q_attribution",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |    event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |conv AS (SELECT event_id, user_id, ts_us, cents FROM e
+             |  WHERE event_type = 'purchase'),
+             |tch AS (SELECT user_id, ts_us, event_type AS channel,
+             |    row_number() OVER (PARTITION BY user_id, ts_us
+             |      ORDER BY event_id DESC) AS rn
+             |  FROM e WHERE event_type <> 'purchase'),
+             |t1 AS (SELECT user_id, ts_us, channel FROM tch WHERE rn = 1),
+             |lt AS (SELECT conv.event_id, conv.cents,
+             |    coalesce(t1.channel, 'direct') AS channel
+             |  FROM conv ASOF LEFT JOIN t1
+             |    ON conv.user_id = t1.user_id AND conv.ts_us >= t1.ts_us),
+             |ft0 AS (SELECT user_id, channel,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, channel) AS rn
+             |  FROM t1),
+             |ft AS (SELECT user_id, channel FROM ft0 WHERE rn = 1),
+             |fa AS (SELECT coalesce(ft.channel, 'direct') AS channel,
+             |    CAST(sum(conv.cents) AS BIGINT) AS first_cents
+             |  FROM conv LEFT JOIN ft USING (user_id) GROUP BY 1),
+             |la AS (SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+             |    CAST(sum(cents) AS BIGINT) AS last_cents
+             |  FROM lt GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM conv)
+             |SELECT coalesce(la.channel, fa.channel) AS channel,
+             |  coalesce(la.conversions, 0) AS conversions,
+             |  coalesce(la.last_cents, 0) AS last_touch_cents,
+             |  round(coalesce(la.last_cents, 0) / CAST(tot.t AS DOUBLE), 4)
+             |    AS last_share,
+             |  coalesce(fa.first_cents, 0) AS first_touch_cents,
+             |  round(coalesce(fa.first_cents, 0) / CAST(tot.t AS DOUBLE), 4)
+             |    AS first_share
+             |FROM la FULL OUTER JOIN fa USING (channel), tot""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us", "cents")
+        val t1 = e.filter(col("event_type") =!= "purchase")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "ts_us")
+              .orderBy(col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts_us"), col("event_type").as("channel"))
+        val lt = Temporal.asofJoin(conv, t1, "user_id", "ts_us", "ts_us")
+          .select(col("cents"), coalesce(col("channel"), lit("direct"))
+            .as("channel"))
+        val la = lt.groupBy("channel")
+          .agg(count(lit(1)).as("conversions"), sum("cents").as("last_cents"))
+        val ft = t1
+          .groupBy("user_id")
+          .agg(min(struct(col("ts_us"), col("channel"))).as("first"))
+          .select(col("user_id"), col("first.channel").as("channel"))
+        val fa = conv.join(ft, Seq("user_id"), "left_outer")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(sum("cents").as("first_cents"))
+        val tot = conv.agg(sum("cents").as("t"))
+        la.join(fa, Seq("channel"), "full_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("channel"),
+            coalesce(col("conversions"), lit(0L)).as("conversions"),
+            coalesce(col("last_cents"), lit(0L)).as("last_touch_cents"),
+            round(coalesce(col("last_cents"), lit(0L))
+              / col("t").cast("double"), 4).as("last_share"),
+            coalesce(col("first_cents"), lit(0L)).as("first_touch_cents"),
+            round(coalesce(col("first_cents"), lit(0L))
+              / col("t").cast("double"), 4).as("first_share"))
       })
   )
 }

@@ -176,6 +176,44 @@ class ExperimentSpec extends SparkSpec {
     assert(!flag, s"deterministic 50/50 split flagged SRM: chi2=$chi2")
   }
 
+  test("q_cohort_ltv: curves monotone, money conserved across cohorts") {
+    val rows = q("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0))
+    var finalTotal = 0L
+    for ((c, rs) <- byCohort) {
+      val sorted = rs.sortBy(_.getAs[Long]("age"))
+      val cums = sorted.map(_.getAs[Long]("cum_cents"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+        s"cohort $c: LTV curve not monotone")
+      assert(sorted.forall(r => math.abs(r.getAs[Double]("ltv_cents") -
+        r.getAs[Long]("cum_cents").toDouble / r.getAs[Long]("cohort_users"))
+        < 0.51))
+      finalTotal += cums.last
+    }
+    val total = Tables.t(spark, sf, "events")
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+      .agg(sum("c")).head.getLong(0)
+    assert(finalTotal == total,
+      s"cohort-final cum $finalTotal != corpus cents $total")
+  }
+
+  test("q_attribution: both methods conserve revenue and conversions") {
+    val rows = q("q_attribution").collect()
+    val purchases = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+    val (nConv, cents) = (purchases.count(),
+      purchases.agg(sum("c")).head.getLong(0))
+    assert(rows.map(_.getAs[Long]("conversions")).sum == nConv)
+    assert(rows.map(_.getAs[Long]("last_touch_cents")).sum == cents)
+    assert(rows.map(_.getAs[Long]("first_touch_cents")).sum == cents)
+    assert(math.abs(rows.map(_.getAs[Double]("last_share")).sum - 1) < 0.01)
+    assert(math.abs(rows.map(_.getAs[Double]("first_share")).sum - 1) < 0.01)
+    // purchase can never be a touch channel
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+  }
+
   test("q_mannwhitney matches an independent pairwise U computation") {
     val rows = q("q_mannwhitney").collect()
       .map(r => r.getAs[String]("event_type") ->
