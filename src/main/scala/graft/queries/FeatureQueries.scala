@@ -264,6 +264,46 @@ object FeatureQueries {
           .select(col("dim"), round(col("loading"), 4).as("loading"),
             round(lit(lambda), 2).as("eigenvalue"),
             round(lit(lambda / trace), 4).as("evr"))
+      }),
+
+    // PER-USER LAG FEATURE TABLE — the feature-store snapshot a model
+    // trains on: for every active (user, day): that day's spend (exact
+    // cents), previous-active-day spend (lag 1), calendar-true rolling
+    // 7-day spend (RANGE frame, so gaps don't stretch the window), and
+    // days since previous activity. One daily aggregate, then windows
+    // partitioned BY USER over each user's ≤|calendar| active days —
+    // never a corpus frame.
+    QueryDef(
+      "q_lag_features",
+      Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, cents,
+             |  lag(cents) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS lag1_cents,
+             |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY day
+             |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS roll7_cents,
+             |  CAST(day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+             |    AS BIGINT) AS days_since
+             |FROM d""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.t(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val byDay = Window.partitionBy("user_id").orderBy("day")
+        // RANGE over epoch-days so calendar gaps shrink, not shift, the
+        // frame — identical to the oracle's INTERVAL RANGE
+        val byRange = Window.partitionBy("user_id")
+          .orderBy(expr("cast(cast(day AS timestamp) AS long) div 86400"))
+          .rangeBetween(-6, 0)
+        d.select(col("user_id"), col("day"), col("cents"),
+          lag("cents", 1).over(byDay).as("lag1_cents"),
+          sum("cents").over(byRange).as("roll7_cents"),
+          datediff(col("day"), lag("day", 1).over(byDay)).cast("long")
+            .as("days_since"))
       })
   )
 }

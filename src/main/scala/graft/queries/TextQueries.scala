@@ -681,6 +681,58 @@ object TextQueries {
             / ((col("sxx") - col("n") * col("mx") * col("mx"))
               * (col("syy") - col("n") * col("my") * col("my"))), 4)
             .as("r2"))
+      }),
+
+    // PHRASE SEARCH over a POSITIONAL inverted index — the search-engine
+    // primitive: build (token, doc, pos) postings, pick the corpus's most
+    // frequent bigram (deterministic top-1), and resolve the phrase by
+    // intersecting the two tokens' posting lists on (doc, pos+1)
+    // adjacency. At scale the postings ARE the index (shuffle on token,
+    // skew-bounded by df); no document text is rescanned to answer the
+    // query. Output: per matching doc, the phrase and its occurrence
+    // count.
+    QueryDef(
+      "q_phrase_search",
+      Some("""WITH tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(
+             |      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |    FROM documents),
+             |    unnest(range(1, len(toks) + 1)) AS t(i)
+             |  WHERE toks[i] <> ''),
+             |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c
+             |  FROM tok a JOIN tok b
+             |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |  GROUP BY 1, 2),
+             |top AS (SELECT w1, w2 FROM bg
+             |  ORDER BY c DESC, w1, w2 LIMIT 1),
+             |hits AS (SELECT a.doc_id, top.w1, top.w2,
+             |    CAST(count(*) AS BIGINT) AS n_occ
+             |  FROM tok a JOIN top ON a.w = top.w1
+             |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             |    AND b.w = top.w2
+             |  GROUP BY 1, 2, 3)
+             |SELECT doc_id, w1, w2, n_occ FROM hits""".stripMargin),
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(graft.dedup.Dedup.normalized(col("text")),
+              " ")).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+          .localCheckpoint() // the postings table, consumed three times
+        val bg = tok.as("a")
+          .join(tok.as("b"),
+            col("b.doc_id") === col("a.doc_id") &&
+              col("b.pos") === col("a.pos") + 1)
+          .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+          .agg(count(lit(1)).as("c"))
+        val top = bg.orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+          .select("w1", "w2")
+        tok.as("a").join(broadcast(top), col("a.w") === col("w1"))
+          .join(tok.as("b"),
+            col("b.doc_id") === col("a.doc_id") &&
+              col("b.pos") === col("a.pos") + 1 && col("b.w") === col("w2"))
+          .groupBy(col("a.doc_id").as("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n_occ"))
       })
   )
 }

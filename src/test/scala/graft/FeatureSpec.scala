@@ -63,6 +63,36 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("q_lag_features matches an independent per-user scan") {
+    val rows = q("q_lag_features").collect()
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    assert(rows.length == daily.length)
+    val byUser = daily.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(x => x._2 -> x._3).sortBy(_._1.toEpochDay) }
+    for (r <- rows) {
+      val (u, d) = (r.getAs[Long]("user_id"), r.getDate(1).toLocalDate)
+      val series = byUser(u)
+      val i = series.indexWhere(_._1 == d)
+      assert(r.getAs[Long]("cents") == series(i)._2)
+      val roll = series.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6)) }.map(_._2).sum
+      assert(r.getAs[Long]("roll7_cents") == roll,
+        s"user $u $d: roll7 ${r.getAs[Long]("roll7_cents")} != $roll")
+      if (i == 0) {
+        assert(r.isNullAt(r.fieldIndex("lag1_cents")))
+        assert(r.isNullAt(r.fieldIndex("days_since")))
+      } else {
+        assert(r.getAs[Long]("lag1_cents") == series(i - 1)._2)
+        assert(r.getAs[Long]("days_since") ==
+          d.toEpochDay - series(i - 1)._1.toEpochDay)
+      }
+    }
+  }
+
   test("q_pca_power: unit loadings, sign convention, Rayleigh consistency") {
     val rows = q("q_pca_power").collect().sortBy(_.getAs[Int]("dim"))
     assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))

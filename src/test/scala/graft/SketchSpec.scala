@@ -53,4 +53,28 @@ class SketchSpec extends SparkSpec {
         s"$sa×$sb: est $est vs exact $exact")
     }
   }
+
+  test("q_phrase_search resolves the true top bigram with exact counts") {
+    val rows = q("q_phrase_search").collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.dedup.Dedup.normalized(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty))
+    val bigrams = docs.flatMap { case (_, ws) => ws.sliding(2).collect {
+      case Array(a, b) => (a, b) } }
+    val counts = bigrams.groupBy(identity).view.mapValues(_.length)
+    val top = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+    assert(rows.forall(r => (r.getAs[String]("w1"),
+      r.getAs[String]("w2")) == top), s"phrase mismatch vs $top")
+    val expect = docs.map { case (id, ws) =>
+      id -> ws.sliding(2).count {
+        case Array(a, b) => (a, b) == top; case _ => false }
+    }.filter(_._2 > 0).toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_occ")).toMap
+    assert(got == expect.view.mapValues(_.toLong).toMap,
+      s"posting intersection diverges: ${got.size} vs ${expect.size} docs")
+  }
 }
