@@ -451,6 +451,87 @@ object GovernanceQueries {
             col("st1") =!= col("st2") || col("c1") =!= col("c2") ||
             col("u1") =!= col("u2"))
           .select("o_orderkey", "status", "changed_cols")
+      }),
+
+    // BENFORD'S-LAW first-digit audit of order totals — the fraud/
+    // fabrication screen auditors run on money columns. The digit comes
+    // from the INTEGER-cents decimal string (both engines format
+    // integers identically), never from log10 of a float whose
+    // power-of-ten boundary could round differently; expected shares are
+    // log10(1+1/d). One scan, 9-row frame, χ² via the same grid-safe
+    // Σ form as q_chi_square.
+    QueryDef(
+      "q_benford",
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+             |      o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+             |    AS BIGINT) AS digit
+             |  FROM orders WHERE o_totalprice > 0),
+             |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o),
+             |s AS (SELECT o.digit, o.n,
+             |    o.n / CAST(t.tot AS DOUBLE) AS obs,
+             |    log10(1 + 1.0 / o.digit) AS exp
+             |  FROM o, t),
+             |x AS (SELECT sum((obs - exp) * (obs - exp) / exp)
+             |    * (SELECT tot FROM t) AS chi2 FROM s)
+             |SELECT s.digit, s.n, round(s.obs, 4) AS obs_share,
+             |  round(s.exp, 4) AS benford_share,
+             |  round(x.chi2, 2) AS chi2
+             |FROM s, x""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "orders")
+          .filter(col("o_totalprice") > 0)
+          .select(substring(round(col("o_totalprice") * 100, 0)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        val o = d.groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = o.agg(sum("n").as("tot"))
+        val sdf = o.crossJoin(broadcast(t))
+          .withColumn("obs", col("n") / col("tot").cast("double"))
+          .withColumn("exp", log10(lit(1) + lit(1.0) / col("digit")))
+        val x = sdf.agg((sum((col("obs") - col("exp"))
+          * (col("obs") - col("exp")) / col("exp"))
+          * first("tot")).as("chi2"))
+        sdf.crossJoin(broadcast(x))
+          .select(col("digit"), col("n"), round(col("obs"), 4)
+            .as("obs_share"),
+            round(col("exp"), 4).as("benford_share"),
+            round(col("chi2"), 2).as("chi2"))
+      }),
+
+    // DIFFERENTIALLY-PRIVATE counts with REPRODUCIBLE Laplace noise:
+    // u ~ Uniform(−½,½) derived from the sha60 of the key (so any engine
+    // replays the same draw), inverse-CDF'd into Laplace(1/ε) and added
+    // to the per-type counts — the release mechanism a data-clean-room
+    // demo needs, with the noise pinned for test determinism. ε = 1,
+    // sensitivity 1 (event-level). One aggregate, |types| frame.
+    QueryDef(
+      "q_dp_counts",
+      Some(s"""WITH c AS (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |u AS (SELECT event_type, n,
+             |    ${graft.expressions.Hashing.sha60Sql(
+                     "event_type || ':dp'")} /
+             |      1152921504606846976.0 - 0.5 AS u
+             |  FROM c)
+             |SELECT event_type, n,
+             |  round(n + CASE WHEN u >= 0 THEN -1.0 ELSE 1.0 END
+             |    * ln(greatest(1e-12, 1 - 2 * abs(u))), 2) AS noisy_n,
+             |  CAST(1.0 AS DOUBLE) AS epsilon
+             |FROM u""".stripMargin),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        val u = graft.expressions.Hashing
+          .sha60(concat(col("event_type"), lit(":dp")))
+          ./(lit(1152921504606846976.0)).minus(lit(0.5))
+        c.withColumn("u", u)
+          .select(col("event_type"), col("n"),
+            round(col("n") + when(col("u") >= 0, lit(-1.0)).otherwise(lit(1.0))
+              * log(greatest(lit(1e-12), lit(1) - lit(2) * abs(col("u")))), 2)
+              .as("noisy_n"),
+            lit(1.0).as("epsilon"))
       })
   )
 }

@@ -174,4 +174,46 @@ class GovernanceSpec extends SparkSpec {
     for (k <- orders if k % 7 != 0 && k % 5 != 0 && k % 4 == 0)
       assert(changedKeys(k), s"status-flipped $k missing from the diff")
   }
+
+  test("q_benford: digit grid complete, shares are distributions") {
+    val rows = q("q_benford").collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq.forall(d =>
+      d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("obs_share")).sum - 1) < 0.01)
+    // Benford reference shares themselves sum to 1 over the full grid
+    val benford = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+    assert(math.abs(benford.sum - 1.0) < 1e-9)
+    for (r <- rows) {
+      val d = r.getAs[Long]("digit").toInt
+      assert(math.abs(r.getAs[Double]("benford_share") - benford(d - 1))
+        < 1e-3)
+    }
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
+    assert(rows.head.getAs[Double]("chi2") >= 0)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.t(spark, sf, "orders").filter(col("o_totalprice") > 0).count())
+  }
+
+  test("q_dp_counts: noise bounded, reproducible, counts intact") {
+    val rows = q("q_dp_counts").collect()
+    val truth = Tables.t(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet == truth.keySet)
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n") == truth(t))
+      val noise = r.getAs[Double]("noisy_n") - truth(t)
+      // Laplace(1): |noise| beyond ~28 means ln(1e-12) guard fired or
+      // the inverse-CDF is wrong
+      assert(math.abs(noise) < 28, s"$t: noise $noise implausible")
+      assert(noise != 0.0, s"$t: zero noise — mechanism degenerate")
+    }
+    // determinism: a second evaluation returns identical draws
+    val again = q("q_dp_counts").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("noisy_n"))
+      .toMap
+    for (r <- rows)
+      assert(again(r.getAs[String]("event_type")) == r.getAs[Double]("noisy_n"))
+  }
 }
