@@ -93,6 +93,24 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("q_logreg_train: the descent beats the prior and calibrates") {
+    val r = q("q_logreg_train").collect().head
+    val acc = r.getAs[Double]("accuracy")
+    val ll = r.getAs[Double]("log_loss")
+    // the majority class of a median split is ~50%; learned accuracy
+    // must clear it decisively and the loss must beat ln 2 (the
+    // all-0.5 predictor) — otherwise the "training" did nothing
+    assert(acc > 0.7, s"accuracy $acc barely beats the prior")
+    assert(ll < math.log(2.0), s"log-loss $ll no better than coin flips")
+    assert(ll > 0)
+    // token count drives length: its weight must come out positive and
+    // dominant
+    val w1 = r.getAs[Double]("w1")
+    assert(w1 > 0, s"token-count weight $w1 should be positive")
+    assert(math.abs(w1) > math.abs(r.getAs[Double]("w2")),
+      "token count should outweigh mean word length")
+  }
+
   test("q_pca_power: unit loadings, sign convention, Rayleigh consistency") {
     val rows = q("q_pca_power").collect().sortBy(_.getAs[Int]("dim"))
     assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
