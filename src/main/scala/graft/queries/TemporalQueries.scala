@@ -284,6 +284,30 @@ object TemporalQueries {
              |WHERE win_start_us + 3600000000 <= (SELECT max(tsu) FROM e)""".stripMargin),
       (s, dir) => IncrementalStream.windowedCountsGated(s, dir)),
 
+    // SLIDING-window streaming aggregate (2h windows, 1h slide): each
+    // event feeds TWO overlapping open windows — the state-per-window
+    // semantics tumbling never exercises. Same checkpointed AvailableNow
+    // + append-mode watermark contract as q_stream_window; the oracle
+    // fans each event into its two window starts in batch SQL and
+    // applies the identical closed-window cutoff.
+    QueryDef(
+      "q_stream_sliding",
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+             |x AS (SELECT tsu, event_type, cents,
+             |    unnest([(tsu // 3600000000) * 3600000000,
+             |      (tsu // 3600000000) * 3600000000 - 3600000000])
+             |      AS win_start_us
+             |  FROM e),
+             |w AS (SELECT win_start_us, event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS value_cents
+             |  FROM x GROUP BY 1, 2)
+             |SELECT win_start_us, event_type, n, value_cents FROM w
+             |WHERE win_start_us + 7200000000 <= (SELECT max(tsu) FROM e)"""
+        .stripMargin),
+      (s, dir) => IncrementalStream.slidingCountsGated(s, dir)),
+
     // ROLLING MEDIAN (robust running statistic — outlier-resistant where
     // q_rolling_agg's mean is not): 7-row trailing frame per event type.
     // Spark has no windowed percentile, so the frame's values collect

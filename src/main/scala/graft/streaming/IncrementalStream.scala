@@ -106,6 +106,33 @@ object IncrementalStream {
     spark.read.parquet(s"$tmp/out")
   }
 
+  /** Sliding-window sibling of [[windowedCountsGated]]: 2-hour windows
+    * advancing every hour, so each event lands in TWO overlapping
+    * windows — the overlap semantics (state per open window, twice the
+    * window count) that tumbling windows don't exercise. Same staged
+    * landing dir, checkpointed AvailableNow run, and append-mode
+    * watermark cutoff; the oracle replays the two-window fan-out in
+    * batch SQL.
+    */
+  def slidingCountsGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slide-").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+    val agg = graft.Tables.normalizeEventTs(
+        statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in"))
+      .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value_cents").as("value_cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+    runAvailableNow(agg, s"$tmp/chk", s"$tmp/out")
+    spark.read.parquet(s"$tmp/out")
+  }
+
   /** Batch incremental with explicit watermark state: fetch rows with
     * `idCol` above the cursor, append-if-absent into the warehouse table,
     * advance the cursor to the batch max only after the write succeeds.

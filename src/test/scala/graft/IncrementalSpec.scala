@@ -178,4 +178,24 @@ class IncrementalSpec extends SparkSpec {
     // every emitted pair has at least one batch side and is canonical
     assert(run1.forall { case (a, b, _) => a < b && (a % 10 == 0 || b % 10 == 0) })
   }
+
+  test("sliding windows contain their aligned tumbling windows") {
+    val slide = q("q_stream_sliding").collect()
+      .map(r => (r.getAs[Long]("win_start_us"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("n")).toMap
+    val tumble = q("q_stream_window").collect()
+      .map(r => (r.getAs[Long]("win_start_us"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("n")).toMap
+    assert(slide.nonEmpty && tumble.nonEmpty)
+    // a 2h window starting at w covers the 1h tumbling window at w, so
+    // wherever both were emitted the sliding count dominates
+    val both = slide.keySet intersect tumble.keySet
+    assert(both.nonEmpty, "no aligned windows emitted by both queries")
+    for (k <- both)
+      assert(slide(k) >= tumble(k), s"$k: sliding ${slide(k)} < tumbling ${tumble(k)}")
+    // overlap factor: each event lands in exactly two sliding windows,
+    // so total mass is ≤ 2× the event count (strictly less: tail cutoff)
+    val events = Tables.t(spark, sf, "events").count()
+    assert(slide.values.sum <= 2 * events)
+  }
 }
