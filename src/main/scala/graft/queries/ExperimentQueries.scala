@@ -376,6 +376,61 @@ object ExperimentQueries {
           round(chi2, 4).as("chi2"), (chi2 > 3.841).as("srm_flag"))
       }),
 
+    // JACKKNIFE confidence interval for the mean outcome: 20 user-level
+    // delete-one-group pseudo-replicates (users hash-bucketed so the
+    // dependence unit — the user — leaves whole), leave-one-out means
+    // from per-bucket sums, variance (B−1)/B·Σ(m_b−m̄)², normal CI.
+    // The resampling-free way to put an error bar on any engine
+    // statistic: ONE corpus scan, then 20-row frames; every engine
+    // replays the identical bucketing via sha60.
+    QueryDef(
+      "q_jackknife_ci",
+      Some(s"""WITH e AS (SELECT value,
+             |    ${graft.expressions.Hashing.sha60Sql(
+                     "CAST(user_id AS VARCHAR)")} % 20 AS b
+             |  FROM events),
+             |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n, sum(value) AS s
+             |  FROM e GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM g),
+             |loo AS (SELECT g.b, (t.s - g.s) / (t.n - g.n) AS m
+             |  FROM g, t),
+             |v AS (SELECT avg(m) AS mbar,
+             |    sum((m - (SELECT avg(m) FROM loo))
+             |      * (m - (SELECT avg(m) FROM loo))) AS ss,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM loo)
+             |SELECT t.n, round(t.s / t.n, 4) AS mean,
+             |  round(sqrt((v.nb - 1.0) / v.nb * v.ss), 6) AS se,
+             |  round(t.s / t.n - 1.96 * sqrt((v.nb - 1.0) / v.nb * v.ss), 4)
+             |    AS ci_lo,
+             |  round(t.s / t.n + 1.96 * sqrt((v.nb - 1.0) / v.nb * v.ss), 4)
+             |    AS ci_hi
+             |FROM t, v""".stripMargin),
+      (s, dir) => {
+        val g = Tables.t(s, dir, "events")
+          .withColumn("b",
+            graft.expressions.Hashing.sha60(col("user_id").cast("string"))
+              % 20)
+          .groupBy("b")
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        val t = g.agg(sum("n").as("tn"), sum("s").as("ts"))
+        val loo = g.crossJoin(broadcast(t))
+          .select(((col("ts") - col("s")) / (col("tn") - col("n"))).as("m"))
+        val mbar = loo.agg(avg("m").as("mbar"))
+        val v = loo.crossJoin(broadcast(mbar))
+          .agg(sum((col("m") - col("mbar")) * (col("m") - col("mbar")))
+            .as("ss"), count(lit(1)).as("nb"))
+        val se = sqrt((col("nb") - 1.0) / col("nb") * col("ss"))
+        t.crossJoin(broadcast(v))
+          .select(col("tn").as("n"),
+            round(col("ts") / col("tn"), 4).as("mean"),
+            round(se, 6).as("se"),
+            round(col("ts") / col("tn") - lit(1.96) * se, 4).as("ci_lo"),
+            round(col("ts") / col("tn") + lit(1.96) * se, 4).as("ci_hi"))
+      }),
+
     // CHI-SQUARE INDEPENDENCE of event_type × variant over event counts —
     // "does the assignment skew what people do". Uses the grid-complete
     // identity χ² = Σ o²/e − N (cells with o=0 contribute nothing), so

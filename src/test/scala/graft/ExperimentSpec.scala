@@ -176,6 +176,25 @@ class ExperimentSpec extends SparkSpec {
     assert(!flag, s"deterministic 50/50 split flagged SRM: chi2=$chi2")
   }
 
+  test("q_jackknife_ci brackets the mean with a plausible standard error") {
+    val r = q("q_jackknife_ci").collect().head
+    val ev = Tables.t(spark, sf, "events")
+    assert(r.getAs[Long]("n") == ev.count())
+    val stats = ev.agg(avg("value"), stddev_samp(col("value")), count(lit(1)))
+      .head
+    val (mean, sd, n) = (stats.getDouble(0), stats.getDouble(1),
+      stats.getLong(2))
+    assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-3)
+    val (lo, hi, se) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("se"))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(se > 0)
+    // user-level jackknife SE should sit in the same decade as the naive
+    // iid SE (users here aren't strongly clustered)
+    val naive = sd / math.sqrt(n.toDouble)
+    assert(se > naive / 3 && se < naive * 3, s"se $se vs naive $naive")
+  }
+
   test("q_cohort_ltv: curves monotone, money conserved across cohorts") {
     val rows = q("q_cohort_ltv").collect()
     assert(rows.nonEmpty)
