@@ -194,6 +194,86 @@ object BehaviorQueries {
             round(col("mad"), 4).as("mad"), col("n_outliers"))
       }),
 
+    // TIME-BOXED FUNNEL: signup → view → purchase where each step must
+    // land within 24h of the previous one — the product-analytics
+    // semantics (q_funnel is the unbounded variant; real funnels expire).
+    // Same chained min-aggregate joins, each bounded by the window
+    // predicate; output is the 3-row step report with conversion rates
+    // and mean step delay. One scan + per-step co-partitioned joins.
+    QueryDef(
+      "q_funnel_windowed",
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             |    FROM events),
+             |s AS (SELECT user_id, min(ts_us) AS s_ts FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |v AS (SELECT e.user_id, min(e.ts_us) AS v_ts
+             |  FROM e JOIN s ON e.user_id = s.user_id
+             |  WHERE e.event_type = 'view' AND e.ts_us > s.s_ts
+             |    AND e.ts_us <= s.s_ts + 86400000000
+             |  GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts
+             |  FROM e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts_us > v.v_ts
+             |    AND e.ts_us <= v.v_ts + 86400000000
+             |  GROUP BY e.user_id),
+             |d AS (SELECT s.user_id, s.s_ts, v.v_ts, p.p_ts
+             |  FROM s LEFT JOIN v USING (user_id)
+             |  LEFT JOIN p USING (user_id)),
+             |r AS (
+             |  SELECT 1 AS step, 'signup' AS stage,
+             |      CAST(count(*) AS BIGINT) AS users,
+             |      CAST(NULL AS DOUBLE) AS mean_delay_min
+             |    FROM d
+             |  UNION ALL
+             |  SELECT 2, 'view_24h', CAST(count(v_ts) AS BIGINT),
+             |      round(avg((v_ts - s_ts) / 60000000.0), 2)
+             |    FROM d
+             |  UNION ALL
+             |  SELECT 3, 'purchase_24h', CAST(count(p_ts) AS BIGINT),
+             |      round(avg((p_ts - v_ts) / 60000000.0), 2)
+             |    FROM d)
+             |SELECT step, stage, users,
+             |  round(users / CAST((SELECT max(users) FROM r) AS DOUBLE), 4)
+             |    AS cvr_from_start,
+             |  mean_delay_min
+             |FROM r""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val step1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_us").as("s_ts"))
+        val step2 = e.filter(col("event_type") === "view")
+          .join(step1, "user_id")
+          .filter(col("ts_us") > col("s_ts") &&
+            col("ts_us") <= col("s_ts") + 86400000000L)
+          .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+        val step3 = e.filter(col("event_type") === "purchase")
+          .join(step2, "user_id")
+          .filter(col("ts_us") > col("v_ts") &&
+            col("ts_us") <= col("v_ts") + 86400000000L)
+          .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+        val d = step1.join(step2, Seq("user_id"), "left_outer")
+          .join(step3, Seq("user_id"), "left_outer")
+          .localCheckpoint() // three step aggregates read it
+        val r1 = d.agg(count(lit(1)).as("users"))
+          .select(lit(1).as("step"), lit("signup").as("stage"),
+            col("users"), lit(null).cast("double").as("mean_delay_min"))
+        val r2 = d.agg(count(col("v_ts")).as("users"),
+          round(avg((col("v_ts") - col("s_ts")) / 60000000.0), 2).as("md"))
+          .select(lit(2).as("step"), lit("view_24h").as("stage"),
+            col("users"), col("md").as("mean_delay_min"))
+        val r3 = d.agg(count(col("p_ts")).as("users"),
+          round(avg((col("p_ts") - col("v_ts")) / 60000000.0), 2).as("md"))
+          .select(lit(3).as("step"), lit("purchase_24h").as("stage"),
+            col("users"), col("md").as("mean_delay_min"))
+        val r = r1.unionByName(r2).unionByName(r3)
+        val top = r.agg(max("users").as("mx"))
+        r.crossJoin(broadcast(top))
+          .select(col("step"), col("stage"), col("users"),
+            round(col("users") / col("mx").cast("double"), 4)
+              .as("cvr_from_start"),
+            col("mean_delay_min"))
+      }),
+
     // ABC REVENUE CLASSIFICATION of parts (the 80/95 Pareto carve every
     // inventory mart runs): per-part revenue in EXACT integer cents,
     // cumulative revenue via ops.PrefixSum's range-partitioned running

@@ -195,6 +195,23 @@ class ExperimentSpec extends SparkSpec {
     assert(se > naive / 3 && se < naive * 3, s"se $se vs naive $naive")
   }
 
+  test("q_funnel_windowed: steps shrink, the 24h box actually bites") {
+    val rows = q("q_funnel_windowed").collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("signup", "view_24h", "purchase_24h"))
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(users(0) >= users(1) && users(1) >= users(2),
+      s"funnel not monotone: ${users.mkString(",")}")
+    for (r <- rows.drop(1) if !r.isNullAt(r.fieldIndex("mean_delay_min")))
+      assert(r.getAs[Double]("mean_delay_min") <= 1440.0 + 1e-6,
+        "mean step delay exceeds the 24h box")
+    // the box must be tighter than the unbounded funnel at step 2
+    val unbounded = q("q_funnel").collect()
+      .count(r => !r.isNullAt(r.fieldIndex("v_ts")))
+    assert(users(1) <= unbounded,
+      s"windowed step-2 ${users(1)} exceeds unbounded $unbounded")
+  }
+
   test("q_cohort_ltv: curves monotone, money conserved across cohorts") {
     val rows = q("q_cohort_ltv").collect()
     assert(rows.nonEmpty)
