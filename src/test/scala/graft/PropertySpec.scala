@@ -169,4 +169,54 @@ class PropertySpec extends SparkSpec {
         t.select("k").union(b.select("k")).distinct().count())
     }
   }
+
+  test("nearestJoin matches brute force on random timelines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tsGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+      for {
+        left <- Gen.listOf(for {
+          k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 100L)
+          id <- Gen.choose(0L, 10000L)
+        } yield (k, t, id))
+        right <- Gen.listOf(for {
+          k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 100L)
+          p <- Gen.choose(0L, 999L)
+        } yield (k, t, p))
+      } yield (left, right)
+    (1 to 6).flatMap(i =>
+      tsGen.apply(Gen.Parameters.default.withSize(25), Seed(500L + i)))
+      .filter { case (l, r) => l.nonEmpty }
+      .foreach { case (lRows0, rRows0) =>
+        // unique left ids; right unique per (key, ts) like the contract
+        val lRows = lRows0.zipWithIndex
+          .map { case ((k, t, _), i) => (k, t, i.toLong) }
+        val rRows = rRows0.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), xs) => (k, t, xs.map(_._3).max) }.toList
+        val left = lRows.toDF("k", "ts", "lid")
+        val right = rRows.toDF("k", "rts", "payload")
+          .select(col("k"), col("rts").as("ts2"), col("payload"))
+        val got = graft.ops.Temporal
+          .nearestJoin(left, right, "k", "ts", "ts2")
+          .collect()
+          .map(r => r.getAs[Long]("lid") ->
+            (if (r.isNullAt(r.fieldIndex("__near_ts"))) None
+             else Some(r.getAs[Long]("__near_ts")))).toMap
+        for ((k, t, lid) <- lRows) {
+          val cand = rRows.filter(_._1 == k)
+          val expect =
+            if (cand.isEmpty) None
+            else {
+              val best = cand.map(c => (math.abs(c._2 - t), c._2)).sorted
+              // backward wins distance ties: among min-distance, the
+              // earlier right ts
+              val minD = best.head._1
+              Some(best.filter(_._1 == minD).map(_._2).min)
+            }
+          assert(got(lid) == expect,
+            s"key $k ts $t: got ${got(lid)}, expected $expect " +
+              s"among ${cand.map(_._2).sorted}")
+        }
+      }
+  }
 }
