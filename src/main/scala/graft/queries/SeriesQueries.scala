@@ -237,6 +237,61 @@ object SeriesQueries {
               .as("residual"))
       }),
 
+    // SEASONAL ANOMALY DETECTION: the operational use of the STL split —
+    // remove trend and weekday seasonality, z-score what remains, and
+    // flag days beyond 1.5σ (where this fixture's genuine demand spikes
+    // sit; the full z column is emitted so the threshold choice is
+    // visible, not buried). Same calendar-bounded frames as
+    // q_stl_decompose plus one 1-row moment broadcast.
+    QueryDef(
+      "q_seasonal_anomaly",
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |tr AS (SELECT day, c,
+             |    CASE WHEN count(*) OVER w = 7
+             |      THEN sum(c) OVER w / 7.0 END AS trend
+             |  FROM d
+             |  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY
+             |    PRECEDING AND INTERVAL 3 DAY FOLLOWING)),
+             |sz AS (SELECT isodow(day) AS dow, avg(c - trend) AS raw_s
+             |  FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+             |ctr AS (SELECT avg(raw_s) AS adj FROM sz),
+             |se AS (SELECT dow, raw_s - adj AS seasonal FROM sz, ctr),
+             |res AS (SELECT t.day, t.c,
+             |    t.c - t.trend - se.seasonal AS r
+             |  FROM tr t JOIN se ON se.dow = isodow(t.day)
+             |  WHERE t.trend IS NOT NULL),
+             |st AS (SELECT avg(r) AS m, stddev_pop(r) AS s FROM res)
+             |SELECT res.day, res.c, round(res.r, 2) AS residual,
+             |  round((res.r - st.m) / st.s, 2) AS z,
+             |  abs((res.r - st.m) / st.s) > 1.5 AS is_anomaly
+             |FROM res, st""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("day").cast("timestamp").cast("long"))
+          .rangeBetween(-3L * 86400, 3L * 86400)
+        val tr = d.withColumn("trend",
+          when(count(lit(1)).over(w) === 7, sum("c").over(w) / 7.0))
+        val sz = tr.filter(col("trend").isNotNull)
+          .groupBy((weekday(col("day")) + 1).as("dow"))
+          .agg(avg(col("c") - col("trend")).as("raw_s"))
+        val ctr = sz.agg(avg("raw_s").as("adj"))
+        val se = sz.crossJoin(broadcast(ctr))
+          .select(col("dow"), (col("raw_s") - col("adj")).as("seasonal"))
+        val res = tr.filter(col("trend").isNotNull)
+          .join(broadcast(se), (weekday(col("day")) + 1) === se("dow"))
+          .select(col("day"), col("c"),
+            (col("c") - col("trend") - col("seasonal")).as("r"))
+        val st = res.agg(avg("r").as("m"), stddev_pop(col("r")).as("s"))
+        res.crossJoin(broadcast(st))
+          .select(col("day"), col("c"), round(col("r"), 2).as("residual"),
+            round((col("r") - col("m")) / col("s"), 2).as("z"),
+            (abs((col("r") - col("m")) / col("s")) > 1.5).as("is_anomaly"))
+      }),
+
     // ROLLING 7-DAY ACTIVE USERS (WAU) per calendar day, with DAU and
     // the DAU/WAU stickiness ratio. COUNT(DISTINCT) over a sliding
     // window has no partial-aggregable form, so the scale-safe plan is:

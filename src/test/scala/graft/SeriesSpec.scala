@@ -95,6 +95,20 @@ class SeriesSpec extends SparkSpec {
     assert(rows.exists(_.isNullAt(2)), "expected NULL-trend edge days")
   }
 
+  test("q_seasonal_anomaly: z standardized, flags consistent, non-vacuous") {
+    val rows = q("q_seasonal_anomaly").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(r.getAs[Double]("z")) > 1.5) ||
+        math.abs(math.abs(r.getAs[Double]("z")) - 1.5) < 0.01)
+    // z-scores are standardized: mean ~0, spread ~1
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 0.1)
+    val sd = math.sqrt(zs.map(z => z * z).sum / zs.length)
+    assert(sd > 0.8 && sd < 1.2, s"z spread $sd not standardized")
+  }
+
   test("q_rolling_wau matches brute-force 7-day distinct unions") {
     val rows = q("q_rolling_wau").collect()
     val du = Tables.t(spark, sf, "events")
