@@ -702,6 +702,95 @@ object ExtensionQueries {
           e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
       }),
 
+    // MMR DIVERSIFIED RE-RANKING (λ=0.5): the retrieval step between ANN
+    // and the user — greedily pick 5 of the query's top-20 cosine
+    // candidates maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-selected. Candidate generation is the distributed part
+    // (corpus cosine + top-k); the greedy runs over the k-BOUNDED
+    // candidate set driver-side (20 vectors — the IVF-centroid
+    // precedent), exactly how production rerankers stage it. The oracle
+    // unrolls the same greedy in 5 chained CTEs; ties break by vec_id.
+    QueryDef(
+      "q_mmr_rerank",
+      Some {
+        def sel(i: Int) = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ")
+        def step(i: Int) =
+          s"""s$i AS (SELECT c.vec_id, c.rel,
+             |    0.5 * c.rel - 0.5 * max(p.sim) AS mmr
+             |  FROM cand c JOIN p ON p.ia = c.vec_id
+             |    AND p.ib IN (${sel(i)})
+             |  WHERE c.vec_id NOT IN (${sel(i)})
+             |  GROUP BY c.vec_id, c.rel
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+        s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           |  WHERE vec_id = 0),
+           |c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           |    list_cosine_similarity(qv, embedding::DOUBLE[]) AS rel
+           |  FROM embeddings, q WHERE vec_id <> 0),
+           |cand AS (SELECT vec_id, v, rel FROM (
+           |    SELECT vec_id, v, rel,
+           |      row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+           |    FROM c0) WHERE rk <= 20),
+           |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |    list_cosine_similarity(a.v, b.v) AS sim
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |s1 AS (SELECT vec_id, rel, rel AS mmr FROM cand
+           |  ORDER BY rel DESC, vec_id LIMIT 1),
+           |${(2 to 5).map(step).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT 1 AS rank, vec_id, round(rel, 4) AS relevance,
+           |    round(mmr, 4) AS mmr FROM s1
+           |  ${(2 to 5).map(i =>
+               s"UNION ALL SELECT $i, vec_id, round(rel, 4), round(mmr, 4) FROM s$i")
+               .mkString("\n  ")})""".stripMargin
+      },
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        // distributed candidate generation: corpus cosine vs the query
+        // vector, top-20 (TakeOrdered — no global window)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast("double")).as("qv"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            Knn.cosine(transform(col("embedding"), _.cast("double")),
+              col("qv")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(20)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+            r.getDouble(2)))
+        // k-bounded greedy over the 20 candidates
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          d / math.sqrt(na * nb)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Double, Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+        for (rank <- 1 to 5) {
+          val scored = remaining.map { case c @ (id, v, rel) =>
+            val mmr =
+              if (selected.isEmpty) rel
+              else 0.5 * rel - 0.5 * selected.map(sid =>
+                cos(v, cand.find(_._1 == sid._2).get._2)).max
+            (c, mmr)
+          }
+          val best = scored.minBy { case ((id, _, _), m) => (-m, id) }
+          selected += ((rank, best._1._1, best._1._3, best._2))
+          remaining -= best._1
+        }
+        s.createDataFrame(selected.toSeq)
+          .toDF("rank", "vec_id", "relevance", "mmr")
+          .select(col("rank"), col("vec_id"),
+            round(col("relevance"), 4).as("relevance"),
+            round(col("mmr"), 4).as("mmr"))
+      }),
+
     // Embedding near-duplicate pairs via banded sign-LSH (threshold from
     // the fixture's cosine distribution — max pair cosine is ~0.51). The
     // oracle recomputes the banded pipeline from the same plane literals;

@@ -54,6 +54,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_mmr_rerank: greedy invariants hold and diversity actually binds") {
+    val rows = q("q_mmr_rerank").collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // rank 1 is the pure-relevance argmax: its mmr equals its relevance
+    assert(rows.head.getAs[Double]("mmr") ==
+      rows.head.getAs[Double]("relevance"))
+    // greedy MMR scores are non-increasing (penalty only grows)
+    val mmrs = rows.map(_.getAs[Double]("mmr"))
+    assert(mmrs.zip(mmrs.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"mmr not non-increasing: ${mmrs.mkString(",")}")
+    // diversification is real on this fixture: some later pick has
+    // HIGHER relevance than an earlier one (pure top-k would be sorted)
+    val rels = rows.map(_.getAs[Double]("relevance"))
+    assert(rels.zip(rels.tail).exists { case (a, b) => b > a },
+      s"selection degenerated to pure top-k: ${rels.mkString(",")}")
+  }
+
   test("q_phrase_search resolves the true top bigram with exact counts") {
     val rows = q("q_phrase_search").collect()
     assert(rows.nonEmpty)
