@@ -376,6 +376,104 @@ object ExperimentQueries {
           round(chi2, 4).as("chi2"), (chi2 > 3.841).as("srm_flag"))
       }),
 
+    // DIFFERENCE-IN-DIFFERENCES: the 2×2 (variant × pre/post) interaction
+    // estimate — the causal workhorse when assignment isn't randomized
+    // per-exposure. Periods split at the deterministic global ts midpoint
+    // (the q_cuped cut); DID = (B̄post−B̄pre) − (Āpost−Āpre) with the
+    // pooled-variance normal SE over the four cell variances. One corpus
+    // scan → four cells.
+    QueryDef(
+      "q_diff_in_diff",
+      Some(s"""WITH bnd AS (SELECT min(epoch_us(ts)) +
+             |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS cut
+             |  FROM events),
+             |a AS (SELECT value,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END AS variant,
+             |    CASE WHEN epoch_us(ts) >= cut THEN 'post' ELSE 'pre' END
+             |      AS period
+             |  FROM events, bnd),
+             |c AS (SELECT variant, period,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    avg(value) AS m, var_samp(value) AS v
+             |  FROM a GROUP BY 1, 2),
+             |w AS (SELECT
+             |    max(CASE WHEN variant='A' AND period='pre' THEN m END) AS ap,
+             |    max(CASE WHEN variant='A' AND period='post' THEN m END) AS aq,
+             |    max(CASE WHEN variant='B' AND period='pre' THEN m END) AS bp,
+             |    max(CASE WHEN variant='B' AND period='post' THEN m END) AS bq,
+             |    sum(v / n) AS se2,
+             |    CAST(sum(n) AS BIGINT) AS n
+             |  FROM c)
+             |SELECT n, round(aq - ap, 4) AS delta_a,
+             |  round(bq - bp, 4) AS delta_b,
+             |  round((bq - bp) - (aq - ap), 4) AS did,
+             |  round(sqrt(se2), 6) AS se,
+             |  round(((bq - bp) - (aq - ap)) / sqrt(se2), 4) AS z_stat
+             |FROM w""".stripMargin),
+      (s, dir) => {
+        val ev = assigned(s, dir)
+        val bnd = ev.agg((min(unix_micros(col("ts"))) +
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 2)
+          .cast("long").as("cut"))
+        val c = ev.crossJoin(broadcast(bnd))
+          .withColumn("period",
+            when(unix_micros(col("ts")) >= col("cut"), "post")
+              .otherwise("pre"))
+          .groupBy("variant", "period")
+          .agg(count(lit(1)).as("n"), avg("value").as("m"),
+            var_samp(col("value")).as("v"))
+        def cell(vr: String, p: String) =
+          max(when(col("variant") === vr && col("period") === p, col("m")))
+        val w = c.agg(
+          cell("A", "pre").as("ap"), cell("A", "post").as("aq"),
+          cell("B", "pre").as("bp"), cell("B", "post").as("bq"),
+          sum(col("v") / col("n")).as("se2"), sum("n").as("n"))
+        val did = (col("bq") - col("bp")) - (col("aq") - col("ap"))
+        w.select(col("n"),
+          round(col("aq") - col("ap"), 4).as("delta_a"),
+          round(col("bq") - col("bp"), 4).as("delta_b"),
+          round(did, 4).as("did"),
+          round(sqrt(col("se2")), 6).as("se"),
+          round(did / sqrt(col("se2")), 4).as("z_stat"))
+      }),
+
+    // POWER ANALYSIS / sample-size calculator from the corpus's own
+    // moments: users-per-arm needed to detect a 5% lift of the mean
+    // outcome at α=0.05 (two-sided), power 80% — n = 2σ²(z_{α/2}+z_β)²/δ²
+    // over USER-level outcomes (the randomization unit). The experiment-
+    // design query every platform runs before launching; one per-user
+    // aggregate then one moment frame.
+    QueryDef(
+      "q_power_analysis",
+      Some("""WITH u AS (SELECT user_id, sum(value) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |    avg(y) AS mu, var_samp(y) AS v
+             |  FROM u)
+             |SELECT n_users, round(mu, 4) AS mean_outcome,
+             |  round(sqrt(v), 4) AS sd,
+             |  round(mu * 0.05, 4) AS mde,
+             |  CAST(ceil(2 * v * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             |    / (mu * 0.05 * mu * 0.05)) AS BIGINT) AS n_per_arm,
+             |  round(2 * v * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             |    / (mu * 0.05 * mu * 0.05) / n_users, 4) AS arms_of_corpus
+             |FROM m""".stripMargin),
+      (s, dir) => {
+        val u = Tables.t(s, dir, "events")
+          .groupBy("user_id").agg(sum("value").as("y"))
+        val m = u.agg(count(lit(1)).as("n_users"), avg("y").as("mu"),
+          var_samp(col("y")).as("v"))
+        val zsum = lit(1.959964 + 0.841621)
+        val delta = col("mu") * 0.05
+        val nArm = lit(2) * col("v") * zsum * zsum / (delta * delta)
+        m.select(col("n_users"),
+          round(col("mu"), 4).as("mean_outcome"),
+          round(sqrt(col("v")), 4).as("sd"),
+          round(delta, 4).as("mde"),
+          ceil(nArm).cast("long").as("n_per_arm"),
+          round(nArm / col("n_users"), 4).as("arms_of_corpus"))
+      }),
+
     // JACKKNIFE confidence interval for the mean outcome: 20 user-level
     // delete-one-group pseudo-replicates (users hash-bucketed so the
     // dependence unit — the user — leaves whole), leave-one-out means

@@ -176,6 +176,35 @@ class ExperimentSpec extends SparkSpec {
     assert(!flag, s"deterministic 50/50 split flagged SRM: chi2=$chi2")
   }
 
+  test("q_diff_in_diff: internally consistent, null effect on a sha split") {
+    val r = q("q_diff_in_diff").collect().head
+    assert(r.getAs[Long]("n") == Tables.t(spark, sf, "events").count())
+    val (da, db, did) = (r.getAs[Double]("delta_a"),
+      r.getAs[Double]("delta_b"), r.getAs[Double]("did"))
+    assert(math.abs(did - (db - da)) < 2e-4, s"did $did != $db - $da")
+    val (se, z) = (r.getAs[Double]("se"), r.getAs[Double]("z_stat"))
+    assert(se > 0)
+    assert(math.abs(z - did / se) < 0.01)
+    // a deterministic hash split has no treatment effect — z must not
+    // scream significance
+    assert(math.abs(z) < 3.5, s"phantom effect: z=$z")
+  }
+
+  test("q_power_analysis reproduces the closed-form sample size") {
+    val r = q("q_power_analysis").collect().head
+    val u = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(sum("value").as("y"))
+    val m = u.agg(count(lit(1)), avg("y"), var_samp(col("y"))).head
+    val (n, mu, v) = (m.getLong(0), m.getDouble(1), m.getDouble(2))
+    assert(r.getAs[Long]("n_users") == n)
+    val delta = mu * 0.05
+    val zsum = 1.959964 + 0.841621
+    val expect = math.ceil(2 * v * zsum * zsum / (delta * delta)).toLong
+    assert(r.getAs[Long]("n_per_arm") == expect)
+    assert(math.abs(r.getAs[Double]("mde") - delta) < 1e-3)
+    assert(r.getAs[Double]("arms_of_corpus") > 0)
+  }
+
   test("q_jackknife_ci brackets the mean with a plausible standard error") {
     val r = q("q_jackknife_ci").collect().head
     val ev = Tables.t(spark, sf, "events")
