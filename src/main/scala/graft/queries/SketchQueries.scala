@@ -32,8 +32,9 @@ object SketchQueries {
   /** Distinct (source, sha60(char-8-shingle)) pairs. Dedup runs on the
     * shingle STRINGS first and sha60 only on the survivors — the corpus
     * repeats each distinct shingle ~25× here, so hashing after the
-    * distinct cuts the sha256 work by that factor (measured 4.3 → 1.5 s
-    * at sf0.1) for a slightly wider shuffle row.
+    * distinct cuts the sha256 work by that factor for a slightly wider
+    * shuffle row (probe at sf0.1: q_kmv_distinct 7.3 → 3.8 s cold /
+    * 2.8 s warm, together with the shared-materialization fix below).
     */
   private def hashes(s: SparkSession, dir: String): DataFrame = {
     val t = graft.dedup.Dedup.normalized(col("text"))
