@@ -19,6 +19,84 @@ import graft.{QueryDef, Tables}
   */
 object FeatureQueries {
 
+  /** Shared logistic-regression scaffolding for q_logreg_train and
+    * q_calibration_bins: the feature CTE, the unrolled GD chain (η=5,
+    * 10 steps), and the Spark-side trainer returning (features,
+    * weights). Kept in ONE place so the two gates can never train
+    * different models.
+    */
+  private[queries] val logregFeatSql: String =
+    """SELECT CASE WHEN n_chars > med.m THEN 1.0 ELSE 0.0 END AS y,
+      |    len(tk) / 100.0 AS x1,
+      |    len(t) / CAST(len(tk) AS DOUBLE) / 10 AS x2,
+      |    len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS x3
+      |  FROM (SELECT n_chars,
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+      |      regexp_split_to_array(lower(trim(regexp_replace(text,
+      |        '\s+', ' ', 'g'))), ' ') AS tk
+      |    FROM documents) base,
+      |    (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents) med
+      |  WHERE len(tk) > 0 AND len(t) > 0""".stripMargin
+
+  private[queries] def logregChainSql(steps: Int): String = {
+    def step(i: Int) = {
+      val p = "1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))"
+      s"""g$i AS (SELECT
+         |    w0 + 5 * sum((y - $p) * 1) / count(*) AS w0,
+         |    w1 + 5 * sum((y - $p) * x1) / count(*) AS w1,
+         |    w2 + 5 * sum((y - $p) * x2) / count(*) AS w2,
+         |    w3 + 5 * sum((y - $p) * x3) / count(*) AS w3
+         |  FROM f, g${i - 1}
+         |  GROUP BY g${i - 1}.w0, g${i - 1}.w1, g${i - 1}.w2,
+         |    g${i - 1}.w3)""".stripMargin
+    }
+    s"""f AS ($logregFeatSql),
+       |g0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+       |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** Spark-side twin of [[logregChainSql]]: materialized feature matrix
+    * plus the trained 4-weight vector (driver-side, k-bounded).
+    */
+  private[queries] def logregTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String, steps: Int): (org.apache.spark.sql.DataFrame,
+      Array[Double]) = {
+    val t = graft.dedup.Dedup.normalized(col("text"))
+    val base = Tables.t(s, dir, "documents")
+      .select(col("n_chars"), t.as("t"), split(t, " ").as("tk"))
+      .filter(size(col("tk")) > 0 && length(col("t")) > 0)
+    val med = graft.ops.Quantiles
+      .groupQuantiles(Tables.t(s, dir, "documents")
+        .withColumn("g", lit(1)), "g", "n_chars", Seq("m" -> 0.5))
+      .select("m")
+    val f = base.crossJoin(broadcast(med))
+      .select(when(col("n_chars") > col("m"), 1.0).otherwise(0.0).as("y"),
+        (size(col("tk")) / 100.0).as("x1"),
+        (length(col("t")) / size(col("tk")).cast("double") / 10).as("x2"),
+        (size(array_distinct(col("tk")))
+          / size(col("tk")).cast("double")).as("x3"))
+      .localCheckpoint() // scanned once per GD step + final eval
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def pCol = lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
+      + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))))
+    for (_ <- 1 to steps) {
+      val g = f.agg(
+        (sum((col("y") - pCol) * 1) / count(lit(1))).as("g0"),
+        (sum((col("y") - pCol) * col("x1")) / count(lit(1))).as("g1"),
+        (sum((col("y") - pCol) * col("x2")) / count(lit(1))).as("g2"),
+        (sum((col("y") - pCol) * col("x3")) / count(lit(1))).as("g3"))
+        .collect().head
+      w = Array(w(0) + 5 * g.getDouble(0), w(1) + 5 * g.getDouble(1),
+        w(2) + 5 * g.getDouble(2), w(3) + 5 * g.getDouble(3))
+    }
+    (f, w)
+  }
+
+  private[queries] def logregPCol(w: Array[Double]) =
+    lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
+      + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     // PER-DIMENSION feature scaling stats over the embedding matrix:
@@ -321,79 +399,22 @@ object FeatureQueries {
     // demonstrably descends (spec-pinned).
     QueryDef(
       "q_logreg_train",
-      Some {
-        val feat =
-          """SELECT CASE WHEN n_chars > med.m THEN 1.0 ELSE 0.0 END AS y,
-            |    len(tk) / 100.0 AS x1,
-            |    len(t) / CAST(len(tk) AS DOUBLE) / 10 AS x2,
-            |    len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS x3
-            |  FROM (SELECT n_chars,
-            |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
-            |      regexp_split_to_array(lower(trim(regexp_replace(text,
-            |        '\s+', ' ', 'g'))), ' ') AS tk
-            |    FROM documents) base,
-            |    (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents) med
-            |  WHERE len(tk) > 0 AND len(t) > 0""".stripMargin
-        def step(i: Int) = {
-          val p = "1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))"
-          s"""g$i AS (SELECT
-             |    w0 + 5 * sum((y - $p) * 1) / count(*) AS w0,
-             |    w1 + 5 * sum((y - $p) * x1) / count(*) AS w1,
-             |    w2 + 5 * sum((y - $p) * x2) / count(*) AS w2,
-             |    w3 + 5 * sum((y - $p) * x3) / count(*) AS w3
-             |  FROM f, g${i - 1}
-             |  GROUP BY g${i - 1}.w0, g${i - 1}.w1, g${i - 1}.w2,
-             |    g${i - 1}.w3)""".stripMargin
-        }
-        s"""WITH f AS ($feat),
-           |g0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
-           |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
-           |${(1 to 10).map(step).mkString(",\n")},
-           |ev AS (SELECT w0, w1, w2, w3,
-           |    1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS p, y
-           |  FROM f, g10)
-           |SELECT round(any_value(w0), 4) AS w0,
-           |  round(any_value(w1), 4) AS w1,
-           |  round(any_value(w2), 4) AS w2,
-           |  round(any_value(w3), 4) AS w3,
-           |  round(avg(CASE WHEN (p > 0.5) = (y = 1.0) THEN 1.0
-           |    ELSE 0.0 END), 4) AS accuracy,
-           |  round(-avg(y * ln(greatest(p, 1e-12))
-           |    + (1 - y) * ln(greatest(1 - p, 1e-12))), 4) AS log_loss
-           |FROM ev""".stripMargin
-      },
+      Some(s"""WITH ${logregChainSql(10)},
+             |ev AS (SELECT w0, w1, w2, w3,
+             |    1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS p, y
+             |  FROM f, g10)
+             |SELECT round(any_value(w0), 4) AS w0,
+             |  round(any_value(w1), 4) AS w1,
+             |  round(any_value(w2), 4) AS w2,
+             |  round(any_value(w3), 4) AS w3,
+             |  round(avg(CASE WHEN (p > 0.5) = (y = 1.0) THEN 1.0
+             |    ELSE 0.0 END), 4) AS accuracy,
+             |  round(-avg(y * ln(greatest(p, 1e-12))
+             |    + (1 - y) * ln(greatest(1 - p, 1e-12))), 4) AS log_loss
+             |FROM ev""".stripMargin),
       (s, dir) => {
-        val t = graft.dedup.Dedup.normalized(col("text"))
-        val base = Tables.t(s, dir, "documents")
-          .select(col("n_chars"), t.as("t"), split(t, " ").as("tk"))
-          .filter(size(col("tk")) > 0 && length(col("t")) > 0)
-        val med = graft.ops.Quantiles
-          .groupQuantiles(Tables.t(s, dir, "documents")
-            .withColumn("g", lit(1)), "g", "n_chars", Seq("m" -> 0.5))
-          .select("m")
-        val f = base.crossJoin(broadcast(med))
-          .select(when(col("n_chars") > col("m"), 1.0).otherwise(0.0)
-            .as("y"),
-            (size(col("tk")) / 100.0).as("x1"),
-            (length(col("t")) / size(col("tk")).cast("double") / 10)
-              .as("x2"),
-            (size(array_distinct(col("tk")))
-              / size(col("tk")).cast("double")).as("x3"))
-          .localCheckpoint() // scanned once per GD step + final eval
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        def pCol = lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
-          + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))))
-        for (_ <- 1 to 10) {
-          val g = f.agg(
-            (sum((col("y") - pCol) * 1) / count(lit(1))).as("g0"),
-            (sum((col("y") - pCol) * col("x1")) / count(lit(1))).as("g1"),
-            (sum((col("y") - pCol) * col("x2")) / count(lit(1))).as("g2"),
-            (sum((col("y") - pCol) * col("x3")) / count(lit(1))).as("g3"))
-            .collect().head
-          w = Array(w(0) + 5 * g.getDouble(0), w(1) + 5 * g.getDouble(1),
-            w(2) + 5 * g.getDouble(2), w(3) + 5 * g.getDouble(3))
-        }
-        f.withColumn("p", pCol)
+        val (f, w) = logregTrain(s, dir, steps = 10)
+        f.withColumn("p", logregPCol(w))
           .agg(
             round(lit(w(0)), 4).as("w0"), round(lit(w(1)), 4).as("w1"),
             round(lit(w(2)), 4).as("w2"), round(lit(w(3)), 4).as("w3"),
@@ -403,6 +424,44 @@ object FeatureQueries {
               + (lit(1) - col("y"))
               * log(greatest(lit(1) - col("p"), lit(1e-12)))), 4)
               .as("log_loss"))
+      }),
+
+    // CALIBRATION of the trained model: predictions binned into 5 equal-
+    // width probability buckets, observed event rate per bucket, and the
+    // expected calibration error Σ (n_b/N)·|p̄_b − ȳ_b| — the reliability
+    // diagram + one-number summary a model gate reads before trusting
+    // scores as probabilities. Shares the EXACT training chain with
+    // q_logreg_train (one scaffolding, two gates).
+    QueryDef(
+      "q_calibration_bins",
+      Some(s"""WITH ${logregChainSql(10)},
+             |ev AS (SELECT
+             |    1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS p, y
+             |  FROM f, g10),
+             |b AS (SELECT CAST(least(floor(p * 5), 4) AS INT) AS bin, p, y
+             |  FROM ev),
+             |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    avg(p) AS mean_p, avg(y) AS obs_rate
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT sum(n * abs(mean_p - obs_rate))
+             |    / sum(n) AS ece FROM g)
+             |SELECT g.bin, g.n, round(g.mean_p, 4) AS mean_p,
+             |  round(g.obs_rate, 4) AS obs_rate,
+             |  round(t.ece, 4) AS ece
+             |FROM g, t""".stripMargin),
+      (s, dir) => {
+        val (f, w) = logregTrain(s, dir, steps = 10)
+        val ev = f.select(logregPCol(w).as("p"), col("y"))
+          .withColumn("bin", least(floor(col("p") * 5), lit(4)).cast("int"))
+        val g = ev.groupBy("bin")
+          .agg(count(lit(1)).as("n"), avg("p").as("mean_p"),
+            avg("y").as("obs_rate"))
+        val t = g.agg((sum(col("n") * abs(col("mean_p") - col("obs_rate")))
+          / sum("n")).as("ece"))
+        g.crossJoin(broadcast(t))
+          .select(col("bin"), col("n"), round(col("mean_p"), 4).as("mean_p"),
+            round(col("obs_rate"), 4).as("obs_rate"),
+            round(col("ece"), 4).as("ece"))
       })
   )
 }

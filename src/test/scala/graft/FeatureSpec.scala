@@ -111,6 +111,26 @@ class FeatureSpec extends SparkSpec {
       "token count should outweigh mean word length")
   }
 
+  test("q_calibration_bins: bins partition, ECE recomputes, ranking monotone") {
+    val rows = q("q_calibration_bins").collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.nonEmpty && rows.forall(r => {
+      val b = r.getAs[Int]("bin"); b >= 0 && b <= 4
+    }))
+    val docs = Tables.t(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == docs)
+    val ece = rows.head.getAs[Double]("ece")
+    assert(rows.forall(_.getAs[Double]("ece") == ece))
+    val recomputed = rows.map(r => r.getAs[Long]("n") *
+      math.abs(r.getAs[Double]("mean_p") - r.getAs[Double]("obs_rate"))).sum /
+      rows.map(_.getAs[Long]("n")).sum
+    assert(math.abs(ece - recomputed) < 1e-3, s"ece $ece vs $recomputed")
+    // a usable score ranks: observed rate non-decreasing across bins
+    val obs = rows.map(_.getAs[Double]("obs_rate"))
+    assert(obs.zip(obs.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"observed rate not monotone: ${obs.mkString(",")}")
+  }
+
   test("q_pca_power: unit loadings, sign convention, Rayleigh consistency") {
     val rows = q("q_pca_power").collect().sortBy(_.getAs[Int]("dim"))
     assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
