@@ -25,7 +25,7 @@ object FeatureQueries {
     * weights). Kept in ONE place so the two gates can never train
     * different models.
     */
-  private[queries] val logregFeatSql: String =
+  private[graft] val logregFeatSql: String =
     """SELECT CASE WHEN n_chars > med.m THEN 1.0 ELSE 0.0 END AS y,
       |    len(tk) / 100.0 AS x1,
       |    len(t) / CAST(len(tk) AS DOUBLE) / 10 AS x2,
@@ -38,7 +38,7 @@ object FeatureQueries {
       |    (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents) med
       |  WHERE len(tk) > 0 AND len(t) > 0""".stripMargin
 
-  private[queries] def logregChainSql(steps: Int): String = {
+  private[graft] def logregChainSql(steps: Int): String = {
     def step(i: Int) = {
       val p = "1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))"
       s"""g$i AS (SELECT
@@ -59,7 +59,7 @@ object FeatureQueries {
   /** Spark-side twin of [[logregChainSql]]: materialized feature matrix
     * plus the trained 4-weight vector (driver-side, k-bounded).
     */
-  private[queries] def logregTrain(s: org.apache.spark.sql.SparkSession,
+  private[graft] def logregTrain(s: org.apache.spark.sql.SparkSession,
       dir: String, steps: Int): (org.apache.spark.sql.DataFrame,
       Array[Double]) = {
     val t = graft.dedup.Dedup.normalized(col("text"))
@@ -93,7 +93,7 @@ object FeatureQueries {
     (f, w)
   }
 
-  private[queries] def logregPCol(w: Array[Double]) =
+  private[graft] def logregPCol(w: Array[Double]) =
     lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
       + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))))
 
@@ -462,6 +462,58 @@ object FeatureQueries {
           .select(col("bin"), col("n"), round(col("mean_p"), 4).as("mean_p"),
             round(col("obs_rate"), 4).as("obs_rate"),
             round(col("ece"), 4).as("ece"))
+      }),
+
+    // ROC AUC of the trained score, EXACT via the rank-sum identity
+    // AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with average-rank ties — no curve
+    // discretization. Ranks use the same corpus-safe shape as
+    // q_mannwhitney: collapse to distinct scores first, then
+    // ops.PrefixSum's range-partitioned running count (no global
+    // window). Gini = 2·AUC − 1 rides along. Third member of the
+    // train/calibrate/evaluate family on ONE shared model.
+    QueryDef(
+      "q_roc_auc",
+      Some(s"""WITH ${logregChainSql(10)},
+             |ev AS (SELECT
+             |    1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) AS p, y
+             |  FROM f, g10),
+             |d AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS np
+             |  FROM ev GROUP BY 1),
+             |r AS (SELECT np,
+             |    sum(n) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+             |      - (n - 1) / 2.0 AS avg_rank
+             |  FROM d),
+             |t AS (SELECT CAST(sum(np) AS BIGINT) AS n1,
+             |    sum(np * avg_rank) AS r1
+             |  FROM r),
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+             |SELECT t.n1 AS n_pos, c.n - t.n1 AS n_neg,
+             |  round((t.r1 - t.n1 * (t.n1 + 1) / 2.0)
+             |    / (t.n1 * (c.n - t.n1)), 4) AS auc,
+             |  round(2 * (t.r1 - t.n1 * (t.n1 + 1) / 2.0)
+             |    / (t.n1 * (c.n - t.n1)) - 1, 4) AS gini
+             |FROM t, c""".stripMargin),
+      (s, dir) => {
+        val (f, w) = logregTrain(s, dir, steps = 10)
+        val ev = f.select(logregPCol(w).as("p"), col("y"))
+        val d = ev.groupBy("p")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y") === 1.0, 1).otherwise(0)).cast("long")
+              .as("np"))
+        val ranked = graft.ops.PrefixSum.runningTotal(
+          d, Seq(col("p")), col("n"), "cum")
+          .withColumn("avg_rank", col("cum") - (col("n") - 1) / 2.0)
+        val t = ranked.agg(sum("np").as("n1"),
+          sum(col("np") * col("avg_rank")).as("r1"))
+        val c = ev.agg(count(lit(1)).as("n"))
+        val auc = (col("r1") - col("n1") * (col("n1") + 1) / 2.0) /
+          (col("n1") * (col("n") - col("n1")))
+        t.crossJoin(broadcast(c))
+          .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
+            round(auc, 4).as("auc"),
+            round(lit(2) * auc - 1, 4).as("gini"))
       })
   )
 }

@@ -131,6 +131,28 @@ class FeatureSpec extends SparkSpec {
       s"observed rate not monotone: ${obs.mkString(",")}")
   }
 
+  test("q_roc_auc matches a brute-force pairwise AUC") {
+    val r = q("q_roc_auc").collect().head
+    val (np, nn, auc) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Double]("auc"))
+    assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 2e-4)
+    // brute force: P(score_pos > score_neg) + half-ties — the definition
+    // the rank identity must reproduce
+    val (f, w) = graft.queries.FeatureQueries.logregTrain(spark, sf, 10)
+    val scored = f.select(graft.queries.FeatureQueries.logregPCol(w)
+      .as("p"), col("y")).collect()
+      .map(r0 => (r0.getDouble(0), r0.getDouble(1)))
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    assert(pos.length == np && neg.length == nn)
+    val pairs = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    val brute = pairs / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - brute) < 1e-3, s"auc $auc vs brute $brute")
+    // the score genuinely ranks this target
+    assert(auc > 0.8, s"auc $auc — model should rank length well")
+  }
+
   test("q_pca_power: unit loadings, sign convention, Rayleigh consistency") {
     val rows = q("q_pca_power").collect().sortBy(_.getAs[Int]("dim"))
     assert(rows.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
