@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticQueries, BehaviorQueries, BreadthQueries, DepthQueries, ExperimentQueries, ExtensionQueries, FeatureQueries, GovernanceQueries, IngestQueries, MixtureQueries, NestedQueries, RelationalQueries, ScalarQueries, SeriesQueries, SinkQueries, SketchQueries, SqlQueries, StreamQueries, TemporalQueries, TextQueries, TpchQueries, TraversalQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, BreadthQueries, DepthQueries, ExperimentQueries, ExtensionQueries, FeatureQueries, GovernanceQueries, IngestQueries, MixtureQueries, NestedQueries, RelationalQueries, ScalarQueries, SeriesQueries, SinkQueries, SketchQueries, SpatialQueries, SqlQueries, StreamQueries, TemporalQueries, TextQueries, TpchQueries, TraversalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* as QueryDef(name, oracle, run) triples so
@@ -17,7 +17,7 @@ object SparkEntry {
       StreamQueries.defs ++ DepthQueries.defs ++ TpchQueries.defs ++
       TraversalQueries.defs ++ MixtureQueries.defs ++ GovernanceQueries.defs ++
       ExperimentQueries.defs ++ SeriesQueries.defs ++ FeatureQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++ SpatialQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -72,6 +72,43 @@ class SketchSpec extends SparkSpec {
       s"selection degenerated to pure top-k: ${rels.mkString(",")}")
   }
 
+  test("q_spatial_join matches brute-force haversine (grid cover complete)") {
+    val rows = q("q_spatial_join").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("dist_m")).toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall { case ((a, b), d) => a < b && d <= 5000.05 })
+    // brute force over every pair — the grid must have NO false negatives
+    def u(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0
+    }
+    val pts = Tables.t(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+      .map(id => (id, 50.0 + u(id, "lat"), 8.0 + 2 * u(id, "lon")))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(b._2 - a._2) / 2
+      val dLon = math.toRadians(b._3 - a._3) / 2
+      2 * 6371000.0 * math.asin(math.sqrt(
+        math.sin(dLat) * math.sin(dLat) +
+          math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+            math.sin(dLon) * math.sin(dLon)))
+    }
+    val expect = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+      (a, b) = if (pts(i)._1 < pts(j)._1) (pts(i), pts(j))
+               else (pts(j), pts(i))
+      d = hav(a, b) if d <= 5000
+    } yield (a._1, b._1) -> d).toMap
+    assert(rows.keySet == expect.keySet,
+      s"pair sets differ: ${rows.size} vs ${expect.size} " +
+        s"(missing: ${(expect.keySet -- rows.keySet).take(3)})")
+    for ((k, d) <- expect)
+      assert(math.abs(rows(k) - d) < 0.2, s"$k: ${rows(k)} vs $d")
+  }
+
   test("q_phrase_search resolves the true top bigram with exact counts") {
     val rows = q("q_phrase_search").collect()
     assert(rows.nonEmpty)
