@@ -361,6 +361,70 @@ object TraversalQueries {
             when(col("src") % 2 === 0, "customer").otherwise("supplier")
               .as("side"),
             col("core_degree"), lit(k).as("k"))
+      }),
+
+    // DETERMINISTIC RANDOM WALKS over the purchase graph — the walk-
+    // corpus generator feeding node-embedding training (DeepWalk/
+    // node2vec's sampling stage), with the "randomness" sha60-derived
+    // from (start, step, node) so any engine replays the walks exactly.
+    // Neighbor lists are indexed once (per-node frames, degree-bounded);
+    // each of the 3 steps is one equi-join picking index
+    // hash % degree. Walks from every customer node; output is the walk
+    // table itself — (start, step, node) — the training corpus shape.
+    QueryDef(
+      "q_random_walks",
+      Some {
+        val h = (e: String) => graft.expressions.Hashing.sha60Sql(e)
+        def step(i: Int) =
+          s"""w$i AS (SELECT w.start_id, e.dst AS node
+             |  FROM w${i - 1} w
+             |  JOIN d ON d.src = w.node
+             |  JOIN e ON e.src = w.node AND e.idx =
+             |    ${h(s"CAST(w.start_id AS VARCHAR) || ':$i:' || CAST(w.node AS VARCHAR)")}
+             |      % d.deg)""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+           |    l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |e AS (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+           |  FROM eu),
+           |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |  FROM eu GROUP BY 1),
+           |w0 AS (SELECT DISTINCT src AS start_id, src AS node FROM eu
+           |  WHERE src % 2 = 0),
+           |${(1 to 3).map(step).mkString(",\n")}
+           |SELECT start_id, 0 AS step, node FROM w0
+           |UNION ALL SELECT start_id, 1, node FROM w1
+           |UNION ALL SELECT start_id, 2, node FROM w2
+           |UNION ALL SELECT start_id, 3, node FROM w3""".stripMargin
+      },
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val eu = edges(s, dir).localCheckpoint()
+        val e = eu.withColumn("idx",
+          row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+        val d = eu.groupBy("src").agg(count(lit(1)).as("deg"))
+        var walks = Seq(
+          eu.filter(col("src") % 2 === 0).select(col("src").as("start_id"))
+            .distinct().withColumn("node", col("start_id"))
+            .withColumn("step", lit(0)))
+        for (i <- 1 to 3) {
+          val prev = walks.last.select("start_id", "node")
+          val idx = graft.expressions.Hashing.sha60(
+            concat(col("start_id").cast("string"), lit(s":$i:"),
+              col("node").cast("string"))) % col("deg")
+          val next = prev
+            .join(d.withColumnRenamed("src", "dn"), col("dn") === col("node"))
+            .join(e.withColumnRenamed("src", "en")
+                .withColumnRenamed("dst", "nxt"),
+              col("en") === col("node") && col("idx") === idx)
+            .select(col("start_id"), col("nxt").as("node"),
+              lit(i).as("step"))
+          walks = walks :+ next
+        }
+        walks.map(_.select("start_id", "step", "node"))
+          .reduce(_ unionByName _)
       })
   )
 }

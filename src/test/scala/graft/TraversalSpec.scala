@@ -119,6 +119,33 @@ class TraversalSpec extends SparkSpec {
     assert(bySide("auth").forall(_.getAs[Long]("node") % 2 == 1))
   }
 
+  test("q_random_walks: complete, edge-connected, parity-alternating walks") {
+    val rows = q("q_random_walks").collect()
+      .map(r => (r.getAs[Long]("start_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("node")))
+    val byStart = rows.groupBy(_._1)
+    assert(byStart.nonEmpty)
+    // adjacency for edge-connectivity checks
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("s"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (fwd ++ fwd.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((start, steps) <- byStart) {
+      val walk = steps.sortBy(_._2).map(_._3)
+      assert(walk.length == 4, s"$start: incomplete walk ${walk.length}")
+      assert(walk.head == start)
+      for (Array(a, b) <- walk.sliding(2)) {
+        assert(adj(a)(b), s"$start: $a -> $b is not an edge")
+        // bipartite graph: every hop flips customer/supplier parity
+        assert(a % 2 != b % 2, s"$start: parity not alternating at $a->$b")
+      }
+    }
+  }
+
   test("q_kcore matches an independent driver-side peel") {
     val rows = q("q_kcore").collect()
     assert(rows.nonEmpty, "empty core — k too aggressive for this fixture")
