@@ -21,68 +21,154 @@ object SpatialQueries {
 
   private val R = 6371000.0 // mean earth radius, meters
 
+  /** All customer-point pairs (id_a < id_b) within 5 km, by the grid-
+    * bucket plan described above — shared by the radius join gate and
+    * the density-clustering gate. `dist_m` is unrounded.
+    */
+  private def pairs5km(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def coord(salt: String, base: Double, span: Double) =
+      lit(base) + lit(span) *
+        (Hashing.sha60(concat(col("c_custkey").cast("string"),
+          lit(s":$salt"))) % 1000000) / 1000000.0
+    val p = Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        coord("lat", 50.0, 1.0).as("lat"),
+        coord("lon", 8.0, 2.0).as("lon"))
+      .withColumn("cl", floor(col("lat") / 0.1).cast("long"))
+      .withColumn("cn", floor(col("lon") / 0.1).cast("long"))
+    val off = s.createDataFrame(
+      for (dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1)) yield (dy, dx))
+      .toDF("dy", "dx")
+    val b = p.select(col("id").as("id_b"), col("lat").as("lb"),
+      col("lon").as("nb"), col("cl").as("bcl"), col("cn").as("bcn"))
+    val cand = p.crossJoin(broadcast(off))
+      .join(b,
+        col("bcl") === col("cl") + col("dy") &&
+          col("bcn") === col("cn") + col("dx") &&
+          col("id") < col("id_b"))
+    val dLat = radians(col("lb") - col("lat")) / 2
+    val dLon = radians(col("nb") - col("lon")) / 2
+    val dist = lit(2 * R) * asin(sqrt(
+      sin(dLat) * sin(dLat) +
+        cos(radians(col("lat"))) * cos(radians(col("lb"))) *
+          sin(dLon) * sin(dLon)))
+    cand.select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
+      .filter(col("dist_m") <= 5000)
+  }
+
+  /** The oracle-side twin of [[pairs5km]] as a WITH-clause body. */
+  private val pairsSql =
+    s"""p AS (SELECT c_custkey AS id,
+       |    50.0 + (${Hashing.sha60Sql(
+              "CAST(c_custkey AS VARCHAR) || ':lat'")} % 1000000)
+       |      / 1000000.0 AS lat,
+       |    8.0 + 2 * (${Hashing.sha60Sql(
+              "CAST(c_custkey AS VARCHAR) || ':lon'")} % 1000000)
+       |      / 1000000.0 AS lon
+       |  FROM customer),
+       |c AS (SELECT id, lat, lon,
+       |    CAST(floor(lat / 0.1) AS BIGINT) AS cl,
+       |    CAST(floor(lon / 0.1) AS BIGINT) AS cn
+       |  FROM p),
+       |off AS (SELECT a.dy, b.dx
+       |  FROM (VALUES (-1),(0),(1)) a(dy), (VALUES (-1),(0),(1)) b(dx)),
+       |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    a.lat AS la, a.lon AS na, b.lat AS lb, b.lon AS nb
+       |  FROM c a JOIN off ON TRUE
+       |  JOIN c b ON b.cl = a.cl + off.dy AND b.cn = a.cn + off.dx
+       |    AND a.id < b.id),
+       |pr AS (SELECT id_a, id_b, dist_m FROM (SELECT id_a, id_b,
+       |    2 * $R * asin(sqrt(
+       |      sin(radians(lb - la) / 2) * sin(radians(lb - la) / 2)
+       |      + cos(radians(la)) * cos(radians(lb))
+       |        * sin(radians(nb - na) / 2) * sin(radians(nb - na) / 2)))
+       |      AS dist_m
+       |  FROM cand) WHERE dist_m <= 5000)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q_spatial_join",
-      Some(s"""WITH p AS (SELECT c_custkey AS id,
-             |    50.0 + (${Hashing.sha60Sql(
-                    "CAST(c_custkey AS VARCHAR) || ':lat'")} % 1000000)
-             |      / 1000000.0 AS lat,
-             |    8.0 + 2 * (${Hashing.sha60Sql(
-                    "CAST(c_custkey AS VARCHAR) || ':lon'")} % 1000000)
-             |      / 1000000.0 AS lon
-             |  FROM customer),
-             |c AS (SELECT id, lat, lon,
-             |    CAST(floor(lat / 0.1) AS BIGINT) AS cl,
-             |    CAST(floor(lon / 0.1) AS BIGINT) AS cn
-             |  FROM p),
-             |off AS (SELECT a.dy, b.dx
-             |  FROM (VALUES (-1),(0),(1)) a(dy), (VALUES (-1),(0),(1)) b(dx)),
-             |cand AS (SELECT a.id AS id_a, b.id AS id_b,
-             |    a.lat AS la, a.lon AS na, b.lat AS lb, b.lon AS nb
-             |  FROM c a JOIN off ON TRUE
-             |  JOIN c b ON b.cl = a.cl + off.dy AND b.cn = a.cn + off.dx
-             |    AND a.id < b.id),
-             |d AS (SELECT id_a, id_b,
-             |    2 * $R * asin(sqrt(
-             |      sin(radians(lb - la) / 2) * sin(radians(lb - la) / 2)
-             |      + cos(radians(la)) * cos(radians(lb))
-             |        * sin(radians(nb - na) / 2) * sin(radians(nb - na) / 2)))
-             |      AS dist_m
-             |  FROM cand)
-             |SELECT id_a, id_b, round(dist_m, 1) AS dist_m
-             |FROM d WHERE dist_m <= 5000""".stripMargin),
+      Some(s"""WITH $pairsSql
+             |SELECT id_a, id_b, round(dist_m, 1) AS dist_m FROM pr"""
+        .stripMargin),
+      (s, dir) => pairs5km(s, dir)
+        .select(col("id_a"), col("id_b"),
+          round(col("dist_m"), 1).as("dist_m"))),
+
+    // DENSITY CLUSTERING (DBSCAN roles) on the same 5 km neighbor graph:
+    // CORE points have >= 4 neighbors in radius, clusters are connected
+    // components of the core-core subgraph (dedup/ConnectedComponents --
+    // the large/small-star machinery, min-id labels), BORDER points
+    // attach to the smallest-labeled core neighbor, the rest is NOISE.
+    // One pair build (shared with q_spatial_join), one degree aggregate,
+    // log-bounded CC rounds; the oracle replays the components with the
+    // q_cc_star recursive min-label walk.
+    QueryDef(
+      "q_spatial_cluster",
+      Some(s"""WITH RECURSIVE $pairsSql,
+             |sym AS (SELECT id_a AS s, id_b AS d FROM pr
+             |  UNION ALL SELECT id_b, id_a FROM pr),
+             |deg AS (SELECT s AS id, CAST(count(*) AS BIGINT) AS n
+             |  FROM sym GROUP BY 1),
+             |core AS (SELECT id FROM deg WHERE n >= 4),
+             |ce AS (SELECT p2.s, p2.d FROM sym p2
+             |  JOIN core a ON a.id = p2.s JOIN core b ON b.id = p2.d),
+             |walk(node, lbl) AS (
+             |  SELECT DISTINCT s, s FROM ce
+             |  UNION
+             |  SELECT ce.d, walk.lbl FROM walk JOIN ce ON ce.s = walk.node),
+             |cc AS (SELECT node AS id, min(lbl) AS cluster_id
+             |  FROM walk GROUP BY node),
+             |corelab AS (SELECT core.id,
+             |    coalesce(cc.cluster_id, core.id) AS cluster_id
+             |  FROM core LEFT JOIN cc USING (id)),
+             |border AS (SELECT sym.s AS id, min(cl.cluster_id) AS cluster_id
+             |  FROM sym JOIN corelab cl ON cl.id = sym.d
+             |  WHERE sym.s NOT IN (SELECT id FROM core)
+             |  GROUP BY 1)
+             |SELECT p.id,
+             |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+             |    WHEN b.id IS NOT NULL THEN 'border'
+             |    ELSE 'noise' END AS role,
+             |  coalesce(cl.cluster_id, b.cluster_id) AS cluster_id
+             |FROM p LEFT JOIN corelab cl ON cl.id = p.id
+             |LEFT JOIN border b ON b.id = p.id""".stripMargin),
       (s, dir) => {
-        def coord(salt: String, base: Double, span: Double) =
-          lit(base) + lit(span) *
-            (Hashing.sha60(concat(col("c_custkey").cast("string"),
-              lit(s":$salt"))) % 1000000) / 1000000.0
-        val p = Tables.t(s, dir, "customer")
-          .select(col("c_custkey").as("id"),
-            coord("lat", 50.0, 1.0).as("lat"),
-            coord("lon", 8.0, 2.0).as("lon"))
-          .withColumn("cl", floor(col("lat") / 0.1).cast("long"))
-          .withColumn("cn", floor(col("lon") / 0.1).cast("long"))
-        val off = s.createDataFrame(
-          for (dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1)) yield (dy, dx))
-          .toDF("dy", "dx")
-        val b = p.select(col("id").as("id_b"), col("lat").as("lb"),
-          col("lon").as("nb"), col("cl").as("bcl"), col("cn").as("bcn"))
-        val cand = p.crossJoin(broadcast(off))
-          .join(b,
-            col("bcl") === col("cl") + col("dy") &&
-              col("bcn") === col("cn") + col("dx") &&
-              col("id") < col("id_b"))
-        val dLat = radians(col("lb") - col("lat")) / 2
-        val dLon = radians(col("nb") - col("lon")) / 2
-        val dist = lit(2 * R) * asin(sqrt(
-          sin(dLat) * sin(dLat) +
-            cos(radians(col("lat"))) * cos(radians(col("lb"))) *
-              sin(dLon) * sin(dLon)))
-        cand.select(col("id").as("id_a"), col("id_b"), dist.as("d"))
-          .filter(col("d") <= 5000) // filter BEFORE rounding, like the oracle
-          .select(col("id_a"), col("id_b"), round(col("d"), 1).as("dist_m"))
+        val pr = pairs5km(s, dir).select("id_a", "id_b").localCheckpoint()
+        val sym = pr.unionByName(
+          pr.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        val deg = sym.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("n"))
+        val core = deg.filter(col("n") >= 4).select("id")
+        val ce = pr
+          .join(core.withColumnRenamed("id", "ca"), col("ca") === col("id_a"))
+          .join(core.withColumnRenamed("id", "cb"), col("cb") === col("id_b"))
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val cc = graft.dedup.ConnectedComponents.labels(ce)
+          .withColumnRenamed("node", "id") // labels() already emits cluster_id
+        val corelab = core.join(cc, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("cluster_id"), col("id"))
+            .as("cluster_id"))
+        val border = sym
+          .join(corelab.select(col("id").as("cid"), col("cluster_id")),
+            col("cid") === col("id_b"))
+          .join(core.withColumnRenamed("id", "isc"),
+            col("isc") === col("id_a"), "left_anti")
+          .groupBy(col("id_a").as("id"))
+          .agg(min("cluster_id").as("cluster_id"))
+        val all = Tables.t(s, dir, "customer")
+          .select(col("c_custkey").as("id"))
+        all
+          .join(corelab.select(col("id"), col("cluster_id").as("core_cl")),
+            Seq("id"), "left_outer")
+          .join(border.select(col("id"), col("cluster_id").as("bord_cl")),
+            Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("core_cl").isNotNull, "core")
+              .when(col("bord_cl").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("core_cl"), col("bord_cl")).as("cluster_id"))
       })
   )
 }

@@ -109,6 +109,56 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(rows(k) - d) < 0.2, s"$k: ${rows(k)} vs $d")
   }
 
+  test("q_spatial_cluster matches a driver-side DBSCAN reference") {
+    val rows = q("q_spatial_cluster").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("role"),
+        if (r.isNullAt(r.fieldIndex("cluster_id"))) None
+        else Some(r.getAs[Long]("cluster_id")))).toMap
+    // same synthesized coordinates as the query
+    def u(id: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0
+    }
+    val pts = Tables.t(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+      .map(id => (id, 50.0 + u(id, "lat"), 8.0 + 2 * u(id, "lon")))
+    assert(rows.size == pts.length)
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(b._2 - a._2) / 2
+      val dLon = math.toRadians(b._3 - a._3) / 2
+      2 * 6371000.0 * math.asin(math.sqrt(
+        math.sin(dLat) * math.sin(dLat) +
+          math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+            math.sin(dLon) * math.sin(dLon)))
+    }
+    val nbrs = pts.map(a => a._1 ->
+      pts.filter(b => b._1 != a._1 && hav(a, b) <= 5000).map(_._1).toSet)
+      .toMap
+    val core = nbrs.filter(_._2.size >= 4).keySet
+    // components of the core-core graph, min-id labels
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (c <- core; d <- nbrs(c) if core(d)) {
+      val (ra, rb) = (find(c), find(d))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for ((id, (role, cl)) <- rows) {
+      if (core(id)) {
+        assert(role == "core", s"$id: $role should be core")
+        assert(cl.contains(find(id)), s"$id: cluster $cl != ${find(id)}")
+      } else if (nbrs(id).exists(core)) {
+        assert(role == "border", s"$id: $role should be border")
+        assert(cl.contains(nbrs(id).filter(core).map(find).min),
+          s"$id: border cluster $cl wrong")
+      } else {
+        assert(role == "noise" && cl.isEmpty, s"$id: $role/$cl should be noise")
+      }
+    }
+  }
+
   test("q_phrase_search resolves the true top bigram with exact counts") {
     val rows = q("q_phrase_search").collect()
     assert(rows.nonEmpty)
