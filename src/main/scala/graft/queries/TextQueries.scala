@@ -683,6 +683,68 @@ object TextQueries {
             .as("r2"))
       }),
 
+    // TOP-P (NUCLEUS) TRUNCATION of bigram successor distributions —
+    // the inference-side vocabulary carve applied as a data op: for the
+    // 20 most frequent context words, keep the smallest count-ordered
+    // successor prefix reaching ≥90% of the context's mass and
+    // renormalize. The threshold compare stays in INTEGER counts
+    // (10·cum_before < 9·total — no float boundary can flip membership);
+    // successor windows are per-context, vocab-bounded. Output is the
+    // truncated, renormalized distribution table an efficient sampler
+    // consumes.
+    QueryDef(
+      "q_top_p",
+      Some("""WITH d AS (SELECT regexp_split_to_array(lower(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+             |  WHERE toks[i] <> '' AND toks[i+1] <> ''),
+             |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2),
+             |t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS total
+             |  FROM bg GROUP BY 1),
+             |top AS (SELECT w1, total FROM t
+             |  ORDER BY total DESC, w1 LIMIT 20),
+             |r AS (SELECT bg.w1, bg.w2, bg.c, top.total,
+             |    CAST(row_number() OVER (PARTITION BY bg.w1
+             |      ORDER BY bg.c DESC, bg.w2) AS INT) AS rnk,
+             |    CAST(sum(bg.c) OVER (PARTITION BY bg.w1
+             |      ORDER BY bg.c DESC, bg.w2 ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum
+             |  FROM bg JOIN top USING (w1)),
+             |k AS (SELECT w1, w2, c, rnk, total,
+             |    CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS kept
+             |  FROM r WHERE 10 * (cum - c) < 9 * total)
+             |SELECT w1, w2, c, rnk,
+             |  round(c / CAST(kept AS DOUBLE), 4) AS p_renorm
+             |FROM k""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.t(s, dir, "documents")
+          .select(split(graft.dedup.Dedup.normalized(col("text")), " ")
+            .as("toks"))
+        val p = toks
+          .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+          .filter(col("w1") =!= "")
+          .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
+          .filter(col("w2").isNotNull && col("w2") =!= "")
+        val bg = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val t = bg.groupBy("w1").agg(sum("c").as("total"))
+        val top = t.orderBy(col("total").desc, col("w1")).limit(20)
+        val wOrd = Window.partitionBy("w1")
+          .orderBy(col("c").desc, col("w2"))
+        val r = bg.join(broadcast(top), "w1")
+          .withColumn("rnk", row_number().over(wOrd))
+          .withColumn("cum",
+            sum("c").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(lit(10) * (col("cum") - col("c")) < lit(9) * col("total"))
+        val kept = r.withColumn("kept",
+          sum("c").over(Window.partitionBy("w1")))
+        kept.select(col("w1"), col("w2"), col("c"), col("rnk"),
+          round(col("c") / col("kept").cast("double"), 4).as("p_renorm"))
+      }),
+
     // PHRASE SEARCH over a POSITIONAL inverted index — the search-engine
     // primitive: build (token, doc, pos) postings, pick the corpus's most
     // frequent bigram (deterministic top-1), and resolve the phrase by

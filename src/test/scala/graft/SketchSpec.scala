@@ -159,6 +159,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_top_p: nucleus is minimal, covering, and renormalized") {
+    val rows = q("q_top_p").collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c"), r.getAs[Int]("rnk"), r.getAs[Double]("p_renorm")))
+    assert(rows.nonEmpty)
+    // full successor mass per context, computed independently
+    val toks = Tables.t(spark, sf, "documents")
+      .select(graft.dedup.Dedup.normalized(col("text"))).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)
+        .sliding(2).collect { case Array(a, b) => (a, b) })
+    val totals = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((w1, grp) <- rows.groupBy(_._1)) {
+      val sorted = grp.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to grp.length), s"$w1: rank gap")
+      assert(math.abs(grp.map(_._5).sum - 1.0) < 0.01,
+        s"$w1: renormalized mass ${grp.map(_._5).sum}")
+      val kept = grp.map(_._3).sum
+      val total = totals(w1)
+      assert(10 * kept >= 9 * total, s"$w1: nucleus covers ${kept}/$total")
+      // minimality: removing the LAST kept successor drops below 90%
+      val withoutLast = kept - sorted.last._3
+      assert(10 * withoutLast < 9 * total,
+        s"$w1: nucleus not minimal ($withoutLast/$total without last)")
+    }
+  }
+
   test("q_phrase_search resolves the true top bigram with exact counts") {
     val rows = q("q_phrase_search").collect()
     assert(rows.nonEmpty)
