@@ -745,6 +745,138 @@ object TextQueries {
           round(col("c") / col("kept").cast("double"), 4).as("p_renorm"))
       }),
 
+    // ENTROPY RATE of the corpus bigram model: conditional entropy
+    // H(W₂|W₁) = −Σ p(w₁) Σ p(w₂|w₁) log₂ p(w₂|w₁) against the unigram
+    // entropy, with redundancy 1 − H_cond/H_uni — the information-theory
+    // one-liner behind "how compressible/templated is this corpus". Two
+    // aggregates over the bigram table; counts exact, only the final
+    // log-sums are float.
+    QueryDef(
+      "q_entropy_rate",
+      Some("""WITH d AS (SELECT regexp_split_to_array(lower(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+             |  WHERE toks[i] <> '' AND toks[i+1] <> ''),
+             |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2),
+             |t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS tw
+             |  FROM bg GROUP BY 1),
+             |n AS (SELECT CAST(sum(tw) AS BIGINT) AS n FROM t),
+             |hc AS (SELECT -sum((bg.c / CAST(n.n AS DOUBLE))
+             |    * log2(bg.c / CAST(t.tw AS DOUBLE))) AS h_cond
+             |  FROM bg JOIN t USING (w1), n),
+             |hu AS (SELECT -sum((tw / CAST(n.n AS DOUBLE))
+             |    * log2(tw / CAST(n.n AS DOUBLE))) AS h_uni
+             |  FROM t, n)
+             |SELECT n.n AS n_bigrams,
+             |  CAST((SELECT count(*) FROM t) AS BIGINT) AS vocab,
+             |  round(hu.h_uni, 4) AS h_unigram,
+             |  round(hc.h_cond, 4) AS h_cond,
+             |  round(1 - hc.h_cond / hu.h_uni, 4) AS redundancy
+             |FROM n, hc, hu""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(split(graft.dedup.Dedup.normalized(col("text")), " ")
+            .as("toks"))
+        val p = toks
+          .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+          .filter(col("w1") =!= "")
+          .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
+          .filter(col("w2").isNotNull && col("w2") =!= "")
+        val bg = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val t = bg.groupBy("w1").agg(sum("c").as("tw"))
+        val n = t.agg(sum("tw").as("n"))
+        val hc = bg.join(broadcast(t), "w1").crossJoin(broadcast(n))
+          .agg((-sum((col("c") / col("n").cast("double"))
+            * log2(col("c") / col("tw").cast("double")))).as("h_cond"))
+        val hu = t.crossJoin(broadcast(n))
+          .agg((-sum((col("tw") / col("n").cast("double"))
+            * log2(col("tw") / col("n").cast("double")))).as("h_uni"),
+            count(lit(1)).as("vocab"))
+        n.crossJoin(broadcast(hc)).crossJoin(broadcast(hu))
+          .select(col("n").as("n_bigrams"), col("vocab"),
+            round(col("h_uni"), 4).as("h_unigram"),
+            round(col("h_cond"), 4).as("h_cond"),
+            round(lit(1) - col("h_cond") / col("h_uni"), 4)
+              .as("redundancy"))
+      }),
+
+    // BEAM-SEARCH DECODE over the bigram model (beam width 3, 3 steps
+    // from the most frequent token): the decode-side counterpart of
+    // q_top_p — each step expands every live beam with all successors
+    // and keeps the global top-3 by cumulative ln-probability
+    // (path-string tie-break). Beam frames are |beam|×|successors|
+    // rows (≤ ~100); the only corpus-sized stage is the one bigram
+    // aggregate. Equal count-ratios give bit-equal logprobs on any
+    // engine, so the ranking cannot straddle a libm ulp.
+    QueryDef(
+      "q_beam_search",
+      Some("""WITH d AS (SELECT regexp_split_to_array(lower(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+             |  WHERE toks[i] <> '' AND toks[i+1] <> ''),
+             |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2),
+             |t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS tw
+             |  FROM bg GROUP BY 1),
+             |lp AS (SELECT bg.w1, bg.w2,
+             |    ln(bg.c / CAST(t.tw AS DOUBLE)) AS lp
+             |  FROM bg JOIN t USING (w1)),
+             |b0 AS (SELECT w1 AS path, w1 AS tail, 0.0 AS score
+             |  FROM t ORDER BY tw DESC, w1 LIMIT 1),
+             |b1 AS (SELECT b0.path || ' ' || lp.w2 AS path, lp.w2 AS tail,
+             |    b0.score + lp.lp AS score
+             |  FROM b0 JOIN lp ON lp.w1 = b0.tail
+             |  ORDER BY score DESC, path LIMIT 3),
+             |b2 AS (SELECT b1.path || ' ' || lp.w2 AS path, lp.w2 AS tail,
+             |    b1.score + lp.lp AS score
+             |  FROM b1 JOIN lp ON lp.w1 = b1.tail
+             |  ORDER BY score DESC, path LIMIT 3),
+             |b3 AS (SELECT b2.path || ' ' || lp.w2 AS path, lp.w2 AS tail,
+             |    b2.score + lp.lp AS score
+             |  FROM b2 JOIN lp ON lp.w1 = b2.tail
+             |  ORDER BY score DESC, path LIMIT 3)
+             |SELECT CAST(row_number() OVER (ORDER BY score DESC, path)
+             |    AS INT) AS rank,
+             |  path, round(score, 4) AS logprob
+             |FROM b3""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(split(graft.dedup.Dedup.normalized(col("text")), " ")
+            .as("toks"))
+        val p = toks
+          .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+          .filter(col("w1") =!= "")
+          .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
+          .filter(col("w2").isNotNull && col("w2") =!= "")
+        val bg = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val t = bg.groupBy("w1").agg(sum("c").as("tw"))
+        val lp = bg.join(t, "w1")
+          .select(col("w1"), col("w2"),
+            log(col("c") / col("tw").cast("double")).as("lp"))
+          .localCheckpoint() // probed by all 3 beam steps
+        var beams = t.orderBy(col("tw").desc, col("w1")).limit(1)
+          .select(col("w1").as("path"), col("w1").as("tail"),
+            lit(0.0).as("score"))
+        for (_ <- 1 to 3) {
+          beams = beams
+            .join(lp.withColumnRenamed("w1", "bw1"),
+              col("bw1") === col("tail"))
+            .select(concat(col("path"), lit(" "), col("w2")).as("path"),
+              col("w2").as("tail"), (col("score") + col("lp")).as("score"))
+            .orderBy(col("score").desc, col("path")).limit(3)
+        }
+        import org.apache.spark.sql.expressions.Window
+        beams.withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("path"))))
+          .select(col("rank"), col("path"),
+            round(col("score"), 4).as("logprob"))
+      }),
+
     // PHRASE SEARCH over a POSITIONAL inverted index — the search-engine
     // primitive: build (token, doc, pos) postings, pick the corpus's most
     // frequent bigram (deterministic top-1), and resolve the phrase by

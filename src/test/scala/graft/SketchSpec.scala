@@ -159,6 +159,42 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_entropy_rate: bounds of information theory hold") {
+    val r = q("q_entropy_rate").collect().head
+    val (hu, hc, red) = (r.getAs[Double]("h_unigram"),
+      r.getAs[Double]("h_cond"), r.getAs[Double]("redundancy"))
+    val vocab = r.getAs[Long]("vocab")
+    // 0 <= H(W2|W1) <= H(W) <= log2 |V|  (conditioning never adds entropy)
+    assert(hc >= 0 && hc <= hu + 1e-6, s"H_cond $hc > H_uni $hu")
+    assert(hu <= math.log(vocab.toDouble) / math.log(2) + 1e-6,
+      s"H_uni $hu exceeds log2($vocab)")
+    assert(math.abs(red - (1 - hc / hu)) < 1e-3)
+  }
+
+  test("q_beam_search: beams scored exactly by their bigram chain") {
+    val rows = q("q_beam_search").collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 3)
+    val scores = rows.map(_.getAs[Double]("logprob"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // independent bigram LM from the corpus
+    val toks = Tables.t(spark, sf, "documents")
+      .select(graft.dedup.Dedup.normalized(col("text"))).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty)
+        .sliding(2).collect { case Array(a, b) => (a, b) })
+    val bg = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val tw = toks.groupBy(_._1).view.mapValues(_.length).toMap
+    val start = tw.toSeq.minBy { case (w, c) => (-c, w) }._1
+    for (r <- rows) {
+      val path = r.getAs[String]("path").split(" ")
+      assert(path.length == 4 && path.head == start,
+        s"path ${path.mkString(" ")} malformed")
+      val expect = path.sliding(2).map { case Array(a, b) =>
+        math.log(bg((a, b)).toDouble / tw(a)) }.sum
+      assert(math.abs(r.getAs[Double]("logprob") - expect) < 1e-3,
+        s"${r.getAs[String]("path")}: ${r.getAs[Double]("logprob")} vs $expect")
+    }
+  }
+
   test("q_top_p: nucleus is minimal, covering, and renormalized") {
     val rows = q("q_top_p").collect()
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
