@@ -453,6 +453,114 @@ object GovernanceQueries {
           .select("o_orderkey", "status", "changed_cols")
       }),
 
+    // VOCABULARY COVERAGE TABLE: top-k tokens by frequency with each
+    // prefix's cumulative corpus share — the tokenizer-design table
+    // ("how big a vocab covers 95%"). Corpus-wide counts first; the
+    // rank window runs on the |vocab| table only.
+    QueryDef(
+      "q_vocab_coverage",
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+             |    AS w FROM documents),
+             |f AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+             |  WHERE w <> '' GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+             |r AS (SELECT w, c,
+             |    CAST(row_number() OVER (ORDER BY c DESC, w) AS INT) AS k,
+             |    CAST(sum(c) OVER (ORDER BY c DESC, w
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM f)
+             |SELECT r.k, r.w AS token, r.c,
+             |  round(r.c / CAST(t.n AS DOUBLE), 4) AS share,
+             |  round(r.cum / CAST(t.n AS DOUBLE), 4) AS cum_share
+             |FROM r, t""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = Tables.t(s, dir, "documents")
+          .select(explode(split(graft.dedup.Dedup.normalized(col("text")),
+            " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val t = f.agg(sum("c").as("n"))
+        // |vocab|-bounded frames, aggregated above
+        val w = Window.orderBy(col("c").desc, col("w"))
+        f.withColumn("k", row_number().over(w))
+          .withColumn("cum",
+            sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(t))
+          .select(col("k"), col("w").as("token"), col("c"),
+            round(col("c") / col("n").cast("double"), 4).as("share"),
+            round(col("cum") / col("n").cast("double"), 4).as("cum_share"))
+      }),
+
+    // CORPUS DATA CARD: the one-row datasheet a governance review reads
+    // before a corpus ships — sizes, vocabulary, source/language
+    // diversity (Shannon entropy of the lang mix), exact-duplicate
+    // rate, and token-length distribution (mean + exact median). Every
+    // number is a one-pass aggregate composition of gates that exist
+    // individually; this row is the artifact.
+    QueryDef(
+      "q_data_card",
+      Some("""WITH d AS (SELECT doc_id, source, lang,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+             |    len(regexp_split_to_array(lower(trim(regexp_replace(
+             |      text, '\s+', ' ', 'g'))), ' ')) AS toks
+             |  FROM documents),
+             |lm AS (SELECT -sum((c / CAST(n AS DOUBLE))
+             |      * log2(c / CAST(n AS DOUBLE))) AS lang_entropy
+             |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS c,
+             |      (SELECT count(*) FROM d) AS n
+             |    FROM d GROUP BY 1)),
+             |v AS (SELECT count(DISTINCT w) AS vocab FROM (
+             |  SELECT unnest(regexp_split_to_array(t, ' ')) AS w FROM d)
+             |  WHERE w <> ''),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(count(DISTINCT t) AS BIGINT) AS n_unique_texts,
+             |    round(avg(toks), 2) AS mean_tokens,
+             |    round(quantile_cont(toks, 0.5), 1) AS p50_tokens
+             |  FROM d)
+             |SELECT s.n_docs, s.total_tokens, v.vocab, s.n_sources,
+             |  s.n_langs,
+             |  round(1 - s.n_unique_texts / CAST(s.n_docs AS DOUBLE), 4)
+             |    AS dup_rate,
+             |  round(lm.lang_entropy, 4) AS lang_entropy,
+             |  s.mean_tokens, s.p50_tokens
+             |FROM s, v, lm""".stripMargin),
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            graft.dedup.Dedup.normalized(col("text")).as("t"))
+          .withColumn("toks", size(split(col("t"), " ")))
+          .localCheckpoint() // five aggregate consumers below
+        val lm = d.groupBy("lang").agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+          .agg((-sum((col("c") / col("n").cast("double"))
+            * log2(col("c") / col("n").cast("double")))).as("lang_entropy"))
+        val v = d.select(explode(split(col("t"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .agg(countDistinct("w").as("vocab"))
+        val med = graft.ops.Quantiles.groupQuantiles(
+            d.withColumn("g", lit(1)), "g", "toks", Seq("p50" -> 0.5))
+          .select(round(col("p50"), 1).as("p50_tokens"))
+        val sdf = d.agg(count(lit(1)).as("n_docs"),
+          sum("toks").cast("long").as("total_tokens"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("t").as("n_unique_texts"),
+          round(avg("toks"), 2).as("mean_tokens"))
+        sdf.crossJoin(broadcast(v)).crossJoin(broadcast(lm))
+          .crossJoin(broadcast(med))
+          .select(col("n_docs"), col("total_tokens"), col("vocab"),
+            col("n_sources"), col("n_langs"),
+            round(lit(1) - col("n_unique_texts") / col("n_docs")
+              .cast("double"), 4).as("dup_rate"),
+            round(col("lang_entropy"), 4).as("lang_entropy"),
+            col("mean_tokens"), col("p50_tokens"))
+      }),
+
     // BENFORD'S-LAW first-digit audit of order totals — the fraud/
     // fabrication screen auditors run on money columns. The digit comes
     // from the INTEGER-cents decimal string (both engines format

@@ -175,6 +175,40 @@ class GovernanceSpec extends SparkSpec {
       assert(changedKeys(k), s"status-flipped $k missing from the diff")
   }
 
+  test("q_vocab_coverage: shares telescope to exactly one") {
+    val rows = q("q_vocab_coverage").collect().sortBy(_.getAs[Int]("k"))
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("k")).toSeq == (1 to rows.length))
+    // counts are rank-ordered and cum_share telescopes the shares
+    val cs = rows.map(_.getAs[Long]("c"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    var cum = 0L
+    val total = cs.sum
+    for (r <- rows) {
+      cum += r.getAs[Long]("c")
+      assert(math.abs(r.getAs[Double]("cum_share") - cum.toDouble / total)
+        < 1e-3)
+    }
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-3)
+  }
+
+  test("q_data_card: datasheet numbers agree with first-principles counts") {
+    val r = q("q_data_card").collect().head
+    val d = Tables.t(spark, sf, "documents")
+    assert(r.getAs[Long]("n_docs") == d.count())
+    assert(r.getAs[Long]("n_sources") ==
+      d.select("source").distinct().count())
+    assert(r.getAs[Long]("n_langs") == d.select("lang").distinct().count())
+    val dup = r.getAs[Double]("dup_rate")
+    assert(dup >= 0 && dup < 1)
+    // lang entropy bounded by log2(n_langs)
+    val le = r.getAs[Double]("lang_entropy")
+    assert(le >= 0 &&
+      le <= math.log(r.getAs[Long]("n_langs").toDouble) / math.log(2) + 1e-6)
+    assert(r.getAs[Double]("mean_tokens") > 0)
+    assert(r.getAs[Double]("p50_tokens") > 0)
+  }
+
   test("q_benford: digit grid complete, shares are distributions") {
     val rows = q("q_benford").collect()
     assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq.forall(d =>
