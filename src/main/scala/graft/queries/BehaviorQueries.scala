@@ -327,6 +327,60 @@ object BehaviorQueries {
               .as("share"))
       }),
 
+    // SUPPLIER-CONCENTRATION HHI per part: Herfindahl–Hirschman index of
+    // supplier revenue shares within each part's market — the antitrust-
+    // style concentration screen (HHI > 0.25 ≈ "highly concentrated"),
+    // the per-market complement of q_gini_value's global inequality.
+    // Exact integer cents; shares and Σshare² are the only floats. One
+    // scan → per-(part, supplier) cells → part-bounded frames; reported
+    // as the corpus distribution (mean/median HHI, concentrated share).
+    QueryDef(
+      "q_hhi_concentration",
+      Some("""WITH cell AS (SELECT l_partkey, l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |      * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1, 2),
+             |mkt AS (SELECT l_partkey, CAST(sum(rev) AS BIGINT) AS tot,
+             |    CAST(count(*) AS BIGINT) AS n_sup
+             |  FROM cell GROUP BY 1),
+             |hhi AS (SELECT cell.l_partkey, any_value(mkt.n_sup) AS n_sup,
+             |    sum((cell.rev / CAST(mkt.tot AS DOUBLE))
+             |      * (cell.rev / CAST(mkt.tot AS DOUBLE))) AS h
+             |  FROM cell JOIN mkt USING (l_partkey)
+             |  GROUP BY cell.l_partkey)
+             |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |  round(avg(h), 4) AS mean_hhi,
+             |  round(quantile_cont(h, 0.5), 4) AS p50_hhi,
+             |  round(avg(CASE WHEN h > 0.25 THEN 1.0 ELSE 0.0 END), 4)
+             |    AS concentrated_share,
+             |  round(avg(n_sup), 2) AS mean_suppliers
+             |FROM hhi""".stripMargin),
+      (s, dir) => {
+        val cell = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100, 0).cast("long").as("cents"))
+          .groupBy("l_partkey", "l_suppkey").agg(sum("cents").as("rev"))
+        val mkt = cell.groupBy("l_partkey")
+          .agg(sum("rev").as("tot"), count(lit(1)).as("n_sup"))
+        val share = col("rev") / col("tot").cast("double")
+        val hhi = cell.join(mkt, "l_partkey")
+          .groupBy("l_partkey")
+          .agg(first("n_sup").as("n_sup"), sum(share * share).as("h"))
+          .localCheckpoint() // consumed by moments + the exact median
+        val med = graft.ops.Quantiles.groupQuantiles(
+            hhi.withColumn("g", lit(1)), "g", "h", Seq("p50" -> 0.5))
+          .select(round(col("p50"), 4).as("p50_hhi"))
+        hhi.agg(count(lit(1)).as("n_parts"),
+            round(avg("h"), 4).as("mean_hhi"),
+            round(avg(when(col("h") > 0.25, 1.0).otherwise(0.0)), 4)
+              .as("concentrated_share"),
+            round(avg("n_sup"), 2).as("mean_suppliers"))
+          .crossJoin(broadcast(med))
+          .select(col("n_parts"), col("mean_hhi"), col("p50_hhi"),
+            col("concentrated_share"), col("mean_suppliers"))
+      }),
+
     // RFM SEGMENTATION: per-user Recency (days since last event),
     // Frequency (events), Monetary (value cents, exact), each scored 1–3
     // against its own tercile boundaries (ops.Quantiles — quantile_cont

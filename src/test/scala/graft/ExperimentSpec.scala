@@ -224,6 +224,28 @@ class ExperimentSpec extends SparkSpec {
     assert(se > naive / 3 && se < naive * 3, s"se $se vs naive $naive")
   }
 
+  test("q_hhi_concentration matches a driver-side HHI computation") {
+    val r = q("q_hhi_concentration").collect().head
+    val cells = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("c"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("c").as("rev"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val hhis = cells.groupBy(_._1).map { case (_, sup) =>
+      val tot = sup.map(_._3).sum.toDouble
+      sup.map(s => math.pow(s._3 / tot, 2)).sum
+    }.toSeq
+    assert(r.getAs[Long]("n_parts") == hhis.size)
+    assert(math.abs(r.getAs[Double]("mean_hhi") - hhis.sum / hhis.size)
+      < 1e-3)
+    assert(math.abs(r.getAs[Double]("concentrated_share") -
+      hhis.count(_ > 0.25).toDouble / hhis.size) < 1e-3)
+    // every HHI obeys 1/n_sup <= h <= 1, so the mean does too
+    assert(r.getAs[Double]("mean_hhi") >= 1.0 / r.getAs[Double]("mean_suppliers") - 0.05)
+    assert(r.getAs[Double]("mean_hhi") <= 1.0)
+  }
+
   test("q_funnel_windowed: steps shrink, the 24h box actually bites") {
     val rows = q("q_funnel_windowed").collect().sortBy(_.getAs[Int]("step"))
     assert(rows.map(_.getAs[String]("stage")).toSeq ==
