@@ -475,7 +475,10 @@ object Binary {
     * decimal digits.
     */
   def tabSql(tab: Seq[Double]): String =
-    tab.map(d => f"$d%.17g").mkString("[", ", ", "]")
+    // explicit Locale.ROOT: a comma-decimal default locale (de_DE) would
+    // render '0,9238...' and break the DuckDB list-literal parse (r9 advice)
+    tab.map(d => String.format(java.util.Locale.ROOT, "%.17g",
+      java.lang.Double.valueOf(d))).mkString("[", ", ", "]")
 
   /** 16-point DFT power spectrum per audio frame from [[decodeWav]]
     * output: for bins k = 0..8 (the real-input half-spectrum), power_k =

@@ -37,35 +37,54 @@ object PrefixSum {
     * with per-partition-bounded state. Adds no other columns.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
-      as: String): DataFrame = {
+      as: String): DataFrame =
+    runningTotals(df, orderCols, Seq(valueCol -> as))
+
+  /** Several running totals over ONE shared total order, paying the
+    * range-repartition, checkpoint, and totals collect exactly once —
+    * the multi-value form of [[runningTotal]] (e.g. rank = running 1s
+    * AND cumulative frequency over the same (count desc, word) order).
+    */
+  def runningTotals(df: DataFrame, orderCols: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val totals = ranged.groupBy("__pid")
-      .agg(sum(valueCol).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // cumulative offset per partition id; pids with no rows contribute 0
-    val offsets = (0 until parts).scanLeft(0L) {
-      (acc, pid) => acc + totals.getOrElse(pid, 0L)
+    val aggExprs = values.map { case (c, a) => sum(c).as(s"__t_$a") }
+    val totalsRows = ranged.groupBy("__pid")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect()
+    val totals = totalsRows.map { r =>
+      r.getInt(0) -> values.indices.map(i => r.getLong(i + 1))
+    }.toMap
+    // cumulative offsets per partition id; pids with no rows contribute 0
+    val zero = values.indices.map(_ => 0L)
+    val offsets = (0 until parts).scanLeft(zero) { (acc, pid) =>
+      val t = totals.getOrElse(pid, zero)
+      acc.zip(t).map { case (a, b) => a + b }
     }
     val offsetsDf = spark.createDataFrame(
       java.util.Arrays.asList(
         (0 until parts).map(pid =>
-          org.apache.spark.sql.Row(pid, offsets(pid))): _*),
-      org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.Row(
+            (pid +: offsets(pid)): _*)): _*),
+      org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__pid",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("__off",
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.IntegerType) +:
+        values.map { case (_, a) =>
+          org.apache.spark.sql.types.StructField(s"__off_$a",
+            org.apache.spark.sql.types.LongType) }))
     val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged
-      .join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn(as, col("__off") + sum(valueCol).over(local))
-      .drop("__pid", "__off")
+    values.foldLeft(
+      ranged.join(broadcast(offsetsDf), Seq("__pid"))) {
+        case (d, (c, a)) =>
+          d.withColumn(a, col(s"__off_$a") + sum(c).over(local))
+      }
+      .drop(("__pid" +: values.map { case (_, a) => s"__off_$a" }): _*)
   }
 
   /** `as` = running MIN of `valueCol` (LongType) over all rows STRICTLY

@@ -62,6 +62,14 @@ object Temporal {
     * vs the two asof joins + re-join a naive composition would pay.
     * Adds `__near_ts` (the chosen right timestamp) alongside the payload;
     * both are NULL when the key has no right rows at all.
+    *
+    * PRECONDITION: the right side must be unique on (key, rightTs). When
+    * several right rows share a (key, timestamp), the last/first frames
+    * pick an arbitrary payload among the ties and the result is
+    * nondeterministic — pre-aggregate the right side to one row per
+    * (key, ts) first (as q_asof_nearest does). Enforcing this in-operator
+    * would cost a full extra aggregation on every call; callers that
+    * can't guarantee uniqueness should dedup explicitly.
     */
   def nearestJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {

@@ -475,20 +475,21 @@ object GovernanceQueries {
              |  round(r.cum / CAST(t.n AS DOUBLE), 4) AS cum_share
              |FROM r, t""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val f = Tables.t(s, dir, "documents")
           .select(explode(split(graft.dedup.Dedup.normalized(col("text")),
             " ")).as("w"))
           .filter(col("w") =!= "")
           .groupBy("w").agg(count(lit(1)).as("c"))
         val t = f.agg(sum("c").as("n"))
-        // |vocab|-bounded frames, aggregated above
-        val w = Window.orderBy(col("c").desc, col("w"))
-        f.withColumn("k", row_number().over(w))
-          .withColumn("cum",
-            sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .crossJoin(broadcast(t))
-          .select(col("k"), col("w").as("token"), col("c"),
+        // vocab is corpus-growing, so rank + cumulative count both run on
+        // ops.PrefixSum's range-partitioned scan — one shared ranged pass,
+        // no empty-partition-spec window (r9 advice)
+        val r = graft.ops.PrefixSum.runningTotals(
+          f, Seq(col("c").desc, col("w")),
+          Seq(lit(1L) -> "k", col("c") -> "cum"))
+        r.crossJoin(broadcast(t))
+          .select(col("k").cast("int").as("k"), col("w").as("token"),
+            col("c"),
             round(col("c") / col("n").cast("double"), 4).as("share"),
             round(col("cum") / col("n").cast("double"), 4).as("cum_share"))
       }),

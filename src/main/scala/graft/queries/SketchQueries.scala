@@ -63,13 +63,18 @@ object SketchQueries {
   private def sketch(s: SparkSession, dir: String): DataFrame =
     sketchFrom(hashes(s, dir))
 
+  // dedup in the SHINGLE-STRING domain then hash — the same order as the
+  // Spark side, so a sha60 collision between two distinct shingles yields
+  // a duplicate h in BOTH engines (r9 advice: the previous DISTINCT-over-h
+  // oracle deduped in the hash domain, a ~n²/2⁶¹ contract asymmetry)
   private val hashesSql =
-    s"""SELECT DISTINCT source,
-       |    ${Hashing.sha60Sql("substr(t, CAST(i AS INT), 8)")} AS h
+    s"""SELECT source,
+       |    ${Hashing.sha60Sql("sh")} AS h
+       |  FROM (SELECT DISTINCT source, substr(t, CAST(i AS INT), 8) AS sh
        |  FROM (SELECT source, t, unnest(range(1, len(t) - 6)) AS i
        |    FROM (SELECT source,
        |        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-       |      FROM documents))""".stripMargin
+       |      FROM documents)))""".stripMargin
 
   private val sketchSql =
     s"""SELECT source, h FROM (

@@ -658,15 +658,16 @@ object TextQueries {
              |    / ((sxx - n * mx * mx) * (syy - n * my * my)), 4) AS r2
              |FROM m""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val tok = Tables.t(s, dir, "documents")
           .select(explode(split(graft.dedup.Dedup.normalized(col("text")),
             " ")).as("w"))
           .filter(col("w") =!= "")
         val f = tok.groupBy("w").agg(count(lit(1)).as("c"))
-        // |vocab|-bounded frame: aggregated before the rank window
-        val r = f.withColumn("rk",
-          row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        // vocab is corpus-growing (heavy-tailed), so the rank runs on
+        // ops.PrefixSum's range-partitioned running count instead of an
+        // empty-partition-spec window (r9 advice)
+        val r = graft.ops.PrefixSum.runningTotal(
+          f, Seq(col("c").desc, col("w")), lit(1L), "rk")
         val p = r.select(log(col("rk")).as("x"), log(col("c")).as("y"))
         val m = p.agg(count(lit(1)).as("n"), avg("x").as("mx"),
           avg("y").as("my"), sum(col("x") * col("y")).as("sxy"),

@@ -60,8 +60,13 @@ object TraversalQueries {
       (s, dir) => {
         val e = edges(s, dir).localCheckpoint()
         val seeds = Seq(0L, 2L, 4L)
+        // semi-join the literal seed list against the edge sources: the
+        // oracle seeds FROM e WHERE src IN (...), so a seed customer with
+        // no orders must NOT contribute a (seed, seed, 0) row (r9 advice)
         var dist = s.createDataFrame(seeds.map(x => (x, x)))
           .toDF("seed", "node")
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"),
+            "left_semi")
           .withColumn("dist", lit(0).cast("int"))
         for (i <- 1 to 4) {
           val frontier = dist.filter(col("dist") === i - 1)
