@@ -21,32 +21,62 @@ object SpatialQueries {
 
   private val R = 6371000.0 // mean earth radius, meters
 
-  /** All customer-point pairs (id_a < id_b) within 5 km, by the grid-
-    * bucket plan described above — shared by the radius join gate and
-    * the density-clustering gate. `dist_m` is unrounded.
+  /** Max build-side points one join task sees per (cell, sub-bucket):
+    * cells hotter than this are salted into ceil(n/T) sub-buckets so a
+    * dense cell parallelizes across tasks instead of becoming THE
+    * straggler. The fixture box is fixed, so density — and per-cell
+    * work — grows linearly with SF (and pair OUTPUT quadratically, which
+    * is intrinsic to the radius-join's result, not the plan); salting
+    * keeps every task's build group bounded at any density.
     */
-  private def pairs5km(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    def coord(salt: String, base: Double, span: Double) =
-      lit(base) + lit(span) *
-        (Hashing.sha60(concat(col("c_custkey").cast("string"),
-          lit(s":$salt"))) % 1000000) / 1000000.0
-    val p = Tables.t(s, dir, "customer")
-      .select(col("c_custkey").as("id"),
-        coord("lat", 50.0, 1.0).as("lat"),
-        coord("lon", 8.0, 2.0).as("lon"))
-      .withColumn("cl", floor(col("lat") / 0.1).cast("long"))
-      .withColumn("cn", floor(col("lon") / 0.1).cast("long"))
-    val off = s.createDataFrame(
-      for (dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1)) yield (dy, dx))
-      .toDF("dy", "dx")
-    val b = p.select(col("id").as("id_b"), col("lat").as("lb"),
-      col("lon").as("nb"), col("cl").as("bcl"), col("cn").as("bcn"))
-    val cand = p.crossJoin(broadcast(off))
-      .join(b,
-        col("bcl") === col("cl") + col("dy") &&
-          col("bcn") === col("cn") + col("dx") &&
-          col("id") < col("id_b"))
+  private val CellCap = 64
+
+  /** All point pairs (id_a < id_b) within 5 km, by the grid-bucket plan
+    * described above — shared by the radius join gate and the
+    * density-clustering gate. `dist_m` is unrounded.
+    *
+    * Density-robust shape (r9 verdict): cell size stays at the minimum
+    * complete-cover width (it cannot shrink below the radius without
+    * losing the 3×3 guarantee), and hot cells are handled by COUNT-DERIVED
+    * SALTING — the build side buckets each point into
+    * `xxhash64(id) mod ceil(n_cell / CellCap)`, and the probe side fans
+    * each point to its 9 neighbor cells × the TARGET cell's salt range
+    * (per-cell salt counts are a cells-bounded broadcast). Every candidate
+    * pair is produced exactly once (the build bucket is deterministic),
+    * the inner join against the counts table prunes offsets into empty
+    * cells, and every join group's build side holds ~CellCap rows
+    * (hash-mod bucketing: exact in expectation, concentrated tightly
+    * around it) — the same bounded-task contract at 1× and 1000× density.
+    */
+  def pairsWithinRadius(points: org.apache.spark.sql.DataFrame,
+      radiusM: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+    val p = points
+      .withColumn("cl", floor(col("lat") / cellDeg).cast("long"))
+      .withColumn("cn", floor(col("lon") / cellDeg).cast("long"))
+    // per-cell salt factor: cells-bounded (a dimension table), broadcast
+    val salts = p.groupBy("cl", "cn")
+      .agg(ceil(count(lit(1)) / lit(CellCap.toDouble)).cast("int").as("ns"))
+    val b = p
+      .join(broadcast(salts), Seq("cl", "cn"))
+      .select(col("id").as("id_b"), col("lat").as("lb"),
+        col("lon").as("nb"), col("cl").as("bcl"), col("cn").as("bcn"),
+        pmod(xxhash64(col("id")), col("ns")).cast("int").as("sb"))
+    // 9-offset fan as a literal-array explode: no nested-loop join in the
+    // plan, and the subsequent inner join on the salts table drops
+    // neighbors that contain no points at all
+    val offsets = array(
+      (for (dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1))
+        yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val probe = p
+      .withColumn("o", explode(offsets))
+      .withColumn("tcl", col("cl") + col("o.dy"))
+      .withColumn("tcn", col("cn") + col("o.dx"))
+      .join(broadcast(salts.select(col("cl").as("tcl"),
+        col("cn").as("tcn"), col("ns"))), Seq("tcl", "tcn"))
+      .withColumn("sj", explode(sequence(lit(0), col("ns") - 1)))
+    val cand = probe.join(b,
+      col("bcl") === col("tcl") && col("bcn") === col("tcn") &&
+        col("sb") === col("sj") && col("id") < col("id_b"))
     val dLat = radians(col("lb") - col("lat")) / 2
     val dLon = radians(col("nb") - col("lon")) / 2
     val dist = lit(2 * R) * asin(sqrt(
@@ -54,7 +84,20 @@ object SpatialQueries {
         cos(radians(col("lat"))) * cos(radians(col("lb"))) *
           sin(dLon) * sin(dLon)))
     cand.select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
-      .filter(col("dist_m") <= 5000)
+      .filter(col("dist_m") <= radiusM)
+  }
+
+  private def pairs5km(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    def coord(salt: String, base: Double, span: Double) =
+      lit(base) + lit(span) *
+        (Hashing.sha60(concat(col("c_custkey").cast("string"),
+          lit(s":$salt"))) % 1000000) / 1000000.0
+    val points = Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        coord("lat", 50.0, 1.0).as("lat"),
+        coord("lon", 8.0, 2.0).as("lon"))
+    pairsWithinRadius(points, 5000, 0.1)
   }
 
   /** The oracle-side twin of [[pairs5km]] as a WITH-clause body. */

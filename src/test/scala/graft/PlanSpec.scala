@@ -462,6 +462,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("spatial radius join: salted grid equi-join, no nested-loop/cartesian") {
+    // the 9-cell neighborhood fan is an explode + broadcast-hash join on
+    // (cell, salt-bucket); a CartesianProduct or BroadcastNestedLoopJoin
+    // here would mean the grid decayed into the O(n²) theta join
+    for (name <- Seq("q_spatial_join", "q_spatial_cluster")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("q_hits/q_kcore: iterate on equi-joins with broadcast totals only") {
     for (name <- Seq("q_hits", "q_kcore")) {
       val p = plan(name)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SpatialQueries
+
+/** Density-stress + correctness for the salted grid radius join: the r9
+  * verdict's one flagged latent risk was quadratic per-cell work when the
+  * fixed fixture box densifies with SF. pairsWithinRadius now salts hot
+  * cells by count; these specs pin (a) exactness against brute force at a
+  * density ~10× the sf0.01 gate's, and (b) the salting actually engaging
+  * (cells above the cap split into multiple buckets).
+  */
+class SpatialSpec extends SparkSpec {
+
+  private val R = 6371000.0
+
+  /** n deterministic points in a degLat×degLon box at (50, 8) — the same
+    * sha60 synthesis as the gated query, so the stress distribution is the
+    * gate's distribution at higher density.
+    */
+  private def points(n: Int, degLat: Double, degLon: Double) = {
+    import graft.expressions.Hashing
+    def coord(salt: String, base: Double, span: Double) =
+      lit(base) + lit(span) *
+        (Hashing.sha60(concat(col("id").cast("string"),
+          lit(s":$salt"))) % 1000000) / 1000000.0
+    spark.range(n).select(col("id"),
+      coord("lat", 50.0, degLat).as("lat"),
+      coord("lon", 8.0, degLon).as("lon"))
+  }
+
+  private def brute(p: org.apache.spark.sql.DataFrame, radiusM: Double) = {
+    val b = p.select(col("id").as("id_b"), col("lat").as("lb"),
+      col("lon").as("nb"))
+    val cand = p.crossJoin(b).filter(col("id") < col("id_b"))
+    val dLat = radians(col("lb") - col("lat")) / 2
+    val dLon = radians(col("nb") - col("lon")) / 2
+    val dist = lit(2 * R) * asin(sqrt(
+      sin(dLat) * sin(dLat) +
+        cos(radians(col("lat"))) * cos(radians(col("lb"))) *
+          sin(dLon) * sin(dLon)))
+    cand.select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
+      .filter(col("dist_m") <= radiusM)
+  }
+
+  test("salted grid join matches brute force at 10x gate density") {
+    // sf0.01 gate: 1500 points over 1°×2° (200 cells) ≈ 7.5/cell; here
+    // 1500 points over 0.2°×0.2° (4 cells) ≈ 375/cell — ~50× denser, well
+    // past the CellCap=64 salting threshold
+    val p = points(1500, 0.2, 0.2).localCheckpoint()
+    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.1)
+      .select(col("id_a"), col("id_b"))
+    val slow = brute(p, 5000).select(col("id_a"), col("id_b"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "salted grid pair set diverged from brute force")
+    assert(fast.count() > 100000, "stress fixture unexpectedly sparse")
+  }
+
+  test("hot cells split into multiple salt buckets (task boundedness)") {
+    // replicate the operator's bucketing arithmetic: any cell holding more
+    // than CellCap points must map its points across ceil(n/64) buckets,
+    // and the realized max bucket size must sit near the cap, not near n
+    val p = points(1500, 0.2, 0.2)
+      .withColumn("cl", floor(col("lat") / 0.1).cast("long"))
+      .withColumn("cn", floor(col("lon") / 0.1).cast("long"))
+    val perCell = p.groupBy("cl", "cn").agg(count(lit(1)).as("n"))
+    val hottest = perCell.agg(max("n")).head.getLong(0)
+    assert(hottest > 64, s"stress fixture never exceeds the cap ($hottest)")
+    val buckets = p
+      .join(perCell, Seq("cl", "cn"))
+      .withColumn("ns", ceil(col("n") / 64.0).cast("int"))
+      .withColumn("sb", pmod(xxhash64(col("id")), col("ns")).cast("int"))
+      .groupBy("cl", "cn", "sb").agg(count(lit(1)).as("bn"))
+    val maxBucket = buckets.agg(max("bn")).head.getLong(0)
+    // hash-mod concentration: expected ≤64, allow generous variance slack
+    assert(maxBucket <= 128,
+      s"a salt bucket holds $maxBucket rows — salting not engaging")
+  }
+
+  test("radius join exact on an asymmetric sparse box (regression)") {
+    // the original gate's shape: low density, many cells — salting must
+    // be a no-op (ns=1 everywhere) and the result still exact
+    val p = points(300, 1.0, 2.0).localCheckpoint()
+    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.1)
+      .select(col("id_a"), col("id_b"))
+    val slow = brute(p, 5000).select(col("id_a"), col("id_b"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "sparse-box pair set diverged from brute force")
+  }
+}
