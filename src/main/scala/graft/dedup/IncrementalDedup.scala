@@ -76,21 +76,47 @@ object IncrementalDedup {
     * bucketed on band_sig at write time to make the daily probe
     * shuffle-free on the index side; the manifest-append warehouse keeps
     * the index build O(batch) either way.
+    *
+    * Warehouse IO: ONE read per index table (r9 verdict — the previous
+    * shape paid four: appendIfAbsent's internal anti-join read plus a
+    * post-append re-read, per table). The pre-append snapshot is read
+    * once, the anti-joined new rows are appended, and the probe/verify
+    * relations are the in-memory union snapshot ∪ new — identical to a
+    * re-read by construction (append is the only writer here).
     */
   def processBatch(wh: Warehouse, name: String, batch: DataFrame,
       idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
     val (sigs, bands) = signatureAndBands(batch, idCol, textCol, cfg)
-    wh.appendIfAbsent(sigTable(name), sigs, Seq("doc_id"))
-    wh.appendIfAbsent(bandTable(name), bands, Seq("doc_id", "band"))
-    val idxBands = wh.read(bandTable(name))
+    val sig = appendOnce(wh, sigTable(name), sigs, Seq("doc_id"))
+    val idxBands = appendOnce(wh, bandTable(name), bands,
+      Seq("doc_id", "band"))
     val batchBands = bands
       .select(col("band"), col("band_sig"), col("doc_id").as("batch_doc"))
+    emitPairs(idxBands, batchBands, sig, cfg)
+  }
+
+  /** appendIfAbsent with a single table read, returning the post-append
+    * relation (snapshot ∪ appended) without re-reading it.
+    */
+  private def appendOnce(wh: Warehouse, table: String, batch: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val deduped = batch.dropDuplicates(keys)
+    if (!wh.exists(table)) { wh.overwrite(table, deduped); deduped }
+    else {
+      val snapshot = wh.read(table)
+      val fresh = deduped.join(snapshot, keys, "left_anti").localCheckpoint()
+      wh.append(table, fresh)
+      snapshot.unionByName(fresh)
+    }
+  }
+
+  private def emitPairs(idxBands: DataFrame, batchBands: DataFrame,
+      sig: DataFrame, cfg: Config): DataFrame = {
     val cand = idxBands.join(batchBands, Seq("band", "band_sig"))
       .filter(col("doc_id") =!= col("batch_doc"))
       .select(least(col("doc_id"), col("batch_doc")).as("doc_a"),
         greatest(col("doc_id"), col("batch_doc")).as("doc_b"))
       .distinct()
-    val sig = wh.read(sigTable(name))
     val agree = (0 until cfg.numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -101,6 +127,34 @@ object IncrementalDedup {
       .filter(col("est_jaccard") >= cfg.threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Fused first-day path: seed the corpus AND process the first batch in
+    * one signature job and ONE warehouse write per index table (vs
+    * seedIndex + processBatch = two signature jobs and four writes). The
+    * tagged union signs corpus+batch in a single pass; the probe then
+    * runs entirely against the just-computed relations — day one has no
+    * pre-existing index to read. Idempotent like the daily path
+    * (appendIfAbsent keys on doc_id). PRECONDITION: corpus and batch ids
+    * are disjoint (they are different days of the same feed).
+    */
+  def bootstrap(wh: Warehouse, name: String, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val tagged = corpus.select(col(idCol), col(textCol), lit(0).as("__b"))
+      .unionByName(batch.select(col(idCol), col(textCol), lit(1).as("__b")))
+    val sigs = minhashSignatures(
+      hashedShingles(tagged, idCol, textCol, cfg.shingleSize), cfg)
+      .join(tagged.select(col(idCol).as("doc_id"), col("__b")), Seq("doc_id"))
+      .localCheckpoint()
+    val bands = bandSignatures(sigs.drop("__b"), cfg)
+    wh.appendIfAbsent(sigTable(name), sigs.drop("__b"), Seq("doc_id"))
+    wh.appendIfAbsent(bandTable(name), bands, Seq("doc_id", "band"))
+    val batchIds = sigs.filter(col("__b") === 1).select("doc_id")
+    val batchBands = bands
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .select(col("band"), col("band_sig"), col("doc_id").as("batch_doc"))
+    emitPairs(bands, batchBands, sigs.drop("__b"), cfg)
   }
 
   /** DuckDB SQL reproducing [[processBatch]]'s output for a corpus seeded

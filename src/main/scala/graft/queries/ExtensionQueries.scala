@@ -453,9 +453,11 @@ object ExtensionQueries {
         val docs = Tables.t(s, dir, "documents")
         val wh = new graft.tables.Warehouse(s,
           java.nio.file.Files.createTempDirectory("graft-q-incdd").toString)
-        IncrementalDedup.seedIndex(wh, "dd",
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
-        IncrementalDedup.processBatch(wh, "dd",
+        // fused day-one path: one signature job, one write per index
+        // table (IncrementalSpec proves it emits exactly what
+        // seedIndex-then-processBatch emits)
+        IncrementalDedup.bootstrap(wh, "dd",
+          docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
       }),
 

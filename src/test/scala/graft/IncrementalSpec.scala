@@ -179,6 +179,34 @@ class IncrementalSpec extends SparkSpec {
     assert(run1.forall { case (a, b, _) => a < b && (a % 10 == 0 || b % 10 == 0) })
   }
 
+  test("incremental dedup: fused bootstrap equals seedIndex-then-processBatch") {
+    import graft.dedup.IncrementalDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whA = new Warehouse(spark,
+      Files.createTempDirectory("graft-incdd-a").toString)
+    IncrementalDedup.seedIndex(whA, "dd", corpus, "doc_id", "text")
+    val twoStep = pairSet(
+      IncrementalDedup.processBatch(whA, "dd", batch, "doc_id", "text"))
+    val whB = new Warehouse(spark,
+      Files.createTempDirectory("graft-incdd-b").toString)
+    val fused = pairSet(
+      IncrementalDedup.bootstrap(whB, "dd", corpus, batch, "doc_id", "text"))
+    assert(fused == twoStep,
+      s"bootstrap diverged: ${fused.diff(twoStep)} / ${twoStep.diff(fused)}")
+    assert(fused.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    // the fused path leaves the SAME persisted index behind
+    for (t <- Seq("dd_sig", "dd_bands")) {
+      val a = whA.read(t); val b = whB.read(t)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t differs between fused and two-step")
+    }
+  }
+
   test("sliding windows contain their aligned tumbling windows") {
     val slide = q("q_stream_sliding").collect()
       .map(r => (r.getAs[Long]("win_start_us"), r.getAs[String]("event_type"))
