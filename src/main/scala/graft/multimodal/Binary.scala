@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * PNG and JPEG via the JDK's own `javax.imageio` ([[decodeImage]]:
   * batched mapPartitions — no external library needed; ImageIO ships
   * PNG/BMP/GIF/JPEG codecs in every JVM), and canonical 16-bit PCM WAV
-  * ([[decodeWav]]). Lossless formats are oracle-gated on exact pixel
-  * bytes; lossy JPEG is tolerance-gated (exact dims, per-channel means
-  * within ε). Only video codecs (not in the JDK) remain STUBBED with a
-  * deterministic byte-level featurizer, but the Spark-side shape is
-  * real: binary payload column, metadata struct, explicit output schema,
-  * fixed batch size (what a vectorized/Arrow UDF would see), partition
-  * parallelism.
+  * ([[decodeWav]]), and MJPEG-in-AVI video ([[decodeAviFrames]]: a real
+  * RIFF container walk whose frames decode through the same ImageIO JPEG
+  * path). Lossless formats are oracle-gated on exact pixel bytes; lossy
+  * JPEG/MJPEG is tolerance-gated (exact dims, per-channel means within
+  * ε). Formats with no JVM codec at all keep the STUBBED byte-level
+  * featurizer ([[decodeFeatures]]/[[frameSample]]), but the Spark-side
+  * shape is real: binary payload column, metadata struct, explicit
+  * output schema, fixed batch size (what a vectorized/Arrow UDF would
+  * see), partition parallelism.
   */
 object Binary {
 
@@ -529,6 +531,188 @@ object Binary {
       round(col("power") / col("tot"), 4).as("share"),
       when(col("ctr_den") > 0,
         round(col("ctr_num") / col("ctr_den"), 4)).as("centroid"))
+  }
+
+  // ---------------------------------------------------------------------
+  // MJPEG-in-AVI video: the one video format decodable with zero external
+  // dependencies — an AVI is a RIFF container, and MJPEG's frames are
+  // plain JPEGs, which ImageIO already decodes (gated by q_jpeg_decode).
+  // The container walk (chunk sizes, even-byte padding, LIST nesting,
+  // 'movi' discovery) is the real parsing work; the per-frame decode
+  // reuses the proven JPEG path. This retires the last video stub
+  // (frameSample remains as the byte-featurizer shape for formats that
+  // genuinely have no JVM codec).
+  // ---------------------------------------------------------------------
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** RIFF chunk: fourcc + LE32 size + data + pad byte when size is odd
+    * (the padding rule real parsers trip on — JPEG payloads are odd-sized
+    * about half the time).
+    */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(listType) ++ body)
+
+  /** Deterministic MJPEG-in-AVI test-video generator: `nFrames` JPEG
+    * frames per row, frame f's pixels from the shared seed formula with
+    * frame seed `seed·101 + f` (so the gate recomputes every frame's
+    * expected statistics in-plan), wrapped in a standards-shaped AVI:
+    * RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    * '00dc'×n)). Row-local mapPartitions; production rows arrive with
+    * real camera bytes.
+    */
+  def aviFromSeed(df: DataFrame, seedCol: String, width: Int, height: Int,
+      nFrames: Int): DataFrame = {
+    val outSchema = df.schema.add("avi", BinaryType)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { iter =>
+      iter.map { row =>
+        val seed = row.getAs[Number](idx).longValue
+        val frames = (0 until nFrames).map { f =>
+          val fseed = seed * 101 + f
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val j = 3 * (y * width + x)
+              val r = ((fseed * 31 + j * 7) % 256).toInt
+              val g = ((fseed * 31 + (j + 1) * 7) % 256).toInt
+              val b = ((fseed * 31 + (j + 2) * 7) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val maxFrame = frames.map(_.length).max
+        // avih: 56-byte main header (µs/frame, rate, pad, flags, frames,
+        // initial, streams, bufsize, w, h, 4 reserved)
+        val avih = riffChunk("avih", le32(40000) ++ le32(maxFrame * 25) ++
+          le32(0) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++ le32(1) ++
+          le32(maxFrame) ++ le32(width) ++ le32(height) ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+        // strh: 56-byte stream header for a 25fps MJPG vids stream
+        val strh = riffChunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+          le32(nFrames) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+          le32(0) ++ le32((height << 16) | width))
+        // strf: 40-byte BITMAPINFOHEADER, biCompression = 'MJPG'
+        val strf = riffChunk("strf", le32(40) ++ le32(width) ++
+          le32(height) ++ Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+          fourcc("MJPG") ++ le32(width * height * 3) ++ le32(0) ++
+          le32(0) ++ le32(0) ++ le32(0))
+        val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+        val movi = riffList("movi",
+          frames.flatMap(fb => riffChunk("00dc", fb)).toArray)
+        val body = fourcc("AVI ") ++ hdrl ++ movi
+        val avi = fourcc("RIFF") ++ le32(body.length) ++ body
+        Row.fromSeq(row.toSeq :+ avi)
+      }
+    }
+  }
+
+  /** REAL MJPEG-in-AVI decode: parse the RIFF container (magic + form
+    * type, chunk walk with LE sizes and even-byte padding, nested LISTs),
+    * locate the 'movi' list, and decode every video-data chunk
+    * ('##dc'/'##db') as a JPEG through ImageIO. Emits ONE ROW PER FRAME
+    * (`frame_idx`, `width`, `height`, flattened-RGB `pixels`) — the
+    * generator shape: frames multiply rows exactly like exploded
+    * documents, and everything downstream ([[ppmFeatures]], resize,
+    * dedup) is format-agnostic. Undecodable payloads or frames yield
+    * zero rows / NULL fields — corrupt assets quarantine, never abort.
+    * Batched mapPartitions, row-local, zero shuffle.
+    */
+  def decodeAviFrames(df: DataFrame, bytesCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("pixels", ArrayType(IntegerType))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(bytesCol)
+
+    def u32le(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    // collect the (offset, size) of every ##dc/##db chunk inside 'movi'
+    def frameChunks(b: Array[Byte]): Seq[(Int, Int)] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = tag(b, p)
+          val size = u32le(b, p + 4)
+          if (size < 0 || p + 8 + size > to) return // truncated/corrupt
+          val sz = size.toInt
+          if (id == "LIST" && sz >= 4) {
+            val listType = tag(b, p + 8)
+            walk(p + 12, p + 8 + sz, inMovi || listType == "movi")
+          } else if (inMovi && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db")))
+            out += ((p + 8, sz))
+          p += 8 + sz + (sz % 2) // even-byte padding
+        }
+      }
+      walk(12, (12 + u32le(b, 4) - 4).min(b.length).toInt, inMovi = false)
+      out.toSeq
+    }
+
+    df.mapPartitions { iter =>
+      iter.grouped(decodeBatchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]](idx)
+          val chunks = if (bytes == null) Seq.empty else
+            try frameChunks(bytes) catch { case _: Exception => Seq.empty }
+          chunks.zipWithIndex.map { case ((off, len), f) =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes, off, len))
+              catch { case _: Exception => null }
+            if (img == null)
+              Row.fromSeq(row.toSeq ++ Seq[Any](f, null, null, null))
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = new Array[Int](3 * w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val j = 3 * (y * w + x)
+                  px(j) = (rgb >> 16) & 0xff
+                  px(j + 1) = (rgb >> 8) & 0xff
+                  px(j + 2) = rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Row.fromSeq(row.toSeq ++ Seq[Any](f, w, h, px))
+            }
+          }
+        }
+      }
+    }
   }
 
   /** STUB video frame sampling: emit one row per sampled "frame" — every

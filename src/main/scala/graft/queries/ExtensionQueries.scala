@@ -1196,6 +1196,46 @@ object ExtensionQueries {
           (mae <= 40.0).as("mae_ok"))
       }),
 
+    // REAL VIDEO decode (MJPEG-in-AVI) under the q_jpeg_decode-style
+    // tolerance gate: each doc gets a 3-frame AVI whose JPEG frames carry
+    // the seed formula at frame seed doc_id·101 + f; decodeAviFrames
+    // walks the actual RIFF container (chunk sizes, even-byte padding,
+    // LIST nesting, movi discovery) and ImageIO-decodes each frame. The
+    // gate: EXACTLY 3 frames per doc (rows+hash), exact dims, per-channel
+    // means within ε=12 of the in-plan formula means, per-pixel MAE ≤ 40
+    // (the q_jpeg_decode bounds, which carry ≥2× empirical margin). A
+    // mis-walked container drops/duplicates rows; a mis-decoded frame
+    // flips a boolean — either reddens the gate.
+    QueryDef(
+      "q_video_frames",
+      Some("""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  true AS mean_r_ok, true AS mean_g_ok, true AS mean_b_ok,
+             |  true AS mae_ok
+             |FROM (SELECT doc_id, unnest(range(0, 3)) AS f
+             |  FROM documents)""".stripMargin),
+      (s, dir) => {
+        val dec = Binary.ppmFeatures(Binary.decodeAviFrames(
+          Binary.aviFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", width = 8, height = 8, nFrames = 3),
+          "avi"))
+        val fseed = col("doc_id") * 101 + col("frame_idx")
+        def formulaMean(c: Int) =
+          aggregate(sequence(lit(0), lit(63)), lit(0L),
+            (acc, i) => acc + (fseed * 31 + (i * 3 + c) * 7) % 256)
+            .cast("double") / 64.0
+        def ok(decoded: String, c: Int) =
+          (abs(col(decoded) - formulaMean(c)) <= 12.0).as(s"${decoded}_ok")
+        val mae = aggregate(sequence(lit(0), lit(191)), lit(0L),
+          (acc, j) => acc + abs(element_at(col("pixels"), j + 1) -
+            (fseed * 31 + j * 7) % 256)).cast("double") / 192.0
+        dec.select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), ok("mean_r", 0), ok("mean_g", 1), ok("mean_b", 2),
+          (mae <= 40.0).as("mae_ok"))
+      }),
+
     // REAL audio decode under the hash gate: each doc gets a deterministic
     // 64-sample 16-bit PCM WAV (sample j = (doc_id·13 + j·11) mod 65536,
     // two's-complement signed), decodeWav parses the actual bytes — RIFF
