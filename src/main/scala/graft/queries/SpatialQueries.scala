@@ -27,9 +27,12 @@ object SpatialQueries {
     * straggler. The fixture box is fixed, so density — and per-cell
     * work — grows linearly with SF (and pair OUTPUT quadratically, which
     * is intrinsic to the radius-join's result, not the plan); salting
-    * keeps every task's build group bounded at any density.
+    * keeps every task's build group bounded at any density. 256 keeps the
+    * fan-out a no-op (ns=1) at the bench scale's ~75 points/cell — the
+    * probe explode only multiplies rows where a cell actually overflows
+    * (benchdiff caught CellCap=64 costing 1.6× at sf0.1 for zero benefit).
     */
-  private val CellCap = 64
+  private val CellCap = 256
 
   /** All point pairs (id_a < id_b) within 5 km, by the grid-bucket plan
     * described above — shared by the radius join gate and the
