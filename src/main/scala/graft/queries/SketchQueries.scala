@@ -178,6 +178,143 @@ object SketchQueries {
             .as("jaccard_est"),
           round(col("n_both") / col("k_used").cast("double") * uEst, 2)
             .as("intersection_est"))
+      }),
+
+    // MERGEABLE QUANTILE SKETCH (ops/QuantileSketch): per-source
+    // log-bucketed percentile summaries, PERSISTED to the warehouse and
+    // read back (the daily-pipeline shape), with the global distribution
+    // obtained by MERGING the per-source sketches — never re-scanning the
+    // data. p50/p90/p99 estimates are compared in-engine against the
+    // exact integer-rank percentile, so the ≤1/32 error bound is gated
+    // evidence, KMV-style. Exact side runs on the (source, cents)
+    // distinct-value relation — value-DOMAIN bounded, not corpus-bounded.
+    QueryDef(
+      "q_quantile_sketch",
+      Some(s"""WITH ev AS (SELECT event_type AS source,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+             |b AS (SELECT source, c, ${graft.ops.QuantileSketch.ixSql} AS ix,
+             |    ${graft.ops.QuantileSketch.rep2xSql} AS rep2x FROM ev),
+             |sk0 AS (SELECT source, ix, rep2x,
+             |    CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3),
+             |sk AS (SELECT * FROM sk0 UNION ALL
+             |  SELECT 'ALL', ix, rep2x, CAST(sum(cnt) AS BIGINT)
+             |  FROM sk0 GROUP BY 2, 3),
+             |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+             |  FROM sk GROUP BY 1),
+             |qs(pct, num, den) AS (VALUES (50,1,2), (90,9,10), (99,99,100)),
+             |tgt AS (SELECT n.source, qs.pct,
+             |    (n.n * qs.num + qs.den - 1) // qs.den AS r FROM n, qs),
+             |cum AS (SELECT source, ix, rep2x,
+             |    sum(cnt) OVER (PARTITION BY source ORDER BY ix) AS cum
+             |  FROM sk),
+             |est AS (SELECT c2.source, t.pct, min(c2.rep2x) / 2.0 AS est
+             |  FROM cum c2 JOIN tgt t
+             |  ON t.source = c2.source AND c2.cum >= t.r GROUP BY 1, 2),
+             |ba AS (SELECT source, c FROM ev
+             |  UNION ALL SELECT 'ALL', c FROM ev),
+             |vc AS (SELECT source, c, CAST(count(*) AS BIGINT) AS vcnt
+             |  FROM ba GROUP BY 1, 2),
+             |vcum AS (SELECT source, c,
+             |    sum(vcnt) OVER (PARTITION BY source ORDER BY c) AS cum
+             |  FROM vc),
+             |ex AS (SELECT v.source, t.pct, CAST(min(v.c) AS BIGINT) AS exact
+             |  FROM vcum v JOIN tgt t
+             |  ON t.source = v.source AND v.cum >= t.r GROUP BY 1, 2)
+             |SELECT est.source, CAST(est.pct AS INT) AS pct, est.est,
+             |  ex.exact,
+             |  round(abs(est.est - ex.exact) / ex.exact, 4) AS rel_err
+             |FROM est JOIN ex
+             |ON ex.source = est.source AND ex.pct = est.pct""".stripMargin),
+      (s, dir) => {
+        import graft.ops.QuantileSketch
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type").as("source"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+        // persist the per-source sketch, read it back — the estimate side
+        // only ever sees warehouse rows (mergeable state, like the
+        // incremental-dedup index)
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-qsk").toString)
+        wh.appendIfAbsent("qsketch", QuantileSketch.build(ev),
+          Seq("source", "ix"))
+        val sk0 = wh.read("qsketch")
+        val global = sk0.withColumn("source", lit("ALL"))
+        val sk = QuantileSketch.merge(sk0, global)
+        val pcts = Seq((50, 1, 2), (90, 9, 10), (99, 99, 100))
+        val est = QuantileSketch.estimate(sk, pcts)
+        // exact integer-rank percentiles over the distinct-cents relation
+        val ba = ev.unionByName(ev.withColumn("source", lit("ALL")))
+        val vc = ba.groupBy("source", "c").agg(count(lit(1)).as("vcnt"))
+        val vcum = vc.withColumn("cum",
+          sum("vcnt").over(Window.partitionBy("source").orderBy("c")))
+        val n = ba.groupBy("source").agg(count(lit(1)).as("n"))
+        val qs = s.createDataFrame(pcts).toDF("pct", "num", "den")
+        val tgt = n.crossJoin(broadcast(qs))
+          .withColumn("r", expr("(n * num + den - 1) div den"))
+          .select("source", "pct", "r")
+        val ex = vcum.join(tgt, Seq("source"))
+          .filter(col("cum") >= col("r"))
+          .groupBy("source", "pct")
+          .agg(min("c").as("exact"))
+        est.join(ex, Seq("source", "pct"))
+          .select(col("source"), col("pct"), col("est"), col("exact"),
+            round(abs(col("est") - col("exact")) / col("exact"), 4)
+              .as("rel_err"))
+      }),
+
+    // CROSS-SOURCE DISTRIBUTION DRIFT from merged sketches: total-
+    // variation distance between each source's bucket distribution and
+    // the all-source mixture, in EXACT integer arithmetic (|cs·ng−cg·ns|
+    // sums as BIGINT — order-independent, unlike a float Σ|p−q|), with
+    // one final division. The feature-drift monitor a training pipeline
+    // runs daily against persisted sketches — everything here is bucket-
+    // dimension sized once the sketch exists.
+    QueryDef(
+      "q_sketch_drift",
+      Some(s"""WITH ev AS (SELECT event_type AS source,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+             |b AS (SELECT source, c, ${graft.ops.QuantileSketch.ixSql} AS ix
+             |  FROM ev),
+             |sk0 AS (SELECT source, ix, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM b GROUP BY 1, 2),
+             |gl AS (SELECT ix, CAST(sum(cnt) AS BIGINT) AS gc
+             |  FROM sk0 GROUP BY 1),
+             |ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns
+             |  FROM sk0 GROUP BY 1),
+             |ng AS (SELECT CAST(sum(gc) AS BIGINT) AS ng FROM gl),
+             |grid AS (SELECT s.source, g.ix, g.gc,
+             |    coalesce(k.cnt, 0) AS cs
+             |  FROM (SELECT DISTINCT source FROM sk0) s
+             |  CROSS JOIN gl g
+             |  LEFT JOIN sk0 k ON k.source = s.source AND k.ix = g.ix)
+             |SELECT grid.source, ns.ns AS n,
+             |  round(CAST(sum(abs(cs * ng.ng - gc * ns.ns)) AS BIGINT)
+             |    / (2.0 * ns.ns * ng.ng), 6) AS tv_dist
+             |FROM grid JOIN ns ON ns.source = grid.source CROSS JOIN ng
+             |GROUP BY 1, 2, ng.ng""".stripMargin),
+      (s, dir) => {
+        import graft.ops.QuantileSketch
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type").as("source"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+        val sk0 = QuantileSketch.build(ev).drop("rep2x").localCheckpoint()
+        val glob = sk0.groupBy("ix").agg(sum("cnt").as("gc"))
+        val ns = sk0.groupBy("source").agg(sum("cnt").as("ns"))
+        val ng = glob.agg(sum("gc").as("ng"))
+        val grid = sk0.select("source").distinct()
+          .crossJoin(broadcast(glob))
+          .join(sk0.withColumnRenamed("cnt", "cs"), Seq("source", "ix"),
+            "left_outer")
+          .withColumn("cs", coalesce(col("cs"), lit(0L)))
+        grid.join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(ng))
+          .groupBy("source", "ns", "ng")
+          .agg(sum(abs(col("cs") * col("ng") - col("gc") * col("ns")))
+            .as("num"))
+          .select(col("source"), col("ns").as("n"),
+            round(col("num") / (lit(2.0) * col("ns") * col("ng")), 6)
+              .as("tv_dist"))
       })
   )
 }
