@@ -999,6 +999,32 @@ object ExtensionQueries {
           "vec_id", "embedding", k = 3, nprobe = 2, m = 8, subDim = 8)
       }),
 
+    // INCREMENTAL ANN MAINTENANCE: build the persisted IVF-PQ index from
+    // ~80% of the corpus, append the remaining batch via appendToIndex
+    // (encode against the FROZEN quantizers, no rebuild), then search.
+    // Oracle = the fresh-FULL-build ivfPqOracle: with iters=0 both
+    // quantizers seed from the 8/16 lowest-id vectors, all of which live
+    // in the base split, so (index + delta) must reproduce the fresh
+    // build's ranks exactly — the q_incremental_dedup contract for
+    // similarity search. Staleness/rebuild mechanics are spec'd in
+    // AnnIncrementalSpec.
+    QueryDef(
+      "q_ann_incremental",
+      Some(ivfPqOracle),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-annincr").toString)
+        val base = e.filter(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+        val delta = e.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0)
+        graft.sim.IvfPq.buildIndex(wh, "ann", base, "vec_id", "embedding",
+          numCells = 8, m = 8, subDim = 8, ksub = 16, iters = 0)
+        graft.sim.IvfPq.appendToIndex(wh, "ann", delta, "vec_id",
+          "embedding", m = 8, subDim = 8)
+        graft.sim.IvfPq.searchIndex(wh, "ann", e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, nprobe = 2, m = 8, subDim = 8)
+      }),
+
     // Context-window chunking: overlapping token windows (size 32, stride
     // 24) exploded to one row per chunk — the training-data step between
     // cleaning and tokenization. Pure integer window arithmetic → exact

@@ -59,6 +59,11 @@ object IvfPq {
     wh.overwrite(s"${name}_codes",
       Pq.encode(corpus, idCol, vecCol, m, subDim, cb)
         .select(col(idCol).as("neighbor_id"), col("subspace").as("s"), col("code")))
+    // build-time size: the denominator-anchor for the staleness metric
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    wh.overwrite(s"${name}_meta",
+      Seq(wh.read(s"${name}_cells").count()).toDF("built_n"))
   }
 
   /** Search a persisted index built by [[buildIndex]]. */
@@ -69,6 +74,59 @@ object IvfPq {
       wh.read(s"${name}_centroids"), wh.read(s"${name}_cells"),
       wh.read(s"${name}_codebooks"), wh.read(s"${name}_codes"),
       idCol, vecCol, k, nprobe, m, subDim)
+
+  /** INCREMENTAL index maintenance — the daily-batch path (the
+    * q_incremental_dedup analogue for similarity search): encode a new
+    * embedding batch against the EXISTING coarse centroids and PQ
+    * codebooks and append its cell assignments + codes; no retraining, no
+    * corpus re-encode, cost O(batch). Because both quantizers are frozen,
+    * search over (index + delta) returns EXACTLY what a fresh build with
+    * the same quantizers would — gated by q_ann_incremental against the
+    * full-corpus oracle. The price of freezing is drift: batches that
+    * shift the embedding distribution make the quantizers stale —
+    * measured by [[staleness]], repaired by [[compactIfStale]].
+    */
+  def appendToIndex(wh: graft.tables.Warehouse, name: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): Unit = {
+    val centroids = wh.read(s"${name}_centroids")
+    val cb = wh.read(s"${name}_codebooks")
+    wh.append(s"${name}_cells",
+      Ivf.index(batch, idCol, vecCol, centroids)
+        .select("neighbor_id", "centroid_id"))
+    wh.append(s"${name}_codes",
+      Pq.encode(batch, idCol, vecCol, m, subDim, cb)
+        .select(col(idCol).as("neighbor_id"), col("subspace").as("s"),
+          col("code")))
+  }
+
+  /** Fraction of indexed vectors encoded AFTER the last (re)build —
+    * appended rows used quantizers trained without them, so this is the
+    * index's distribution-drift exposure. 0.0 right after a build.
+    */
+  def staleness(wh: graft.tables.Warehouse, name: String): Double = {
+    val total = wh.read(s"${name}_cells").count()
+    val built = wh.read(s"${name}_meta")
+      .select("built_n").head.getLong(0)
+    if (total == 0) 0.0 else (total - built).toDouble / total
+  }
+
+  /** Rebuild trigger: when [[staleness]] exceeds `threshold`, retrain
+    * quantizers and re-encode from `corpus` (a full [[buildIndex]] —
+    * the amortized compaction every write-optimized index pays
+    * eventually); otherwise a no-op. Returns whether a rebuild ran.
+    */
+  def compactIfStale(wh: graft.tables.Warehouse, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String, numCells: Int,
+      m: Int, subDim: Int, ksub: Int, threshold: Double,
+      iters: Int = 2): Boolean = {
+    val s = staleness(wh, name)
+    if (s > threshold) {
+      buildIndex(wh, name, corpus, idCol, vecCol, numCells, m, subDim,
+        ksub, iters)
+      true
+    } else false
+  }
 
   private def search(queries: DataFrame, centroids: DataFrame,
       cells: DataFrame, cb: DataFrame, codes: DataFrame,
