@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up: replicate an existing SF directory
+  * `factor`× with key striding, for scale measurements above the largest
+  * driver-generated SF (the r9 verdict's ask: turn every "survives 100×"
+  * design argument into a measurement). NOT for correctness gating — the
+  * DuckDB oracle always runs against driver fixtures; this exists so
+  * Bench can run at sf1 and the per-query sf0.1→sf1 ratios land in a
+  * committed artifact.
+  *
+  * Replica r shifts every key column by r·10⁸ (far above any fixture
+  * key), preserving referential integrity (orders↔lineitem↔part/supplier,
+  * customer↔orders) and every schema/type exactly. The two dimension
+  * tables (region, nation) stay single-copy, as a real star schema would.
+  *
+  * Two tables get per-replica CONTENT perturbation so similarity
+  * operators see a 10×-bigger corpus rather than 10 identical clones
+  * (which would measure a 100% duplicate corpus, not scale):
+  *   - documents: every token of replica r > 0 gets an `xr<r>` suffix —
+  *     vocabulary and Zipf shape scale with the corpus, cross-replica
+  *     word/shingle overlap drops to ~zero, near-dup pair counts scale
+  *     linearly like a real crawl's;
+  *   - embeddings: replica r's vector is the original rotated by r
+  *     positions — norms and coordinate distributions unchanged,
+  *     cross-replica cosine decorrelated.
+  *
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stride = 100000000L
+
+    def write(name: String, df: DataFrame, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    def replicate(name: String, keyCols: Seq[String],
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
+        parts: Int = 8): Unit = {
+      val src = spark.read.parquet(s"$inDir/$name.parquet")
+      val all = (0 until factor).map { r =>
+        val shifted = keyCols.foldLeft(src)((d, c) =>
+          d.withColumn(c, col(c) + lit(r * stride)))
+        perReplica(shifted, r)
+      }.reduce(_ unionByName _)
+      write(name, all, parts)
+      println(s"[scaleup] $name ×$factor")
+    }
+
+    for (t <- Seq("region", "nation"))
+      write(t, spark.read.parquet(s"$inDir/$t.parquet"), 1)
+
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      parts = 16)
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("documents", Seq("doc_id"), (d, r) =>
+      if (r == 0) d
+      else d
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1xr" + r))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("embeddings", Seq("vec_id"), (d, r) =>
+      if (r == 0) d
+      else d.withColumn("embedding", expr(
+        s"transform(embedding, (x, i) -> element_at(embedding, " +
+          s"CAST((i + $r) % size(embedding) AS INT) + 1))")))
+
+    spark.stop()
+    println(s"[scaleup] done: $outDir (factor $factor)")
+  }
+}
