@@ -64,12 +64,16 @@ object Dedup {
     */
   val maskMaxVocab = 1024
 
-  /** Document cap for the bitmask path. The bitmask candidate stage is a
-    * broadcast crossJoin — quadratic in documents no matter how cheap the
-    * per-pair popcount is. 2000 docs ⇒ ≤2M mask pairs, a bounded flat cost;
-    * past that the prefix-filtered inverted index (equally exact) wins.
+  /** DISTINCT-WORD-SET cap for the bitmask path. The bitmask candidate
+    * stage is quadratic in distinct masks (docs dedup to their word-set
+    * mask first — r10: quadratic work moved from documents to distinct
+    * sets, with doc-pair expansion output-bounded), so the guard bounds
+    * the mask crossJoin: 10000 sets ⇒ ≤50M popcount pairs, a bounded flat
+    * cost. Past that the prefix-filtered inverted index (equally exact)
+    * wins — which for a REAL (big-vocab) corpus it does anyway, since
+    * distinct word-sets there ≈ distinct documents.
     */
-  val defaultBitmaskMaxDocs = 2000L
+  val defaultBitmaskMaxDocs = 10000L
 
   /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies:
     *
@@ -140,46 +144,50 @@ object Dedup {
           // recomputing the upstream shingling per action dominated the
           // fixture runtime before this
           val wc = w.localCheckpoint()
-          val exact = wc.agg(countDistinct(col("word")),
-            countDistinct(col("doc_id"))).first()
-          if (exact.getLong(0) <= maskMaxVocab &&
-              exact.getLong(1) <= bitmaskMaxDocs)
-            jaccardBitmask(wc, threshold)
+          val exactVocab =
+            wc.agg(countDistinct(col("word"))).first().getLong(0)
+          // doc count no longer disqualifies: the bitmask path dedups to
+          // distinct word-set masks and guards on THAT count internally,
+          // falling back to the inverted index past bitmaskMaxDocs sets
+          if (exactVocab <= maskMaxVocab)
+            jaccardBitmask(wc, threshold, bitmaskMaxDocs, dfCap)
           else jaccardInvertedIndex(wc, threshold, dfCap)
         }
     }
   }
 
-  private def jaccardBitmask(w: DataFrame, threshold: Double): DataFrame = {
+  /** Bitmask Jaccard, quadratic only in DISTINCT WORD-SETS (r10): docs
+    * dedup to their set mask first, the popcount crossJoin runs over the
+    * (set_id, mask) relation, and qualifying set pairs expand back to doc
+    * pairs through output-bounded equi-joins (identical-set docs pair at
+    * J = 1.0 via a set_id self-join). On template-shaped corpora — tiny
+    * vocab, massive doc counts, the exact case that defeats the inverted
+    * index's prefix pruning — distinct sets stay in the hundreds while
+    * docs grow unboundedly: the sf1 probe had q_word_jaccard at 203 s via
+    * the doc-quadratic path and ~2 s via this one. Real (big-vocab)
+    * corpora have ~as many sets as docs and fall back to the inverted
+    * index via the `maxSets` guard.
+    */
+  private def jaccardBitmask(w: DataFrame, threshold: Double,
+      maxSets: Long, dfCap: Option[Double]): DataFrame = {
     // the caller guarantees vocab ≤ maskMaxVocab: assign bits driver-side
     // (a global row_number window here moved all words to one partition and
     // was the repo's last unpartitioned-window warning) and inline them as
     // a literal map — codegen'd lookup, zero extra shuffle. Each document
     // packs into ceil(vocab/64) longs; per-pair Jaccard is pure popcount
-    // arithmetic (the same data via per-pair array_intersect measured
-    // ~300 s for 500 docs; via the inverted-index join on a degenerate
-    // 377-gram vocabulary, ~27M join rows — this path is ~thousandths).
-    // `w` arrives materialized (localCheckpoint in the caller) — the vocab
-    // collect and both mask-build sides consume it repeatedly
+    // arithmetic. `w` arrives materialized (localCheckpoint in the caller).
     val bitOf: Map[String, Int] = w.select("word").distinct()
       .orderBy("word").collect().map(_.getString(0)).zipWithIndex.toMap
     val nWords = math.max(1, (bitOf.size + 63) / 64)
     val withBit = w.withColumn("bit", element_at(typedlit(bitOf), col("word")))
-    val pairs =
-      if (nWords == 1) {
+    val docMasks =
+      (if (nWords == 1)
         // single-long fast path: scalar codegen ops, no arrays
-        val masks = withBit.groupBy("doc_id")
+        withBit.groupBy("doc_id")
           .agg(bit_or(expr("shiftleft(1L, bit)")).as("mask"))
-        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
-        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
-        a.crossJoin(broadcast(b))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("jaccard",
-            bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
-              / bit_count(col("ma").bitwiseOR(col("mb"))))
-      } else {
+      else
         // multi-word masks: bit b lives in long b/64 at position b%64
-        val masks = withBit
+        withBit
           .withColumn("wi", (col("bit") / 64).cast("int"))
           .groupBy("doc_id", "wi")
           .agg(bit_or(expr("shiftleft(1L, bit % 64)")).as("m"))
@@ -189,10 +197,23 @@ object Dedup {
           .select(col("doc_id"),
             transform(sequence(lit(0), lit(nWords - 1)),
               i => coalesce(element_at(col("mm"), i), lit(0L))).as("mask"))
-        val a = masks.select(col("doc_id").as("doc_a"), col("mask").as("ma"))
-        val b = masks.select(col("doc_id").as("doc_b"), col("mask").as("mb"))
-        a.crossJoin(broadcast(b))
-          .filter(col("doc_a") < col("doc_b"))
+      ).localCheckpoint() // feeds the set dedup AND the membership join
+    val sets = docMasks.groupBy("mask")
+      .agg(min("doc_id").as("set_id"))
+      .localCheckpoint() // counted for the guard, then joined three ways
+    if (sets.count() > maxSets)
+      return jaccardInvertedIndex(w, threshold, dfCap)
+    val member = docMasks.join(sets, Seq("mask")).select("set_id", "doc_id")
+    val a = sets.select(col("set_id").as("sa"), col("mask").as("ma"))
+    val b = sets.select(col("set_id").as("sb"), col("mask").as("mb"))
+    val setPairs = a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
+    val scored =
+      if (nWords == 1)
+        setPairs.withColumn("jaccard",
+          bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
+            / bit_count(col("ma").bitwiseOR(col("mb"))))
+      else
+        setPairs
           .withColumn("inter", aggregate(
             zip_with(col("ma"), col("mb"),
               (x, y) => bit_count(x.bitwiseAND(y))),
@@ -202,9 +223,22 @@ object Dedup {
               (x, y) => bit_count(x.bitwiseOR(y))),
             lit(0), (acc, v) => acc + v))
           .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      }
-    pairs
-      .filter(col("jaccard") >= threshold)
+    val qual = scored.filter(col("jaccard") >= threshold)
+      .select("sa", "sb", "jaccard")
+    // expansion joins are sized by the OUTPUT pair count, nothing more
+    val crossSet = qual
+      .join(member.select(col("set_id").as("sa"), col("doc_id").as("da")),
+        Seq("sa"))
+      .join(member.select(col("set_id").as("sb"), col("doc_id").as("db")),
+        Seq("sb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val withinSet = member.select(col("set_id"), col("doc_id").as("doc_a"))
+      .join(member.select(col("set_id"), col("doc_id").as("doc_b")),
+        Seq("set_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    crossSet.unionByName(withinSet)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
