@@ -73,7 +73,14 @@ object Dedup {
     * wins — which for a REAL (big-vocab) corpus it does anyway, since
     * distinct word-sets there ≈ distinct documents.
     */
-  val defaultBitmaskMaxDocs = 10000L
+  val defaultBitmaskMaxSets = 10000L
+
+  /** @deprecated renamed — since r10 the guard caps DISTINCT WORD-SET
+    * masks, not documents; use [[defaultBitmaskMaxSets]]. Kept so callers
+    * tuning the old name keep compiling against the same value.
+    */
+  @deprecated("the cap bounds distinct word-set masks, not documents; use defaultBitmaskMaxSets", "r11")
+  val defaultBitmaskMaxDocs = defaultBitmaskMaxSets
 
   /** Exact word-set Jaccard pairs ≥ threshold. Two physical strategies:
     *
@@ -82,7 +89,8 @@ object Dedup {
     *   `popcount(a&b)/popcount(a|b)` — pure codegen integer ops. (Per-pair
     *   array_intersect on the same data measured ~300 s for 500 docs; this
     *   runs the 5 000-doc / 12.5M-pair case in seconds.) Still quadratic in
-    *   docs, so a row-count guard rejects it past `bitmaskMaxDocs`.
+    *   docs, so a guard on the DISTINCT-MASK count (r10 semantics: `bitmaskMaxSets`
+    *   caps word-set masks, not raw documents) rejects it past the cap.
     * - INVERTED INDEX with PREFIX FILTERING (exact): each document indexes
     *   only its rarest `n − ceil(t·n) + 1` features under a global
     *   (df, feature) order; any pair with J ≥ t provably shares an indexed
@@ -101,7 +109,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, strategy: JaccardStrategy = JaccardAuto,
       dfCap: Option[Double] = None,
-      bitmaskMaxDocs: Long = defaultBitmaskMaxDocs): DataFrame =
+      bitmaskMaxSets: Long = defaultBitmaskMaxSets): DataFrame =
     jaccardPairsFeatures(
       wordSets(df, idCol, textCol)
         // explode_outer + null filter: inner explode makes
@@ -109,7 +117,7 @@ object Dedup {
         // pre-shuffle filter that re-runs the normalization per row
         .select(col(idCol).as("doc_id"), explode_outer(col("words")).as("word"))
         .filter(col("word").isNotNull),
-      threshold, strategy, dfCap, bitmaskMaxDocs)
+      threshold, strategy, dfCap, bitmaskMaxSets)
 
   /** Exact Jaccard over an arbitrary exploded feature table
     * `(doc_id, word)` — words, char n-grams, shingle hashes, anything
@@ -117,7 +125,7 @@ object Dedup {
     */
   def jaccardPairsFeatures(features: DataFrame, threshold: Double,
       strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
-      bitmaskMaxDocs: Long = defaultBitmaskMaxDocs): DataFrame = {
+      bitmaskMaxSets: Long = defaultBitmaskMaxSets): DataFrame = {
     val w = features
     strategy match {
       case JaccardInverted =>
@@ -148,9 +156,9 @@ object Dedup {
             wc.agg(countDistinct(col("word"))).first().getLong(0)
           // doc count no longer disqualifies: the bitmask path dedups to
           // distinct word-set masks and guards on THAT count internally,
-          // falling back to the inverted index past bitmaskMaxDocs sets
+          // falling back to the inverted index past bitmaskMaxSets sets
           if (exactVocab <= maskMaxVocab)
-            jaccardBitmask(wc, threshold, bitmaskMaxDocs, dfCap)
+            jaccardBitmask(wc, threshold, bitmaskMaxSets, dfCap)
           else jaccardInvertedIndex(wc, threshold, dfCap)
         }
     }

@@ -266,10 +266,16 @@ object SketchQueries {
     // CROSS-SOURCE DISTRIBUTION DRIFT from merged sketches: total-
     // variation distance between each source's bucket distribution and
     // the all-source mixture, in EXACT integer arithmetic (|cs·ng−cg·ns|
-    // sums as BIGINT — order-independent, unlike a float Σ|p−q|), with
-    // one final division. The feature-drift monitor a training pipeline
-    // runs daily against persisted sketches — everything here is bucket-
-    // dimension sized once the sketch exists.
+    // sums — order-independent, unlike a float Σ|p−q|), with one final
+    // division. The cross products are widened to 128-bit BEFORE the
+    // multiply (DecimalType(38,0) here, HUGEINT on the oracle) because at
+    // the corpus scale this module advertises (ng ≳ 3e9 with comparable
+    // per-source cs) cs·ng overflows a 64-bit Long — Spark would wrap
+    // silently in non-ANSI mode while DuckDB raises, i.e. the engines
+    // would diverge exactly when the at-scale claim is invoked. The
+    // feature-drift monitor a training pipeline runs daily against
+    // persisted sketches — everything here is bucket-dimension sized
+    // once the sketch exists.
     QueryDef(
       "q_sketch_drift",
       Some(s"""WITH ev AS (SELECT event_type AS source,
@@ -289,7 +295,8 @@ object SketchQueries {
              |  CROSS JOIN gl g
              |  LEFT JOIN sk0 k ON k.source = s.source AND k.ix = g.ix)
              |SELECT grid.source, ns.ns AS n,
-             |  round(CAST(sum(abs(cs * ng.ng - gc * ns.ns)) AS BIGINT)
+             |  round(sum(abs(CAST(cs AS HUGEINT) * ng.ng
+             |                - CAST(gc AS HUGEINT) * ns.ns))
              |    / (2.0 * ns.ns * ng.ng), 6) AS tv_dist
              |FROM grid JOIN ns ON ns.source = grid.source CROSS JOIN ng
              |GROUP BY 1, 2, ng.ng""".stripMargin),
@@ -310,7 +317,8 @@ object SketchQueries {
         grid.join(broadcast(ns), Seq("source"))
           .crossJoin(broadcast(ng))
           .groupBy("source", "ns", "ng")
-          .agg(sum(abs(col("cs") * col("ng") - col("gc") * col("ns")))
+          .agg(sum(abs(col("cs").cast("decimal(38,0)") * col("ng")
+              - col("gc").cast("decimal(38,0)") * col("ns")))
             .as("num"))
           .select(col("source"), col("ns").as("n"),
             round(col("num") / (lit(2.0) * col("ns") * col("ng")), 6)

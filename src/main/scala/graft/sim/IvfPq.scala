@@ -85,27 +85,48 @@ object IvfPq {
     * full-corpus oracle. The price of freezing is drift: batches that
     * shift the embedding distribution make the quantizers stale —
     * measured by [[staleness]], repaired by [[compactIfStale]].
+    *
+    * IDEMPOTENT under replay: both appends anti-join on their key
+    * (`neighbor_id` for cells, `(neighbor_id, s)` for codes) before
+    * writing, so a retried/crash-replayed daily batch neither duplicates
+    * candidate rows (which would displace genuine top-k neighbors) nor
+    * inflates the [[staleness]] numerator — same contract as
+    * IncrementalDedup.processBatch.
     */
   def appendToIndex(wh: graft.tables.Warehouse, name: String,
       batch: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): Unit = {
     val centroids = wh.read(s"${name}_centroids")
     val cb = wh.read(s"${name}_codebooks")
-    wh.append(s"${name}_cells",
+    wh.appendIfAbsent(s"${name}_cells",
       Ivf.index(batch, idCol, vecCol, centroids)
-        .select("neighbor_id", "centroid_id"))
-    wh.append(s"${name}_codes",
+        .select("neighbor_id", "centroid_id"),
+      Seq("neighbor_id"))
+    wh.appendIfAbsent(s"${name}_codes",
       Pq.encode(batch, idCol, vecCol, m, subDim, cb)
         .select(col(idCol).as("neighbor_id"), col("subspace").as("s"),
-          col("code")))
+          col("code")),
+      Seq("neighbor_id", "s"))
   }
 
   /** Fraction of indexed vectors encoded AFTER the last (re)build —
     * appended rows used quantizers trained without them, so this is the
     * index's distribution-drift exposure. 0.0 right after a build.
+    *
+    * An index persisted before `_meta` existed (only [[buildIndex]]
+    * writes it) is treated as fully built at its current size: we lazily
+    * backfill `_meta` with the cells count rather than failing the read,
+    * so pre-existing warehouses keep working; drift accounting starts
+    * from that backfill point.
     */
   def staleness(wh: graft.tables.Warehouse, name: String): Double = {
     val total = wh.read(s"${name}_cells").count()
+    if (!wh.exists(s"${name}_meta")) {
+      val spark = wh.read(s"${name}_cells").sparkSession
+      import spark.implicits._
+      wh.overwrite(s"${name}_meta", Seq(total).toDF("built_n"))
+      return 0.0
+    }
     val built = wh.read(s"${name}_meta")
       .select("built_n").head.getLong(0)
     if (total == 0) 0.0 else (total - built).toDouble / total

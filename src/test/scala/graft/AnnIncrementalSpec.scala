@@ -44,6 +44,37 @@ class AnnIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex replay is idempotent: a retried batch adds nothing") {
+    val (_, m, subDim, _) = P
+    val (wh, delta) = buildSplit()
+    val cells0 = wh.read("ann_cells").count()
+    val codes0 = wh.read("ann_codes").count()
+    val stale0 = IvfPq.staleness(wh, "ann")
+    // crash-replay of the same daily batch: must not duplicate candidate
+    // rows or inflate staleness
+    IvfPq.appendToIndex(wh, "ann", delta, "vec_id", "embedding", m, subDim)
+    assert(wh.read("ann_cells").count() == cells0,
+      "replayed append duplicated cell assignments")
+    assert(wh.read("ann_codes").count() == codes0,
+      "replayed append duplicated PQ codes")
+    assert(IvfPq.staleness(wh, "ann") == stale0,
+      "replayed append inflated the staleness metric")
+  }
+
+  test("an index persisted before _meta existed backfills as fully built") {
+    val (wh, _) = buildSplit()
+    val legacy = new Warehouse(spark,
+      Files.createTempDirectory("graft-annlegacy").toString)
+    for (t <- Seq("ann_centroids", "ann_cells", "ann_codebooks", "ann_codes"))
+      legacy.overwrite(t, wh.read(t)) // everything EXCEPT _meta
+    assert(!legacy.exists("ann_meta"))
+    assert(IvfPq.staleness(legacy, "ann") == 0.0,
+      "pre-_meta index must read as staleness 0, not fail")
+    assert(legacy.exists("ann_meta"), "staleness() must lazily backfill _meta")
+    assert(legacy.read("ann_meta").head.getLong(0) ==
+      legacy.read("ann_cells").count())
+  }
+
   test("staleness tracks appended volume; compactIfStale triggers and resets") {
     val (numCells, m, subDim, ksub) = P
     val (wh, delta) = buildSplit()

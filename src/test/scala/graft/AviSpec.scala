@@ -22,9 +22,23 @@ class AviSpec extends SparkSpec {
     assert(perDoc.filter(col("n") =!= 3 || col("f0") =!= 0 ||
       col("f1") =!= 2 || col("w") =!= 8 || col("h") =!= 8).isEmpty,
       "some payload decoded to the wrong frame set")
-    // the padding rule is only exercised if some JPEG frame is odd-sized
-    val oddSeen = Binary.decodeAviFrames(avi, "avi").count() == 120
-    assert(oddSeen)
+    // the RIFF even-byte padding rule is only exercised if some JPEG
+    // frame payload is odd-sized: scan the generated containers for
+    // '00dc' chunk headers and check the LE sizes directly, so a future
+    // generator change that quietly rounds every frame to even bytes
+    // fails here instead of silently untesting the padding walk
+    val payloads = avi.select("avi").collect().map(_.getAs[Array[Byte]](0))
+    def dcSizes(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 8).collect {
+        case i if b(i) == '0' && b(i + 1) == '0' &&
+            b(i + 2) == 'd' && b(i + 3) == 'c' =>
+          (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+            ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      }
+    val sizes = payloads.toSeq.flatMap(dcSizes)
+    assert(sizes.size == 120, s"expected 120 '00dc' chunks, saw ${sizes.size}")
+    assert(sizes.exists(_ % 2 == 1),
+      "no odd-sized JPEG frame generated: the padding rule is untested")
   }
 
   test("frames differ: per-frame seeds produce distinct pixel content") {
