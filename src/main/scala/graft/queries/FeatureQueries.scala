@@ -25,18 +25,25 @@ object FeatureQueries {
     * weights). Kept in ONE place so the two gates can never train
     * different models.
     */
-  private[graft] val logregFeatSql: String =
-    """SELECT CASE WHEN n_chars > med.m THEN 1.0 ELSE 0.0 END AS y,
+  /** The feature CTE body, optionally carrying extra per-doc columns
+    * (e.g. "doc_id, lang, ") for eval queries that split or group the
+    * scored rows — ONE string so the model's features can never drift
+    * between the train gates and the eval gates.
+    */
+  private[graft] def logregFeatSqlWith(extra: String): String =
+    s"""SELECT ${extra}CASE WHEN n_chars > med.m THEN 1.0 ELSE 0.0 END AS y,
       |    len(tk) / 100.0 AS x1,
       |    len(t) / CAST(len(tk) AS DOUBLE) / 10 AS x2,
       |    len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE) AS x3
-      |  FROM (SELECT n_chars,
-      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t,
       |      regexp_split_to_array(lower(trim(regexp_replace(text,
-      |        '\s+', ' ', 'g'))), ' ') AS tk
+      |        '\\s+', ' ', 'g'))), ' ') AS tk
       |    FROM documents) base,
       |    (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents) med
       |  WHERE len(tk) > 0 AND len(t) > 0""".stripMargin
+
+  private[graft] val logregFeatSql: String = logregFeatSqlWith("")
 
   private[graft] def logregChainSql(steps: Int): String = {
     def step(i: Int) = {
@@ -91,6 +98,30 @@ object FeatureQueries {
         w(2) + 5 * g.getDouble(2), w(3) + 5 * g.getDouble(3))
     }
     (f, w)
+  }
+
+  /** Spark-side twin of [[logregFeatSqlWith]]: the feature frame carrying
+    * `extra` per-doc columns, for eval gates that split/group scored rows.
+    * Same formulas as [[logregTrain]]'s frame — kept adjacent on purpose.
+    */
+  private[graft] def logregFeaturesWith(s: org.apache.spark.sql.SparkSession,
+      dir: String, extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val t = graft.dedup.Dedup.normalized(col("text"))
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id") +: col("lang") +: col("n_chars") +:
+        t.as("t") +: split(t, " ").as("tk") +: Nil: _*)
+      .filter(size(col("tk")) > 0 && length(col("t")) > 0)
+    val med = graft.ops.Quantiles
+      .groupQuantiles(Tables.t(s, dir, "documents")
+        .withColumn("g", lit(1)), "g", "n_chars", Seq("m" -> 0.5))
+      .select("m")
+    base.crossJoin(broadcast(med))
+      .select(extra.map(col) ++ Seq(
+        when(col("n_chars") > col("m"), 1.0).otherwise(0.0).as("y"),
+        (size(col("tk")) / 100.0).as("x1"),
+        (length(col("t")) / size(col("tk")).cast("double") / 10).as("x2"),
+        (size(array_distinct(col("tk")))
+          / size(col("tk")).cast("double")).as("x3")): _*)
   }
 
   private[graft] def logregPCol(w: Array[Double]) =
