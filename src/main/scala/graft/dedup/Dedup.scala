@@ -76,8 +76,11 @@ object Dedup {
   val defaultBitmaskMaxSets = 10000L
 
   /** @deprecated renamed — since r10 the guard caps DISTINCT WORD-SET
-    * masks, not documents; use [[defaultBitmaskMaxSets]]. Kept so callers
-    * tuning the old name keep compiling against the same value.
+    * masks, not documents; use [[defaultBitmaskMaxSets]]. This alias
+    * preserves ONLY references to the constant by its old name; the
+    * matching named parameter of [[jaccardPairs]]/[[jaccardPairsFeatures]]
+    * was renamed outright (`bitmaskMaxDocs = …` keyword call sites must
+    * update to `bitmaskMaxSets = …`).
     */
   @deprecated("the cap bounds distinct word-set masks, not documents; use defaultBitmaskMaxSets", "r11")
   val defaultBitmaskMaxDocs = defaultBitmaskMaxSets

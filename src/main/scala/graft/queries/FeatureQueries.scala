@@ -45,7 +45,8 @@ object FeatureQueries {
 
   private[graft] val logregFeatSql: String = logregFeatSqlWith("")
 
-  private[graft] def logregChainSql(steps: Int): String = {
+  private[graft] def logregChainSql(steps: Int,
+      extra: String = ""): String = {
     def step(i: Int) = {
       val p = "1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))"
       s"""g$i AS (SELECT
@@ -57,7 +58,7 @@ object FeatureQueries {
          |  GROUP BY g${i - 1}.w0, g${i - 1}.w1, g${i - 1}.w2,
          |    g${i - 1}.w3)""".stripMargin
     }
-    s"""f AS ($logregFeatSql),
+    s"""f AS (${logregFeatSqlWith(extra)}),
        |g0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
        |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
        |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
@@ -69,20 +70,9 @@ object FeatureQueries {
   private[graft] def logregTrain(s: org.apache.spark.sql.SparkSession,
       dir: String, steps: Int): (org.apache.spark.sql.DataFrame,
       Array[Double]) = {
-    val t = graft.dedup.Dedup.normalized(col("text"))
-    val base = Tables.t(s, dir, "documents")
-      .select(col("n_chars"), t.as("t"), split(t, " ").as("tk"))
-      .filter(size(col("tk")) > 0 && length(col("t")) > 0)
-    val med = graft.ops.Quantiles
-      .groupQuantiles(Tables.t(s, dir, "documents")
-        .withColumn("g", lit(1)), "g", "n_chars", Seq("m" -> 0.5))
-      .select("m")
-    val f = base.crossJoin(broadcast(med))
-      .select(when(col("n_chars") > col("m"), 1.0).otherwise(0.0).as("y"),
-        (size(col("tk")) / 100.0).as("x1"),
-        (length(col("t")) / size(col("tk")).cast("double") / 10).as("x2"),
-        (size(array_distinct(col("tk")))
-          / size(col("tk")).cast("double")).as("x3"))
+    // the feature formulas live ONCE in logregFeaturesWith — train and
+    // eval gates can never drift
+    val f = logregFeaturesWith(s, dir, Nil)
       .localCheckpoint() // scanned once per GD step + final eval
     var w = Array(0.0, 0.0, 0.0, 0.0)
     def pCol = lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
@@ -100,9 +90,10 @@ object FeatureQueries {
     (f, w)
   }
 
-  /** Spark-side twin of [[logregFeatSqlWith]]: the feature frame carrying
-    * `extra` per-doc columns, for eval gates that split/group scored rows.
-    * Same formulas as [[logregTrain]]'s frame — kept adjacent on purpose.
+  /** Spark-side twin of [[logregFeatSqlWith]] and the SINGLE home of the
+    * Spark-side feature formulas: [[logregTrain]] builds its frame via
+    * this (extra = Nil), and eval gates pass the per-doc columns they
+    * need to split/group scored rows (e.g. Seq("lang")).
     */
   private[graft] def logregFeaturesWith(s: org.apache.spark.sql.SparkSession,
       dir: String, extra: Seq[String]): org.apache.spark.sql.DataFrame = {
@@ -545,6 +536,89 @@ object FeatureQueries {
           .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
             round(auc, 4).as("auc"),
             round(lit(2) * auc - 1, 4).as("gini"))
+      }),
+
+    // PER-SLICE model evaluation: the trained score broken down by the
+    // `lang` column carried through logregFeaturesWith — n, positives,
+    // accuracy, AUC, and ECE per language, the fairness/quality slice
+    // report a model gate reads before shipping scores corpus-wide.
+    // Scale shape: scores are quantized to 4 decimals FIRST, so all
+    // ranking state is a bounded |langs|×10⁴ histogram (the per-lang
+    // rank window runs over the histogram, never the corpus); AUC uses
+    // the rank-sum identity with average-rank ties over the quantized
+    // scores, identically on both engines. Fourth member of the
+    // train/calibrate/evaluate family on ONE shared model.
+    QueryDef(
+      "q_logreg_eval_by_lang",
+      Some(s"""WITH ${logregChainSql(10, "doc_id, lang, ")},
+             |ev AS (SELECT lang,
+             |    round(1/(1 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 4)
+             |      AS pb, y
+             |  FROM f, g10),
+             |d AS (SELECT lang, pb, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS np
+             |  FROM ev GROUP BY 1, 2),
+             |r AS (SELECT lang, pb, n, np,
+             |    sum(n) OVER (PARTITION BY lang ORDER BY pb
+             |      ROWS UNBOUNDED PRECEDING) - (n - 1) / 2.0 AS avg_rank
+             |  FROM d),
+             |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n,
+             |    CAST(sum(np) AS BIGINT) AS n1,
+             |    sum(np * avg_rank) AS r1,
+             |    sum(CASE WHEN pb > 0.5 THEN np ELSE n - np END)
+             |      / CAST(sum(n) AS DOUBLE) AS acc
+             |  FROM r GROUP BY 1),
+             |b AS (SELECT lang, CAST(least(floor(pb * 5), 4) AS INT)
+             |      AS bin,
+             |    sum(n) AS nb, sum(pb * n) / sum(n) AS mean_p,
+             |    sum(np) / CAST(sum(n) AS DOUBLE) AS obs
+             |  FROM d GROUP BY 1, 2),
+             |e AS (SELECT lang, sum(nb * abs(mean_p - obs)) / sum(nb)
+             |      AS ece
+             |  FROM b GROUP BY 1)
+             |SELECT t.lang, t.n, t.n1 AS n_pos,
+             |  round(t.acc, 4) AS accuracy,
+             |  round((t.r1 - t.n1 * (t.n1 + 1) / 2.0)
+             |    / (t.n1 * (t.n - t.n1)), 4) AS auc,
+             |  round(e.ece, 4) AS ece
+             |FROM t JOIN e ON t.lang = e.lang
+             |ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val (_, w) = logregTrain(s, dir, steps = 10)
+        val ev = logregFeaturesWith(s, dir, Seq("lang"))
+          .select(col("lang"), round(logregPCol(w), 4).as("pb"), col("y"))
+        val d = ev.groupBy("lang", "pb")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y") === 1.0, 1).otherwise(0)).cast("long")
+              .as("np"))
+        // histogram-sized window: ≤ |langs|·10⁴ rows total by quantization
+        val win = Window.partitionBy("lang").orderBy("pb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = d.withColumn("avg_rank",
+          sum("n").over(win) - (col("n") - 1) / 2.0)
+        val t = r.groupBy("lang").agg(
+          sum("n").as("n"), sum("np").as("n1"),
+          sum(col("np") * col("avg_rank")).as("r1"),
+          (sum(when(col("pb") > 0.5, col("np"))
+            .otherwise(col("n") - col("np")))
+            / sum("n").cast("double")).as("acc"))
+        val b = d.groupBy(col("lang"),
+            least(floor(col("pb") * 5), lit(4)).cast("int").as("bin"))
+          .agg(sum("n").as("nb"),
+            (sum(col("pb") * col("n")) / sum("n")).as("mean_p"),
+            (sum("np") / sum("n").cast("double")).as("obs"))
+        val e = b.groupBy("lang")
+          .agg((sum(col("nb") * abs(col("mean_p") - col("obs")))
+            / sum("nb")).as("ece"))
+        val auc = (col("r1") - col("n1") * (col("n1") + 1) / 2.0) /
+          (col("n1") * (col("n") - col("n1")))
+        t.join(e, "lang")
+          .select(col("lang"), col("n"), col("n1").as("n_pos"),
+            round(col("acc"), 4).as("accuracy"),
+            round(auc, 4).as("auc"),
+            round(col("ece"), 4).as("ece"))
+          .orderBy("lang")
       })
   )
 }

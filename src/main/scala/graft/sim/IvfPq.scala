@@ -92,6 +92,13 @@ object IvfPq {
     * candidate rows (which would displace genuine top-k neighbors) nor
     * inflates the [[staleness]] numerator — same contract as
     * IncrementalDedup.processBatch.
+    *
+    * Ids are APPEND-ONLY: a batch row whose `idCol` is already indexed is
+    * discarded wholesale — the stored cell assignment and PQ codes win,
+    * even if the row carries a different (re-embedded) vector. The
+    * fresh-build-parity claim above therefore holds only for corpora
+    * where an id's vector never changes; re-embedding an existing id
+    * requires a rebuild ([[buildIndex]] / [[compactIfStale]]).
     */
   def appendToIndex(wh: graft.tables.Warehouse, name: String,
       batch: DataFrame, idCol: String, vecCol: String,
@@ -109,24 +116,40 @@ object IvfPq {
       Seq("neighbor_id", "s"))
   }
 
+  /** Explicit one-time migration for an index persisted before `_meta`
+    * existed (only [[buildIndex]] writes it): record the CURRENT cells
+    * count as `built_n`, i.e. treat the index as fully built at its
+    * present size. Drift accounting starts from this migration point —
+    * appends the legacy index already absorbed are permanently invisible
+    * to [[staleness]], which is why this is an explicit operator call and
+    * not a lazy side effect of a metric read (a legacy index with known
+    * pre-migration drift should be rebuilt via [[buildIndex]] instead).
+    * Idempotent: a no-op when `_meta` already exists, so concurrent or
+    * replayed migrations cannot reset drift accounting. Returns whether
+    * a backfill was written.
+    */
+  def ensureMeta(wh: graft.tables.Warehouse, name: String): Boolean = {
+    if (wh.exists(s"${name}_meta")) return false
+    val cells = wh.read(s"${name}_cells")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    wh.overwrite(s"${name}_meta", Seq(cells.count()).toDF("built_n"))
+    true
+  }
+
   /** Fraction of indexed vectors encoded AFTER the last (re)build —
     * appended rows used quantizers trained without them, so this is the
     * index's distribution-drift exposure. 0.0 right after a build.
     *
-    * An index persisted before `_meta` existed (only [[buildIndex]]
-    * writes it) is treated as fully built at its current size: we lazily
-    * backfill `_meta` with the cells count rather than failing the read,
-    * so pre-existing warehouses keep working; drift accounting starts
-    * from that backfill point.
+    * PURE READ — never writes (a monitoring call must be safe to race
+    * with appends and with itself). An index without `_meta` reads as
+    * 0.0: its build point is unknown, so no drift can be claimed; run
+    * [[ensureMeta]] once to start drift accounting from the current
+    * size (or [[buildIndex]] to reset it honestly).
     */
   def staleness(wh: graft.tables.Warehouse, name: String): Double = {
+    if (!wh.exists(s"${name}_meta")) return 0.0
     val total = wh.read(s"${name}_cells").count()
-    if (!wh.exists(s"${name}_meta")) {
-      val spark = wh.read(s"${name}_cells").sparkSession
-      import spark.implicits._
-      wh.overwrite(s"${name}_meta", Seq(total).toDF("built_n"))
-      return 0.0
-    }
     val built = wh.read(s"${name}_meta")
       .select("built_n").head.getLong(0)
     if (total == 0) 0.0 else (total - built).toDouble / total

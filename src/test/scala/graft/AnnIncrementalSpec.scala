@@ -61,18 +61,34 @@ class AnnIncrementalSpec extends SparkSpec {
       "replayed append inflated the staleness metric")
   }
 
-  test("an index persisted before _meta existed backfills as fully built") {
-    val (wh, _) = buildSplit()
+  test("pre-_meta index: staleness is a pure read; ensureMeta migrates once") {
+    val (_, m, subDim, _) = P
+    val (wh, delta) = buildSplit()
     val legacy = new Warehouse(spark,
       Files.createTempDirectory("graft-annlegacy").toString)
     for (t <- Seq("ann_centroids", "ann_cells", "ann_codebooks", "ann_codes"))
       legacy.overwrite(t, wh.read(t)) // everything EXCEPT _meta
     assert(!legacy.exists("ann_meta"))
+    // a monitoring read must not fail AND must not write — two
+    // back-to-back calls on a meta-less index leave no _meta behind
     assert(IvfPq.staleness(legacy, "ann") == 0.0,
       "pre-_meta index must read as staleness 0, not fail")
-    assert(legacy.exists("ann_meta"), "staleness() must lazily backfill _meta")
-    assert(legacy.read("ann_meta").head.getLong(0) ==
-      legacy.read("ann_cells").count())
+    assert(IvfPq.staleness(legacy, "ann") == 0.0)
+    assert(!legacy.exists("ann_meta"),
+      "staleness() must never write (pure read)")
+    // explicit migration: backfills once, second call is a no-op
+    assert(IvfPq.ensureMeta(legacy, "ann"), "first ensureMeta must backfill")
+    assert(legacy.exists("ann_meta"))
+    val builtN = legacy.read("ann_meta").head.getLong(0)
+    assert(builtN == legacy.read("ann_cells").count())
+    assert(!IvfPq.ensureMeta(legacy, "ann"), "replayed ensureMeta must no-op")
+    assert(legacy.read("ann_meta").head.getLong(0) == builtN,
+      "replayed ensureMeta reset the build point")
+    // drift accounting starts at the migration point: appends after
+    // ensureMeta are visible
+    IvfPq.appendToIndex(legacy, "ann", delta, "vec_id", "embedding", m, subDim)
+    assert(IvfPq.staleness(legacy, "ann") == 0.0,
+      "replayed batch (already absorbed pre-migration) must not count")
   }
 
   test("staleness tracks appended volume; compactIfStale triggers and resets") {

@@ -4,11 +4,18 @@ committed one and fail loudly on per-query regressions — perf drift
 should be as loud as correctness drift (FixtureSchemaSpec) became in r9.
 
 Usage:
-  python3 tools/benchdiff.py [new.json] [old.json]
+  python3 tools/benchdiff.py [new.json[,new2.json,...]] [old.json[,old2.json,...]]
 
 Defaults: new = ./bench_last.json, old = git show HEAD:bench_last.json.
-Both files are the per-query line Bench writes:
+Each file is the per-query line Bench writes:
   {"metric":"per_query","queries":{"q_x":sec,...},...}
+
+Either side may be a COMMA-SEPARATED list of artifacts: they are merged
+per query by MINIMUM (a query failed only if it failed in every run).
+This is the min-of-N adjudication path — run the bench (or an isolated
+SPARK_GRAFT_BENCH_ONLY probe) N times into N files and diff the merged
+minimum, so a host contention spike in any single run cannot flag a
+regression and "probably noise" stops being a human judgment call.
 
 A row regresses when BOTH hold (the documented host-noise envelope —
 this VM shows sporadic contention spikes, so a ratio alone over-fires
@@ -33,9 +40,31 @@ def load(path):
         return json.load(f)
 
 
+def merge_min(arts):
+    """Merge per-query dicts by minimum; 'failed' only if failed in all."""
+    out = dict(arts[0])
+    qs = dict(arts[0]["queries"])
+    for art in arts[1:]:
+        for name, v in art["queries"].items():
+            cur = qs.get(name)
+            if cur is None or cur == "failed":
+                qs[name] = v
+            elif v != "failed" and v < cur:
+                qs[name] = v
+    out["queries"] = qs
+    return out
+
+
+def load_many(spec):
+    paths = [p for p in spec.split(",") if p]
+    merged = merge_min([load(p) for p in paths])
+    name = paths[0] if len(paths) == 1 else f"min-of-{len(paths)}({spec})"
+    return merged, name
+
+
 def load_old(arg):
     if arg is not None:
-        return load(arg), arg
+        return load_many(arg)
     out = subprocess.run(
         ["git", "show", "HEAD:bench_last.json"],
         capture_output=True, text=True)
@@ -47,9 +76,9 @@ def load_old(arg):
 
 
 def main():
-    new_path = sys.argv[1] if len(sys.argv) > 1 else "bench_last.json"
+    new_spec = sys.argv[1] if len(sys.argv) > 1 else "bench_last.json"
     old_arg = sys.argv[2] if len(sys.argv) > 2 else None
-    new = load(new_path)
+    new, new_path = load_many(new_spec)
     old, old_name = load_old(old_arg)
     nq, oq = new["queries"], old["queries"]
 
