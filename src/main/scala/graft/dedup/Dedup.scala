@@ -65,13 +65,21 @@ object Dedup {
   val maskMaxVocab = 1024
 
   /** DISTINCT-WORD-SET cap for the bitmask path. The bitmask candidate
-    * stage is quadratic in distinct masks (docs dedup to their word-set
-    * mask first — r10: quadratic work moved from documents to distinct
-    * sets, with doc-pair expansion output-bounded), so the guard bounds
-    * the mask crossJoin: 10000 sets ⇒ ≤50M popcount pairs, a bounded flat
-    * cost. Past that the prefix-filtered inverted index (equally exact)
-    * wins — which for a REAL (big-vocab) corpus it does anyway, since
-    * distinct word-sets there ≈ distinct documents.
+    * stage is quadratic in distinct masks within a size band (docs dedup
+    * to their word-set mask first — r10: quadratic work moved from
+    * documents to distinct sets; r12: the all-pairs crossJoin became a
+    * size-banded equi-join, so only pairs whose popcount sizes can reach
+    * the threshold are materialized). The guard bounds the worst case
+    * (all sets one size): 10000 sets ⇒ ≤50M popcount pairs, a bounded
+    * flat cost. Past the cap the fallback is the prefix-filtered
+    * inverted index over the DISTINCT SETS (r12 — never worse than the
+    * doc-level index, since sets ≤ docs), which for a REAL big-vocab
+    * corpus is the better plan anyway: distinct word-sets there ≈
+    * distinct documents and prefix pruning actually bites. Template
+    * corpora (tiny vocab, spread set sizes) should RAISE the cap
+    * instead — the banded popcount join is the only exact plan whose
+    * cost doesn't explode when every feature is common; the sf1
+    * measurement has the numbers.
     */
   val defaultBitmaskMaxSets = 10000L
 
@@ -167,17 +175,27 @@ object Dedup {
     }
   }
 
-  /** Bitmask Jaccard, quadratic only in DISTINCT WORD-SETS (r10): docs
-    * dedup to their set mask first, the popcount crossJoin runs over the
-    * (set_id, mask) relation, and qualifying set pairs expand back to doc
-    * pairs through output-bounded equi-joins (identical-set docs pair at
-    * J = 1.0 via a set_id self-join). On template-shaped corpora — tiny
-    * vocab, massive doc counts, the exact case that defeats the inverted
-    * index's prefix pruning — distinct sets stay in the hundreds while
-    * docs grow unboundedly: the sf1 probe had q_word_jaccard at 203 s via
-    * the doc-quadratic path and ~2 s via this one. Real (big-vocab)
-    * corpora have ~as many sets as docs and fall back to the inverted
-    * index via the `maxSets` guard.
+  /** Bitmask Jaccard, quadratic only in DISTINCT WORD-SETS within a
+    * size band (r10/r12): docs dedup to their set mask first, the
+    * popcount join runs over the (set_id, mask) relation, and qualifying
+    * set pairs expand back to doc pairs through output-bounded equi-joins
+    * (identical-set docs pair at J = 1.0 via a set_id self-join). On
+    * template-shaped corpora — tiny vocab, massive doc counts, the exact
+    * case that defeats the inverted index's prefix pruning — distinct
+    * sets grow far slower than docs: the sf1 probe had q_word_jaccard at
+    * 203 s via the doc-quadratic path and ~2 s via this one.
+    *
+    * r12 hot-loop shape (sf1-measured): masks live in nWords SCALAR LONG
+    * columns (m0…mk), NOT an array — the candidate condition is then pure
+    * codegen'd long AND/popcount arithmetic with no per-access array or
+    * null checks; the candidate stage is a broadcast EQUI-join on partner
+    * popcount size (J ≥ t ⇒ min ≥ t·max, b side replicated over its
+    * ≤(1/t−t)·s+1 compatible sizes) rather than an all-pairs crossJoin;
+    * and the threshold test stays in the integer domain (inter·(1+t) ≥
+    * t·(pa+pb) ⟺ J ≥ t) so the pushed-down join condition evaluates ONE
+    * popcount fold per candidate. Real (big-vocab) corpora have ~as many
+    * sets as docs and fall back to the set-level inverted index via the
+    * `maxSets` guard.
     */
   private def jaccardBitmask(w: DataFrame, threshold: Double,
       maxSets: Long, dfCap: Option[Double]): DataFrame = {
@@ -190,14 +208,16 @@ object Dedup {
     val bitOf: Map[String, Int] = w.select("word").distinct()
       .orderBy("word").collect().map(_.getString(0)).zipWithIndex.toMap
     val nWords = math.max(1, (bitOf.size + 63) / 64)
+    val mcols = (0 until nWords).map(i => s"m$i")
     val withBit = w.withColumn("bit", element_at(typedlit(bitOf), col("word")))
     val docMasks =
       (if (nWords == 1)
-        // single-long fast path: scalar codegen ops, no arrays
+        // single-long fast path: scalar codegen ops throughout
         withBit.groupBy("doc_id")
-          .agg(bit_or(expr("shiftleft(1L, bit)")).as("mask"))
+          .agg(bit_or(expr("shiftleft(1L, bit)")).as("m0"))
       else
-        // multi-word masks: bit b lives in long b/64 at position b%64
+        // bit b lives in long b/64 at position b%64; the per-long masks
+        // land in flat columns m0…mk via the intermediate map
         withBit
           .withColumn("wi", (col("bit") / 64).cast("int"))
           .groupBy("doc_id", "wi")
@@ -205,37 +225,70 @@ object Dedup {
           .groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("wi"), col("m"))))
             .as("mm"))
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(nWords - 1)),
-              i => coalesce(element_at(col("mm"), i), lit(0L))).as("mask"))
+          .select(col("doc_id") +: (0 until nWords).map(i =>
+            coalesce(element_at(col("mm"), i), lit(0L)).as(s"m$i")): _*)
       ).localCheckpoint() // feeds the set dedup AND the membership join
-    val sets = docMasks.groupBy("mask")
+    val sets = docMasks.groupBy(mcols.head, mcols.tail: _*)
       .agg(min("doc_id").as("set_id"))
       .localCheckpoint() // counted for the guard, then joined three ways
-    if (sets.count() > maxSets)
-      return jaccardInvertedIndex(w, threshold, dfCap)
-    val member = docMasks.join(sets, Seq("mask")).select("set_id", "doc_id")
-    val a = sets.select(col("set_id").as("sa"), col("mask").as("ma"))
-    val b = sets.select(col("set_id").as("sb"), col("mask").as("mb"))
-    val setPairs = a.crossJoin(broadcast(b)).filter(col("sa") < col("sb"))
-    val scored =
-      if (nWords == 1)
-        setPairs.withColumn("jaccard",
-          bit_count(col("ma").bitwiseAND(col("mb"))).cast("double")
-            / bit_count(col("ma").bitwiseOR(col("mb"))))
-      else
+    val member = docMasks.join(sets, mcols).select("set_id", "doc_id")
+    val qual =
+      if (sets.count() > maxSets) {
+        // CAP OVERFLOW (r12, found by the sf1 run): the old fallback
+        // re-ran the inverted index over ALL DOCUMENTS — on the template
+        // corpora this path exists for, tiny vocab defeats prefix pruning
+        // and the fallback was the blowup the bitmask path was built to
+        // avoid. Run the prefix-filtered index over the DISTINCT SETS
+        // instead (one feature row set per representative doc) and expand
+        // winners back to doc pairs below: work is bounded by sets ≤ docs
+        // — never worse than the doc-level fallback — and doc-count
+        // growth alone no longer reaches the candidate join at all.
+        val setFeatures = w
+          .join(sets.select(col("set_id").as("doc_id")), Seq("doc_id"))
+          .localCheckpoint()
+        jaccardInvertedIndex(setFeatures, threshold, dfCap)
+          .select(col("doc_a").as("sa"), col("doc_b").as("sb"),
+            col("jaccard"))
+      } else {
+        def pcOf(cols: Seq[String]) =
+          cols.map(c => bit_count(col(c))).reduce(_ + _)
+        val a = sets.select(col("set_id").as("sa") +:
+          pcOf(mcols).as("pa") +:
+          mcols.map(c => col(c).as(s"a_$c")): _*)
+        // SIZE-BANDED candidate join (r12, replaces the all-pairs
+        // crossJoin): J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|), so each set
+        // only ever pairs with sets whose popcount size lies in
+        // [⌈t·s⌉, ⌊s/t⌋]. The b side replicates each set to every
+        // compatible partner size and the candidate stage becomes a
+        // broadcast EQUI-join on that size — incompatible pairs are never
+        // materialized. Bounds are ε-widened: 0.9·20 = 18.000…004 in
+        // doubles, and an unwidened ⌈·⌉ would silently drop
+        // exact-boundary pairs (|A|=18 ⊂ |B|=20 IS J = 0.9).
+        // Over-inclusion is harmless — every candidate is verified.
+        val bKeyed = sets.select(col("set_id").as("sb") +:
+            pcOf(mcols).as("pb") +:
+            mcols.map(c => col(c).as(s"b_$c")): _*)
+          .withColumn("ps", explode(sequence(
+            ceil(col("pb") * threshold - 1e-9).cast("int"),
+            floor(col("pb") / threshold + 1e-9).cast("int"))))
+        val setPairs = a.join(broadcast(bKeyed),
+          col("pa") === col("ps") && col("sa") < col("sb"))
+        // ONE popcount fold per pair: |A∪B| = |A| + |B| − |A∩B| and the
+        // sizes already ride the join, so no union fold; the threshold
+        // test stays in the INTEGER domain — inter·(1+t) ≥ t·(pa+pb) ⟺
+        // J ≥ t (ε admits exact-boundary pairs only: adjacent possible J
+        // values differ by ≥ 1/(2·64·nWords)², far above ε) — so the
+        // pushed-down condition is one flat scalar popcount sum.
+        val inter = mcols.map(c =>
+          bit_count(col(s"a_$c").bitwiseAND(col(s"b_$c")))).reduce(_ + _)
         setPairs
-          .withColumn("inter", aggregate(
-            zip_with(col("ma"), col("mb"),
-              (x, y) => bit_count(x.bitwiseAND(y))),
-            lit(0), (acc, v) => acc + v))
-          .withColumn("uni", aggregate(
-            zip_with(col("ma"), col("mb"),
-              (x, y) => bit_count(x.bitwiseOR(y))),
-            lit(0), (acc, v) => acc + v))
-          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-    val qual = scored.filter(col("jaccard") >= threshold)
-      .select("sa", "sb", "jaccard")
+          .withColumn("inter", inter)
+          .filter(col("inter") * (1.0 + threshold)
+            >= (col("pa") + col("pb")) * threshold - 1e-9)
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("pa") + col("pb") - col("inter")))
+          .select("sa", "sb", "jaccard")
+      }
     // expansion joins are sized by the OUTPUT pair count, nothing more
     val crossSet = qual
       .join(member.select(col("set_id").as("sa"), col("doc_id").as("da")),

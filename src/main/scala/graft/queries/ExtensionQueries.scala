@@ -205,7 +205,7 @@ object ExtensionQueries {
              |WHERE jaccard >= 0.9""".stripMargin),
       (s, dir) => Dedup.jaccardPairs(
         Tables.t(s, dir, "documents"), "doc_id", "text", threshold = 0.9,
-        strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 10000L)),
+        strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 100000L)),
 
     // The SCALE-SAFE word-Jaccard exemplar: the same semantics as
     // q_word_jaccard but under the prefix-filtered inverted index — the
@@ -293,7 +293,7 @@ object ExtensionQueries {
           // bitmask pinned for the same degenerate-vocab reason as
           // q_word_jaccard above
           Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9,
-            strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 10000L))
+            strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 100000L))
       }),
 
     // C4-style SEGMENT-LEVEL dedup: the corpus keeps only the FIRST

@@ -199,7 +199,7 @@ object GovernanceQueries {
         val pairs = graft.dedup.Dedup.jaccardPairs(
             docs, "doc_id", "text", threshold = 0.9,
             strategy = graft.dedup.Dedup.JaccardBitmask,
-            bitmaskMaxSets = 10000L)
+            bitmaskMaxSets = 100000L)
           .select("doc_a", "doc_b")
         val leaked = pairs
           .join(splits.select(col("doc_id").as("doc_a"),
@@ -327,7 +327,7 @@ object GovernanceQueries {
         graft.dedup.Dedup.jaccardPairs(
             docs, "doc_id", "text", threshold = 0.9,
             strategy = graft.dedup.Dedup.JaccardBitmask,
-            bitmaskMaxSets = 10000L)
+            bitmaskMaxSets = 100000L)
           .select("doc_a", "doc_b")
           .join(broadcast(srcs.select(col("doc_id").as("doc_a"),
             col("source").as("sa"))), "doc_a")

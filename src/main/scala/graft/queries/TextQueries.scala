@@ -612,7 +612,7 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
-            strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 10000L)
+            strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 100000L)
           .select("doc_a", "doc_b")
         val sim = Dedup.simhashNearDup(s,
             docs.repartition(s.sparkContext.defaultParallelism),

@@ -23,19 +23,40 @@ class AviSpec extends SparkSpec {
       col("f1") =!= 2 || col("w") =!= 8 || col("h") =!= 8).isEmpty,
       "some payload decoded to the wrong frame set")
     // the RIFF even-byte padding rule is only exercised if some JPEG
-    // frame payload is odd-sized: scan the generated containers for
-    // '00dc' chunk headers and check the LE sizes directly, so a future
-    // generator change that quietly rounds every frame to even bytes
-    // fails here instead of silently untesting the padding walk
+    // frame payload is odd-sized: walk the RIFF structure (as
+    // decodeAviFrames does) to enumerate movi-level '00dc' chunk sizes,
+    // so a future generator change that quietly rounds every frame to
+    // even bytes fails here instead of silently untesting the padding
+    // walk. A structural walk, NOT a raw byte scan: the 4-byte sequence
+    // '00dc' can legitimately occur inside JPEG entropy-coded data (or
+    // in an idx1 index, whose entries embed '00dc' fourccs), so a scan
+    // over-counts nondeterministically
     val payloads = avi.select("avi").collect().map(_.getAs[Array[Byte]](0))
-    def dcSizes(b: Array[Byte]): Seq[Int] =
-      (0 until b.length - 8).collect {
-        case i if b(i) == '0' && b(i + 1) == '0' &&
-            b(i + 2) == 'd' && b(i + 3) == 'c' =>
-          (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
-            ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+    def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def fourcc(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+    def moviDcSizes(b: Array[Byte]): Seq[Int] = {
+      def walk(start: Int, end: Int, inMovi: Boolean): Seq[Int] = {
+        val out = Seq.newBuilder[Int]
+        var i = start
+        while (i + 8 <= end) {
+          val id = fourcc(b, i)
+          val sz = le32(b, i + 4)
+          if (id == "LIST" && i + 12 <= end)
+            out ++= walk(i + 12, math.min(i + 8 + sz, end),
+              fourcc(b, i + 8) == "movi")
+          else if (inMovi && id == "00dc") out += sz
+          i += 8 + sz + (sz & 1) // even-byte chunk padding
+        }
+        out.result()
       }
-    val sizes = payloads.toSeq.flatMap(dcSizes)
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        Seq.empty
+      else walk(12, math.min(8 + le32(b, 4), b.length), inMovi = false)
+    }
+    val sizes = payloads.toSeq.flatMap(moviDcSizes)
     assert(sizes.size == 120, s"expected 120 '00dc' chunks, saw ${sizes.size}")
     assert(sizes.exists(_ % 2 == 1),
       "no odd-sized JPEG frame generated: the padding rule is untested")
