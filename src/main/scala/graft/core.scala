@@ -51,6 +51,43 @@ object Tables {
     } else df
   }
 
+  /** Stage a fixture table into a streaming landing directory (the
+    * FileStreamSource deployment shape: files arrive in a dir).
+    *
+    * Layout-agnostic (r12, found by the sf1 run): driver fixtures are
+    * single parquet FILES, while scaled fixtures (tools.ScaleUp) are
+    * DIRECTORIES of part files — `Files.copy` on a directory copies only
+    * the empty dir entry and the stream then reads nothing. A single file
+    * lands at `<destBase>.parquet`; a directory's part files land at
+    * `<destBase>-<i>.parquet` in lexicographic part order (deterministic
+    * arrival order). Callers that depend on one-batch-per-file set
+    * `maxFilesPerTrigger` explicitly and stage their batches themselves;
+    * every caller of THIS helper drains the landing dir in a single
+    * AvailableNow pass, for which file count is semantically neutral.
+    */
+  def stageFixture(src: String, destBase: String): Unit = {
+    val p = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val parts = {
+        val s = java.nio.file.Files.list(p)
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) { val f = it.next(); buf += f }
+          buf.filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f,
+          java.nio.file.Paths.get(s"$destBase-$i.parquet"))
+      }
+    } else
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(s"$destBase.parquet"))
+  }
+
   /** Normalize the events `ts` column to a µs TIMESTAMP regardless of
     * which fixture generation produced it. Dispatches purely on the
     * DataFrame schema, so it works identically on batch reads and on

@@ -275,7 +275,12 @@ object BreadthQueries {
           length(col("c_mktsegment")).as("seg_len"))),
 
     // Regex extraction breadth: leftmost capture group + match count.
-    // Both engines return '' for a no-match extract.
+    // Both engines return '' for a no-match extract. The match-count
+    // regex has NO capture group, so Spark's regexp_extract_all needs an
+    // explicit idx=0 (whole match — DuckDB's default): its own default of
+    // idx=1 throws REGEX_GROUP_INDEX on the first row that actually
+    // matches — a latent bug for as long as the fixture text was
+    // digit-free, found the moment the sf1 corpus contained digits (r12).
     QueryDef(
       "q_regex_extract",
       Some("""SELECT doc_id,
@@ -285,7 +290,7 @@ object BreadthQueries {
       (s, dir) => Tables.t(s, dir, "documents")
         .select(col("doc_id"),
           regexp_extract(lower(col("text")), "(s[a-z]+)", 1).as("first_s_word"),
-          size(expr("regexp_extract_all(text, '[0-9]+')")).as("n_numbers"))),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_numbers"))),
 
     // Fixed-width histogram binning (capped top bucket).
     QueryDef(

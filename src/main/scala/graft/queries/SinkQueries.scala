@@ -267,10 +267,8 @@ object SinkQueries {
         val src = s"$dir/documents.parquet"
         val base = tmp("graft-q-sdd")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-          java.nio.file.Paths.get(s"$base/in/docs-1.parquet"))
-        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-          java.nio.file.Paths.get(s"$base/in/docs-2.parquet"))
+        Tables.stageFixture(src, s"$base/in/docs-1")
+        Tables.stageFixture(src, s"$base/in/docs-2")
         val schema = s.read.parquet(src).schema
         val stream = graft.streaming.IncrementalStream.statefulSession(s)
           .readStream.schema(schema).parquet(s"$base/in")

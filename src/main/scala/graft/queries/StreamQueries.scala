@@ -87,9 +87,7 @@ object StreamQueries {
       (s, dir) => {
         val base = tmp("graft-q-ssj")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        Tables.stageFixture(s"$dir/events.parquet", s"$base/in/events")
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
@@ -146,9 +144,7 @@ object StreamQueries {
       (s, dir) => {
         val base = tmp("graft-q-ssoj")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        Tables.stageFixture(s"$dir/events.parquet", s"$base/in/events")
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val ss = streamSession(s)
         def side(tpe: String, idAs: String, tsAs: String) =
@@ -200,9 +196,7 @@ object StreamQueries {
       (s, dir) => {
         val base = tmp("graft-q-ssession")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        Tables.stageFixture(s"$dir/events.parquet", s"$base/in/events")
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val sessions = Tables.normalizeEventTs(
             streamSession(s).readStream.schema(schema).parquet(s"$base/in"))
@@ -437,9 +431,7 @@ object StreamQueries {
       (s, dir) => {
         val base = tmp("graft-q-senrich")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$base/in/events.parquet"))
+        Tables.stageFixture(s"$dir/events.parquet", s"$base/in/events")
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         val dim = Tables.t(s, dir, "customer").select("c_custkey", "c_mktsegment")
         val enriched = s.readStream.schema(schema).parquet(s"$base/in")

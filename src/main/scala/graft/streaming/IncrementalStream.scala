@@ -92,8 +92,7 @@ object IncrementalStream {
     // FileStreamSource wants a landing DIRECTORY (the deployment shape:
     // files arrive in a dir); the fixture is a single file — stage it.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+    graft.Tables.stageFixture(src, s"$tmp/in/events")
     val agg = graft.Tables.normalizeEventTs(
         statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in"))
       .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
@@ -119,8 +118,7 @@ object IncrementalStream {
     val schema = spark.read.parquet(src).schema
     val tmp = java.nio.file.Files.createTempDirectory("graft-slide-").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+    graft.Tables.stageFixture(src, s"$tmp/in/events")
     val agg = graft.Tables.normalizeEventTs(
         statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in"))
       .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
