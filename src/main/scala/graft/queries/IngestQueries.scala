@@ -55,10 +55,14 @@ object IngestQueries {
              |FROM orders""".stripMargin),
       (s, dir) => {
         val o = Tables.t(s, dir, "orders").select("o_orderkey")
+        // partitions IS the reference's MAX_WORKERS knob; a fixed 8 left
+        // 3/4 of the machine idle at sf1 (the r12 scaling table's only
+        // non-structural outlier) — size it to the session like a real
+        // deployment would
         val enriched = Enrich.perKeyFetch(
           o, "o_orderkey",
           key => s"""{"flag":${key.toLong % 3}}""",
-          partitions = 8)
+          partitions = s.sparkContext.defaultParallelism)
         enriched
           .withColumn("flag", expr("from_json(detail, 'flag int').flag"))
           .select("o_orderkey", "flag")
