@@ -338,9 +338,18 @@ object TpchQueries {
     // winner unless two suppliers tie to ~1e-10 (revenue gaps are O(1)).
     QueryDef(
       "q_tpch_q15",
+      // revenue is rounded to CENTS before the max-tie comparison: the
+      // spec's revenue is exact DECIMAL, and comparing raw double sums
+      // breaks the moment two suppliers genuinely tie — each engine's
+      // summation order perturbs a different tie member's last ulp (the
+      // sf1 replicated fixture, where every replica's top supplier ties,
+      // caught Spark emitting 6 rows vs DuckDB's 4). Cent-rounding makes
+      // the tie set identical on both engines; at tie-free SFs it
+      // changes nothing.
       Some("""WITH revenue AS (
              |  SELECT l_suppkey AS supplier_no,
-             |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+             |      AS total_revenue
              |  FROM lineitem
              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -354,7 +363,7 @@ object TpchQueries {
           .filter(col("l_shipdate") >= ts("1996-01-01") &&
             col("l_shipdate") < ts("1996-04-01"))
           .groupBy(col("l_suppkey").as("supplier_no"))
-          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("total_revenue"))
         val mx = rev.agg(max(col("total_revenue")).as("__mx"))
         val sup = Tables.t(s, dir, "supplier").select("s_suppkey", "s_name")
