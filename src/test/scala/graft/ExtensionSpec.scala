@@ -96,6 +96,35 @@ class ExtensionSpec extends SparkSpec {
     assert(capped.exceptAll(exact).isEmpty && exact.exceptAll(capped).isEmpty)
   }
 
+  test("banded bitmask keeps exact-boundary size pairs (18⊂20 at t=0.9)") {
+    import spark.implicits._
+    // A = 18 words, B = A plus 2 more: J = 18/20 = 0.9 EXACTLY. The
+    // size band must be ε-widened — in doubles ceil(0.9·20) =
+    // ceil(18.000…004) = 19, so an unwidened band would never pair
+    // sizes 18 and 20 and silently drop a true boundary pair (r12).
+    val a = (1 to 18).map(i => s"w$i").mkString(" ")
+    val b = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask).collect()
+    assert(pairs.length == 1, pairs.mkString(","))
+    assert(pairs.head.getDouble(2) == 0.9)
+  }
+
+  test("bitmask cap overflow: set-level inverted fallback emits identical pairs") {
+    // forcing the guard (maxSets = 1) must route to the inverted index
+    // over DISTINCT SETS and reproduce the banded popcount path's exact
+    // output — same pairs, same jaccard values
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val banded = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 100000L)
+    val fellBack = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask, bitmaskMaxSets = 1L)
+    assert(banded.count() > 0)
+    assert(banded.exceptAll(fellBack).isEmpty &&
+      fellBack.exceptAll(banded).isEmpty)
+  }
+
   test("jaccardPairsFeatures Auto routes non-string features to the inverted index") {
     import spark.implicits._
     // tiny LONG-keyed vocabulary: the bitmask path's string-keyed literal

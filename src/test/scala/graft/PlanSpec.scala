@@ -74,6 +74,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_word_jaccard plans no cross join (size-banded popcount equi-join)") {
+    // r12: the bitmask candidate stage joins on partner popcount size —
+    // a BroadcastHashJoin, never the all-pairs BNLJ it replaced
+    val p = plan("q_word_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_simhash_neardup plans no cross join (banded pigeonhole equi-join)") {
     val p = plan("q_simhash_neardup")
     assert(!p.contains("CartesianProduct") &&
