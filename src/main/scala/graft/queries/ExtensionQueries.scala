@@ -239,6 +239,29 @@ object ExtensionQueries {
         "doc_id", "text", threshold = 0.9,
         strategy = Dedup.JaccardInverted)),
 
+    // STRATEGY ROUTING under the oracle: the same slice, but the engine
+    // PICKS the physical plan (JaccardAuto's bounded sample probe → the
+    // exact ≤maskMaxVocab check → bitmask here; a big-vocab corpus would
+    // route to the inverted index, a set-count overflow to the set-level
+    // fallback). The r12 sf1 run showed mis-routing is the failure mode
+    // that actually bites at scale — this gates that the router's choice
+    // is invisible in the RESULT: whatever path Auto takes must
+    // hash-match the same exact-Jaccard oracle the pinned gates use.
+    QueryDef(
+      "q_dedup_auto",
+      Some("""WITH w AS (SELECT doc_id,
+             |  list_distinct(regexp_split_to_array(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ws
+             |FROM documents WHERE doc_id % 10 = 0)
+             |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.ws, b.ws))::DOUBLE / len(list_distinct(a.ws || b.ws)) AS jaccard
+             |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.9""".stripMargin),
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.9,
+        strategy = Dedup.JaccardAuto)),
+
     // Set-similarity self-join over an ORGANIC high-cardinality feature
     // space: order "baskets" (the distinct part keys of each order) at
     // Jaccard ≥ 0.6 — transaction/cart dedup, the same jaccardPairsFeatures
