@@ -13,9 +13,11 @@ import graft.expressions.Hashing
   *
   * Coordinates are synthesized deterministically from sha60 (the fixture
   * has no geo columns): 1500·SF points in a ~110×140 km box, so the
-  * 5 km radius is non-vacuous (5.5k pairs at sf0.01). Cell size 0.1° —
-  * wider than the radius in both axes at this latitude, so the 3×3
-  * neighborhood is a complete candidate cover (no false negatives).
+  * 5 km radius is non-vacuous (5.5k pairs at sf0.01). Cells are
+  * anisotropic at the per-axis minimal cover width (≥ radius in each
+  * axis at this latitude — 0.05° lat × 0.075° lon), so the 3×3
+  * neighborhood is a complete candidate cover (no false negatives)
+  * with the smallest candidate volume a 3×3 cover admits.
   */
 object SpatialQueries {
 
@@ -52,10 +54,11 @@ object SpatialQueries {
     * around it) — the same bounded-task contract at 1× and 1000× density.
     */
   def pairsWithinRadius(points: org.apache.spark.sql.DataFrame,
-      radiusM: Double, cellDeg: Double): org.apache.spark.sql.DataFrame = {
+      radiusM: Double, cellLatDeg: Double,
+      cellLonDeg: Double): org.apache.spark.sql.DataFrame = {
     val p = points
-      .withColumn("cl", floor(col("lat") / cellDeg).cast("long"))
-      .withColumn("cn", floor(col("lon") / cellDeg).cast("long"))
+      .withColumn("cl", floor(col("lat") / cellLatDeg).cast("long"))
+      .withColumn("cn", floor(col("lon") / cellLonDeg).cast("long"))
     // per-cell salt factor: cells-bounded (a dimension table), broadcast
     val salts = p.groupBy("cl", "cn")
       .agg(ceil(count(lit(1)) / lit(CellCap.toDouble)).cast("int").as("ns"))
@@ -80,13 +83,27 @@ object SpatialQueries {
     val cand = probe.join(b,
       col("bcl") === col("tcl") && col("bcn") === col("tcn") &&
         col("sb") === col("sj") && col("id") < col("id_b"))
+    // BOUNDING-BOX prefilter (r12, sf1-measured): the 3×3 cell cover is
+    // ~(3·cellDeg)² while the radius circle is far smaller, so most
+    // candidates die on two cheap comparisons before the 6-trig
+    // haversine ever runs. Both bounds are exact circle SUPERSETS
+    // (meridian arc for Δlat; parallel arc at the pair's higher |lat|
+    // for Δlon, where cos(φ_max) only shrinks the denominator), widened
+    // 1e-5 relative so small-angle approximation and float noise can
+    // only over-include — the exact dist_m filter below decides.
+    val latBoundDeg = math.toDegrees(radiusM / R) * (1 + 1e-5)
+    val boxed = cand
+      .filter(abs(col("lb") - col("lat")) <= latBoundDeg)
+      .filter(abs(radians(col("nb") - col("lon"))) <=
+        lit(radiusM / R * (1 + 1e-5)) /
+          cos(radians(greatest(abs(col("lat")), abs(col("lb"))))))
     val dLat = radians(col("lb") - col("lat")) / 2
     val dLon = radians(col("nb") - col("lon")) / 2
     val dist = lit(2 * R) * asin(sqrt(
       sin(dLat) * sin(dLat) +
         cos(radians(col("lat"))) * cos(radians(col("lb"))) *
           sin(dLon) * sin(dLon)))
-    cand.select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
+    boxed.select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
       .filter(col("dist_m") <= radiusM)
   }
 
@@ -100,7 +117,13 @@ object SpatialQueries {
       .select(col("c_custkey").as("id"),
         coord("lat", 50.0, 1.0).as("lat"),
         coord("lon", 8.0, 2.0).as("lon"))
-    pairsWithinRadius(points, 5000, 0.1)
+    // ANISOTROPIC minimal-cover cells (r12, sf1-measured): the 3x3
+    // guarantee needs cell >= radius PER AXIS — 5 km is 0.045 deg of
+    // latitude but 0.072 deg of longitude at |lat| <= 51.001, and the old
+    // square 0.1 deg grid over-covered both axes, producing ~2.7x the
+    // candidates of the per-axis minima used here (result-identical:
+    // any complete cover yields the same exact radius output).
+    pairsWithinRadius(points, 5000, cellLatDeg = 0.05, cellLonDeg = 0.075)
   }
 
   /** The oracle-side twin of [[pairs5km]] as a WITH-clause body. */

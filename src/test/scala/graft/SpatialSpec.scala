@@ -48,7 +48,7 @@ class SpatialSpec extends SparkSpec {
     // 1500 points over 0.2°×0.2° (4 cells) ≈ 375/cell — ~50× denser, past
     // the CellCap=256 salting threshold
     val p = points(1500, 0.2, 0.2).localCheckpoint()
-    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.1)
+    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.05, 0.075)
       .select(col("id_a"), col("id_b"))
     val slow = brute(p, 5000).select(col("id_a"), col("id_b"))
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
@@ -81,7 +81,7 @@ class SpatialSpec extends SparkSpec {
     // the original gate's shape: low density, many cells — salting must
     // be a no-op (ns=1 everywhere) and the result still exact
     val p = points(300, 1.0, 2.0).localCheckpoint()
-    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.1)
+    val fast = SpatialQueries.pairsWithinRadius(p, 5000, 0.05, 0.075)
       .select(col("id_a"), col("id_b"))
     val slow = brute(p, 5000).select(col("id_a"), col("id_b"))
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
