@@ -166,6 +166,40 @@ object SpatialQueries {
         .select(col("id_a"), col("id_b"),
           round(col("dist_m"), 1).as("dist_m"))),
 
+    // RADIUS-BOUNDED kNN: each point's 3 nearest neighbors within 5 km —
+    // the store-locator/geo-recommendation shape. Exact composition: the
+    // same grid-bucketed pair build, symmetrized, then a per-point rank
+    // window (partitioned by id — state bounded by one point's in-radius
+    // neighborhood, never the corpus). Ranking uses the DECIMETER-rounded
+    // distance with the neighbor id as tiebreak, so the order is
+    // reproducible across engines (raw-double ordering would let a
+    // last-ulp trig difference flip two near-equal neighbors).
+    QueryDef(
+      "q_spatial_knn",
+      Some(s"""WITH $pairsSql,
+             |sym AS (SELECT id_a AS id, id_b AS nb, dist_m FROM pr
+             |  UNION ALL SELECT id_b, id_a, dist_m FROM pr),
+             |r AS (SELECT id, nb, dist_m,
+             |    row_number() OVER (PARTITION BY id
+             |      ORDER BY round(dist_m, 1), nb) AS rk
+             |  FROM sym)
+             |SELECT id, CAST(rk AS INT) AS rk, nb AS neighbor_id,
+             |  round(dist_m, 1) AS dist_m
+             |FROM r WHERE rk <= 3""".stripMargin),
+      (s, dir) => {
+        val pr = pairs5km(s, dir).localCheckpoint() // symmetrized: 2 reads
+        val sym = pr
+          .select(col("id_a").as("id"), col("id_b").as("nb"), col("dist_m"))
+          .unionByName(pr.select(col("id_b").as("id"),
+            col("id_a").as("nb"), col("dist_m")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(round(col("dist_m"), 1), col("nb"))
+        sym.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("id"), col("rk").cast("int").as("rk"),
+            col("nb").as("neighbor_id"), round(col("dist_m"), 1).as("dist_m"))
+      }),
+
     // DENSITY CLUSTERING (DBSCAN roles) on the same 5 km neighbor graph:
     // CORE points have >= 4 neighbors in radius, clusters are connected
     // components of the core-core subgraph (dedup/ConnectedComponents --

@@ -474,11 +474,20 @@ class PlanSpec extends SparkSpec {
     // the 9-cell neighborhood fan is an explode + broadcast-hash join on
     // (cell, salt-bucket); a CartesianProduct or BroadcastNestedLoopJoin
     // here would mean the grid decayed into the O(n²) theta join
-    for (name <- Seq("q_spatial_join", "q_spatial_cluster")) {
+    for (name <- Seq("q_spatial_join", "q_spatial_cluster",
+        "q_spatial_knn")) {
       val p = q(name).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+    // the kNN rank window must be partitioned by point id — a global
+    // (empty-partition) window would serialize the whole neighbor set
+    // through one task
+    val knnWindows = q("q_spatial_knn").queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(knnWindows.isEmpty, "q_spatial_knn has a global window")
   }
 
   test("q_hits/q_kcore: iterate on equi-joins with broadcast totals only") {
