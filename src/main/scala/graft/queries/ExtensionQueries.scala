@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.dedup.{Dedup, IncrementalDedup, MinHashLSH}
@@ -1168,6 +1169,119 @@ object ExtensionQueries {
           "ppm"))
         .select("doc_id", "out_w", "out_h", "px", "py",
           "r4", "g4", "b4", "r_avg", "g_avg", "b_avg")),
+
+    // IMAGE DIFFERENCE-HASH (dHash) — the perceptual fingerprint behind
+    // image near-dup detection in crawl pipelines: 18×16 seed-formula
+    // pixels are PNG-encoded, REALLY decoded (ImageIO inflate/unfilter,
+    // the q_png_decode path), box-downsampled 2× to a 9×8 luminance
+    // grid, and each of the 64 bits records whether the right neighbor
+    // block is brighter than the left (Y*8+X, X<8). A second hash runs
+    // on a deterministically perturbed copy of the DECODED bytes (+120
+    // on every 97th byte — a "slightly edited image") and the gate emits
+    // both hashes, their Hamming distance, and the near-dup verdict —
+    // tiny edits must land within a few bits, which is the property the
+    // operator exists for. Everything after the decode is literal-index
+    // integer arithmetic (no floats anywhere), so the oracle recomputes
+    // both hashes exactly from the formula without parsing a PNG. Scale:
+    // row-local kernel over opaque binary columns — the mapInPandas-
+    // style multimodal shape, no shuffle at all.
+    QueryDef(
+      "q_image_dhash",
+      Some("""WITH px AS (SELECT doc_id, t.i AS i,
+             |    (doc_id*31 + t.i*7) % 256 AS v
+             |  FROM documents CROSS JOIN unnest(range(0, 864)) AS t(i)),
+             |p2 AS (SELECT doc_id, i,
+             |    CASE WHEN i % 97 = 0 THEN (v + 120) % 256 ELSE v END AS v
+             |  FROM px),
+             |b1 AS (SELECT doc_id,
+             |    (((i//3) // 18) // 2) * 9 + ((i//3) % 18) // 2 AS k,
+             |    CAST(sum(v) AS BIGINT) AS s
+             |  FROM px GROUP BY 1, 2),
+             |b2 AS (SELECT doc_id,
+             |    (((i//3) // 18) // 2) * 9 + ((i//3) % 18) // 2 AS k,
+             |    CAST(sum(v) AS BIGINT) AS s
+             |  FROM p2 GROUP BY 1, 2),
+             |bits1 AS (SELECT d.doc_id, t.bi,
+             |    CASE WHEN c.s > a.s THEN 1 ELSE 0 END AS bit
+             |  FROM documents d CROSS JOIN unnest(range(0, 64)) AS t(bi)
+             |  JOIN b1 a ON a.doc_id = d.doc_id
+             |    AND a.k = (t.bi // 8) * 9 + t.bi % 8
+             |  JOIN b1 c ON c.doc_id = d.doc_id
+             |    AND c.k = (t.bi // 8) * 9 + t.bi % 8 + 1),
+             |bits2 AS (SELECT d.doc_id, t.bi,
+             |    CASE WHEN c.s > a.s THEN 1 ELSE 0 END AS bit
+             |  FROM documents d CROSS JOIN unnest(range(0, 64)) AS t(bi)
+             |  JOIN b2 a ON a.doc_id = d.doc_id
+             |    AND a.k = (t.bi // 8) * 9 + t.bi % 8
+             |  JOIN b2 c ON c.doc_id = d.doc_id
+             |    AND c.k = (t.bi // 8) * 9 + t.bi % 8 + 1),
+             |h1 AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN bi < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << bi) ELSE 0 END)
+             |      AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN bi >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << (bi - 32)) ELSE 0 END)
+             |      AS BIGINT) AS hi
+             |  FROM bits1 GROUP BY 1),
+             |h2 AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN bi < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << bi) ELSE 0 END)
+             |      AS BIGINT) AS lo,
+             |    CAST(sum(CASE WHEN bi >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << (bi - 32)) ELSE 0 END)
+             |      AS BIGINT) AS hi
+             |  FROM bits2 GROUP BY 1),
+             |hm AS (SELECT x.doc_id,
+             |    CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+             |  FROM bits1 x JOIN bits2 y
+             |    ON y.doc_id = x.doc_id AND y.bi = x.bi
+             |  GROUP BY 1)
+             |SELECT h1.doc_id, h1.hi AS dhash_hi, h1.lo AS dhash_lo,
+             |  h2.hi AS pert_hi, h2.lo AS pert_lo,
+             |  hm.hamming, hm.hamming <= 10 AS near
+             |FROM h1 JOIN h2 ON h2.doc_id = h1.doc_id
+             |JOIN hm ON hm.doc_id = h1.doc_id""".stripMargin),
+      (s, dir) => {
+        val dec = Binary.decodeImage(Binary.pngFromSeed(
+          Tables.t(s, dir, "documents").select("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", width = 18, height = 16), "png")
+        // every index below is a Scala literal: block k sums the 12 bytes
+        // of its 2×2 pixel window, bit i compares blocks (Y,X+1)>(Y,X)
+        def blocksOf(pxCol: Column) = array((0 until 72).map { k =>
+          val x0 = (k % 9) * 2; val y0 = (k / 9) * 2
+          (for (dy <- 0 to 1; dx <- 0 to 1; c <- 0 to 2)
+            yield element_at(pxCol,
+              lit(3 * ((y0 + dy) * 18 + (x0 + dx)) + c + 1)))
+            .reduce(_ + _).cast("long")
+        }: _*)
+        def bitsOf(bl: Column) = array((0 until 64).map { i =>
+          val base = (i / 8) * 9 + (i % 8)
+          when(element_at(bl, lit(base + 2)) >
+            element_at(bl, lit(base + 1)), 1).otherwise(0)
+        }: _*)
+        def half(bits: Column, from: Int) =
+          (0 until 32).map(i => element_at(bits, lit(from + i + 1))
+            .cast("long") * lit(1L << i)).reduce(_ + _)
+        val withBits = dec
+          .withColumn("px2", transform(col("pixels"),
+            (v, i) => when(pmod(i, lit(97)) === 0, pmod(v + 120, lit(256)))
+              .otherwise(v)))
+          .withColumn("bl1", blocksOf(col("pixels")))
+          .withColumn("bl2", blocksOf(col("px2")))
+          .withColumn("bits1", bitsOf(col("bl1")))
+          .withColumn("bits2", bitsOf(col("bl2")))
+        val hamming = (0 until 64).map(i =>
+          abs(element_at(col("bits1"), lit(i + 1)) -
+            element_at(col("bits2"), lit(i + 1)))).reduce(_ + _)
+        withBits.select(col("doc_id"),
+          half(col("bits1"), 32).as("dhash_hi"),
+          half(col("bits1"), 0).as("dhash_lo"),
+          half(col("bits2"), 32).as("pert_hi"),
+          half(col("bits2"), 0).as("pert_lo"),
+          hamming.cast("int").as("hamming"),
+          (hamming <= 10).as("near"))
+      }),
 
     // REAL compressed-image decode under the hash gate: the same
     // seed-formula pixels as q_ppm_decode, but ENCODED to PNG with the

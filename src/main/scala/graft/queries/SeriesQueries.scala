@@ -119,6 +119,77 @@ object SeriesQueries {
             round(col("num") / col("den"), 4).as("ewma"))
       }),
 
+    // HOLT LINEAR FORECAST per event type: double exponential smoothing
+    // (level + trend, α=0.5, β=0.3) over the daily series, emitting the
+    // final state and 1/2/3-step-ahead forecasts — the "where is this
+    // counter heading" query a metrics warehouse runs nightly. The
+    // recurrence is inherently sequential, but only WITHIN a series: each
+    // type's day values collect into one calendar-bounded array (same
+    // contract as q_stl_decompose) and the fold runs as a codegen'd
+    // `aggregate` lambda — series parallelize across the cluster, state
+    // is 2 doubles. Init (l,b)=(x₂, x₂−x₁) is exact integer arithmetic;
+    // the recurrence is written with IDENTICAL operation order in both
+    // engines (l' = 0.5·x + 0.5·(l+b); b' = 0.3·(l'−l) + 0.7·b, l'
+    // inlined), so the doubles agree bitwise before the round(…,4).
+    // The oracle replays the fold as a recursive CTE stepping rn.
+    QueryDef(
+      "q_holt_forecast",
+      Some(s"""WITH RECURSIVE d AS ($dailySql),
+             |r AS (SELECT event_type, CAST(c AS DOUBLE) AS x,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rn
+             |  FROM d),
+             |nn AS (SELECT event_type, CAST(max(rn) AS INT) AS n
+             |  FROM r GROUP BY 1),
+             |hw(event_type, t, l, b) AS (
+             |  SELECT a.event_type, 2, b2.x, b2.x - a.x
+             |  FROM r a JOIN r b2 ON b2.event_type = a.event_type
+             |    AND b2.rn = 2
+             |  WHERE a.rn = 1
+             |  UNION ALL
+             |  SELECT hw.event_type, hw.t + 1,
+             |    0.5 * r.x + 0.5 * (hw.l + hw.b),
+             |    0.3 * ((0.5 * r.x + 0.5 * (hw.l + hw.b)) - hw.l)
+             |      + 0.7 * hw.b
+             |  FROM hw JOIN r ON r.event_type = hw.event_type
+             |    AND r.rn = hw.t + 1)
+             |SELECT hw.event_type, nn.n,
+             |  round(hw.l, 4) AS level, round(hw.b, 4) AS trend,
+             |  round(hw.l + 1 * hw.b, 4) AS f1,
+             |  round(hw.l + 2 * hw.b, 4) AS f2,
+             |  round(hw.l + 3 * hw.b, 4) AS f3
+             |FROM hw JOIN nn ON nn.event_type = hw.event_type
+             |  AND hw.t = nn.n""".stripMargin),
+      (s, dir) => {
+        val arr = daily(s, dir)
+          .groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+            .as("dc"))
+          .withColumn("xs",
+            transform(col("dc"), e => e.getField("c").cast("double")))
+          .filter(size(col("xs")) >= 2)
+          .withColumn("n", size(col("xs")))
+          .withColumn("rest",
+            slice(col("xs"), lit(3), greatest(col("n") - 2, lit(0))))
+        val init = struct(
+          element_at(col("xs"), 2).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b"))
+        val st = aggregate(col("rest"), init, (acc, x) => {
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val l2 = lit(0.5) * x + lit(0.5) * (l + b)
+          struct(l2.as("l"),
+            (lit(0.3) * (l2 - l) + lit(0.7) * b).as("b"))
+        })
+        arr.withColumn("st", st)
+          .select(col("event_type"), col("n").cast("int").as("n"),
+            round(col("st.l"), 4).as("level"),
+            round(col("st.b"), 4).as("trend"),
+            round(col("st.l") + lit(1) * col("st.b"), 4).as("f1"),
+            round(col("st.l") + lit(2) * col("st.b"), 4).as("f2"),
+            round(col("st.l") + lit(3) * col("st.b"), 4).as("f3"))
+      }),
+
     // CUSUM CHANGEPOINT per event type: the day where the cumulative
     // deviation from the series mean peaks — level-shift detection on
     // daily counts. The scan statistic is kept EXACT by scaling out the

@@ -928,6 +928,76 @@ object TextQueries {
               col("b.pos") === col("a.pos") + 1 && col("b.w") === col("w2"))
           .groupBy(col("a.doc_id").as("doc_id"), col("w1"), col("w2"))
           .agg(count(lit(1)).as("n_occ"))
+      }),
+
+    // TEXTRANK keyword scores: weighted PageRank over the word
+    // co-occurrence (bigram) graph — the unsupervised keyword-extraction
+    // classic (Mihalcea & Tarau 2004), here at corpus grain. Edges are
+    // symmetrized bigram counts; rank mass flows proportional to edge
+    // weight over weighted degree (r' = 0.15/N + 0.85·Σ r·w/wdeg), 5
+    // iterations like q_pagerank. Scale shape: ONE corpus scan builds the
+    // bigram table, then every iteration joins only the vocab-bounded
+    // (node, rank) relation against the vocab²-bounded edge list —
+    // corpus size never re-enters the loop. The oracle replays the same
+    // iterations in a recursive CTE.
+    QueryDef(
+      "q_textrank",
+      Some("""WITH RECURSIVE d AS (SELECT regexp_split_to_array(lower(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+             |  WHERE toks[i] <> '' AND toks[i+1] <> ''),
+             |bg0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2),
+             |e AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS w FROM (
+             |    SELECT w1 AS a, w2 AS b, c FROM bg0
+             |    UNION ALL SELECT w2, w1, c FROM bg0)
+             |  GROUP BY 1, 2),
+             |deg AS (SELECT a, CAST(sum(w) AS BIGINT) AS d FROM e
+             |  GROUP BY 1),
+             |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+             |pr(iter, node, r) AS (
+             |  SELECT 0, a, 1.0::DOUBLE / n FROM deg CROSS JOIN nn
+             |  UNION ALL
+             |  SELECT pr.iter + 1, e.b,
+             |    0.15::DOUBLE / nn.n + 0.85::DOUBLE * sum(pr.r * e.w / deg.d)
+             |  FROM pr JOIN e ON e.a = pr.node
+             |  JOIN deg ON deg.a = e.a
+             |  CROSS JOIN nn
+             |  WHERE pr.iter < 5
+             |  GROUP BY pr.iter, e.b, nn.n)
+             |SELECT node AS word, round(r, 6) AS rank
+             |FROM pr WHERE iter = 5""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(split(graft.dedup.Dedup.normalized(col("text")), " ")
+            .as("toks"))
+        val p = toks
+          .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+          .filter(col("w1") =!= "")
+          .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
+          .filter(col("w2").isNotNull && col("w2") =!= "")
+        val bg0 = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val e = bg0.select(col("w1").as("a"), col("w2").as("b"), col("c"))
+          .unionByName(bg0.select(col("w2").as("a"), col("w1").as("b"),
+            col("c")))
+          .groupBy("a", "b").agg(sum("c").as("w"))
+          .localCheckpoint() // probed by deg and all 5 iterations
+        val deg = e.groupBy("a").agg(sum("w").as("d"))
+        val n = deg.count().toDouble
+        var r = deg.select(col("a").as("node"),
+          (lit(1.0) / lit(n)).as("r"))
+        for (_ <- 1 to 5) {
+          r = r.join(e, col("node") === col("a"))
+            .join(deg, "a")
+            .groupBy(col("b"))
+            .agg(sum(col("r") * col("w") / col("d")).as("s"))
+            .select(col("b").as("node"),
+              (lit(0.15) / lit(n) + lit(0.85) * col("s")).as("r"))
+            .localCheckpoint()
+        }
+        r.select(col("node").as("word"), round(col("r"), 6).as("rank"))
       })
   )
 }

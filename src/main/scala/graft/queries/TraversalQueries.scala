@@ -82,6 +82,61 @@ object TraversalQueries {
         dist
       }),
 
+    // WEIGHTED shortest path (hop-bounded Bellman-Ford) from the same
+    // three seeds: edge weight = (min linking quantity) % 9 + 1 — a
+    // deterministic 1..9 integer toll — and the answer is the cheapest
+    // cost reachable in ≤ 3 edges (bounded-hop routing: the semantics a
+    // "within k legs" itinerary query wants, and the bound that makes
+    // both engines' work finite without a convergence test). Per round
+    // the ONLY thing that reshuffles is the |seeds|·|V| best-cost table
+    // (relax = equi-join on src + min-combine = textbook Bellman-Ford
+    // round, each round's result localCheckpoint-truncated); the oracle
+    // replays every ≤3-edge walk in a recursive CTE and takes the min.
+    // Costs stay in the integer domain end to end — no float path sums.
+    QueryDef(
+      "q_weighted_path",
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             |    CAST(min(l_quantity) AS BIGINT) % 9 + 1 AS w
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT src, dst, w FROM e0
+             |  UNION ALL SELECT dst, src, w FROM e0),
+             |walk(seed, node, cost, d) AS (
+             |  SELECT DISTINCT src, src, CAST(0 AS BIGINT), 0
+             |  FROM e WHERE src IN (0, 2, 4)
+             |  UNION
+             |  SELECT walk.seed, e.dst, walk.cost + e.w, walk.d + 1
+             |  FROM walk JOIN e ON e.src = walk.node WHERE walk.d < 3)
+             |SELECT seed, node, min(cost) AS cost
+             |FROM walk GROUP BY seed, node""".stripMargin),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        val fwd = o.join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .agg((min("l_quantity").cast("long") % 9 + 1).as("w"))
+        val e = fwd.unionByName(fwd.select(col("dst").as("src"),
+          col("src").as("dst"), col("w"))).localCheckpoint()
+        val seeds = Seq(0L, 2L, 4L)
+        var best = s.createDataFrame(seeds.map(x => (x, x)))
+          .toDF("seed", "node")
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"),
+            "left_semi")
+          .withColumn("cost", lit(0L))
+        for (_ <- 1 to 3) {
+          val relaxed = best.join(e, col("node") === col("src"))
+            .select(col("seed"), col("dst").as("node"),
+              (col("cost") + col("w")).as("cost"))
+          best = best.unionByName(relaxed)
+            .groupBy("seed", "node").agg(min("cost").as("cost"))
+            .localCheckpoint()
+        }
+        best
+      }),
+
     // Hierarchy closure by POINTER DOUBLING: root ancestor + depth for the
     // decimal-digit hierarchy parent(n) = n div 10 over customer keys
     // (single-digit keys are roots). Three doubling rounds resolve depth
