@@ -80,8 +80,21 @@ object Dedup {
     * instead — the banded popcount join is the only exact plan whose
     * cost doesn't explode when every feature is common; the sf1
     * measurement has the numbers.
+    *
+    * Cap sizing (retuned r12 after the sf10 run): the worst case is all
+    * sets in one size band — ~0.5·cap² candidate pairs, each ONE
+    * codegen'd long-AND/popcount fold. At 100k sets that is ≤5G integer
+    * folds, seconds across a handful of cores and trivially partitioned;
+    * the memory footprint is the ≤16-long masks themselves (≈13 MB per
+    * 100k sets broadcast side). The sf10 measurement showed the OLD 10k
+    * default tripping mid-decade on a template corpus slice (44.5k sets)
+    * and routing q_dedup_auto to the set-level inverted fallback — a 31×
+    * wall-clock step (65 s vs the banded path's projected ~25 s) purely
+    * from the routing cliff. Organic corpora with millions of distinct
+    * sets still cross the cap and take the bounded fallback, which is
+    * the right plan there (prefix pruning works when features are rare).
     */
-  val defaultBitmaskMaxSets = 10000L
+  val defaultBitmaskMaxSets = 100000L
 
   /** @deprecated renamed — since r10 the guard caps DISTINCT WORD-SET
     * masks, not documents; use [[defaultBitmaskMaxSets]]. This alias

@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
   */
 object Binary {
 
+  // ImageIO defaults to a FILE-backed stream cache: every read/write
+  // creates (and deletes) a temp file in java.io.tmpdir. Row-local codec
+  // kernels touch millions of tiny in-memory images, and the per-image
+  // temp-file churn turns into filesystem-metadata contention across
+  // executor threads — measured at the r12 sf10 run: q_jpeg_decode
+  // scaled 29x on 10x rows with the cache on. All our payloads are
+  // byte arrays already in memory; cache in memory. (JVM-global flag,
+  // set once when any codec path loads this object.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach a binary payload + metadata struct. The fixture corpus has no
     * real media, so the payload is the UTF-8 text bytes standing in for an
     * encoded image.
@@ -56,6 +66,8 @@ object Binary {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
+
       iter.grouped(decodeBatchSize).flatMap { batch =>
         // one "codec init" per batch would go here
         batch.map { row =>
@@ -233,6 +245,8 @@ object Binary {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(seedCol)
     df.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
+
       iter.map { row =>
         val seed = row.getAs[Number](idx).longValue
         val img = new java.awt.image.BufferedImage(
@@ -275,6 +289,8 @@ object Binary {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
+
       iter.grouped(decodeBatchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](idx)
@@ -576,6 +592,8 @@ object Binary {
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(seedCol)
     df.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
+
       iter.map { row =>
         val seed = row.getAs[Number](idx).longValue
         val frames = (0 until nFrames).map { f =>
@@ -678,6 +696,8 @@ object Binary {
     }
 
     df.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false) // executor JVMs too
+
       iter.grouped(decodeBatchSize).flatMap { batch =>
         batch.flatMap { row =>
           val bytes = row.getAs[Array[Byte]](idx)

@@ -190,6 +190,59 @@ object SeriesQueries {
             round(col("st.l") + lit(3) * col("st.b"), 4).as("f3"))
       }),
 
+    // THEIL–SEN robust trend per event type: the median of all pairwise
+    // slopes (cⱼ−cᵢ)/(j−i) over the daily series — the outlier-immune
+    // alternative to q_trend_ols (breakdown point 29% vs 0%). Median is
+    // the LOWER middle element (rank ⌈m/2⌉ under slope,i,j order): a
+    // pure selection, no interpolation arithmetic, so both engines pick
+    // the IDENTICAL pair's slope and float rounding can't diverge on
+    // even counts. Scale: pairs are |days|²-bounded per series
+    // (calendar² — never corpus²) and every window is partitioned by
+    // series; series parallelize.
+    QueryDef(
+      "q_theil_sen",
+      Some(s"""WITH d AS ($dailySql),
+             |r AS (SELECT event_type, c, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY day) AS t FROM d),
+             |pr AS (SELECT a.event_type, a.t AS i, b.t AS j,
+             |    (b.c - a.c) / CAST(b.t - a.t AS DOUBLE) AS s
+             |  FROM r a JOIN r b ON b.event_type = a.event_type
+             |    AND b.t > a.t),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m
+             |  FROM pr GROUP BY 1),
+             |nd AS (SELECT event_type, CAST(max(t) AS INT) AS n
+             |  FROM r GROUP BY 1),
+             |rk AS (SELECT pr.*, row_number() OVER (
+             |    PARTITION BY pr.event_type
+             |    ORDER BY pr.s, pr.i, pr.j) AS rk FROM pr)
+             |SELECT rk.event_type, nd.n AS n_days, m.m AS n_pairs,
+             |  round(rk.s, 6) AS ts_slope
+             |FROM rk JOIN m USING (event_type) JOIN nd USING (event_type)
+             |WHERE rk.rk = (m.m + 1) // 2""".stripMargin),
+      (s, dir) => {
+        val wT = Window.partitionBy("event_type").orderBy("day")
+        val r = daily(s, dir)
+          .withColumn("t", row_number().over(wT))
+          .localCheckpoint() // self-joined for pairs, scanned for n_days
+        val pr = r.as("a").join(r.as("b"),
+            col("b.event_type") === col("a.event_type") &&
+              col("b.t") > col("a.t"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.t").as("i"), col("b.t").as("j"),
+            ((col("b.c") - col("a.c")) /
+              (col("b.t") - col("a.t")).cast("double")).as("s"))
+        val m = pr.groupBy("event_type").agg(count(lit(1)).as("m"))
+        val nd = r.groupBy("event_type")
+          .agg(max("t").cast("int").as("n"))
+        val rk = pr.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("s"), col("i"), col("j"))))
+        rk.join(m, "event_type").join(broadcast(nd), "event_type")
+          .filter(col("rk") === expr("(m + 1) div 2"))
+          .select(col("event_type"), col("n").as("n_days"),
+            col("m").as("n_pairs"), round(col("s"), 6).as("ts_slope"))
+      }),
+
     // CUSUM CHANGEPOINT per event type: the day where the cumulative
     // deviation from the series mean peaks — level-shift detection on
     // daily counts. The scan statistic is kept EXACT by scaling out the

@@ -998,6 +998,61 @@ object TextQueries {
             .localCheckpoint()
         }
         r.select(col("node").as("word"), round(col("r"), 6).as("rank"))
+      }),
+
+    // KNESER-NEY smoothed bigram probabilities (absolute discount
+    // D=0.75, interpolated form): P(w₂|w₁) = max(c−D,0)/c(w₁·) +
+    // (D/c(w₁·))·N₁₊(w₁·)·P_cont(w₂) with the continuation prior
+    // P_cont(w₂) = N₁₊(·w₂)/|bigram types| — the LM-smoothing classic
+    // the unsmoothed q_lm_perplexity family deliberately omits. Scale
+    // shape: one corpus scan builds the bigram table; every factor after
+    // that (totals, fan-out/continuation type counts, the 1-row type
+    // total) is vocab-bounded, and the final probability is a pure
+    // scalar expression over one equi-joined row per bigram. Written
+    // with IDENTICAL float operation order in both engines.
+    QueryDef(
+      "q_kneser_ney",
+      Some("""WITH d AS (SELECT regexp_split_to_array(lower(trim(
+             |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+             |  FROM documents),
+             |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM d)
+             |  WHERE toks[i] <> '' AND toks[i+1] <> ''),
+             |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+             |  FROM p GROUP BY 1, 2),
+             |t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS tw,
+             |    CAST(count(*) AS BIGINT) AS n1f
+             |  FROM bg GROUP BY 1),
+             |cb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+             |  FROM bg GROUP BY 1),
+             |b AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg)
+             |SELECT bg.w1, bg.w2, bg.c,
+             |  round(greatest(bg.c - 0.75::DOUBLE, 0.0::DOUBLE) / t.tw
+             |    + (0.75::DOUBLE / t.tw) * t.n1f
+             |      * (cb.n1b / CAST(b.bb AS DOUBLE)), 6) AS p_kn
+             |FROM bg JOIN t USING (w1) JOIN cb USING (w2)
+             |CROSS JOIN b""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(split(graft.dedup.Dedup.normalized(col("text")), " ")
+            .as("toks"))
+        val p = toks
+          .select(posexplode(col("toks")).as(Seq("i", "w1")), col("toks"))
+          .filter(col("w1") =!= "")
+          .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
+          .filter(col("w2").isNotNull && col("w2") =!= "")
+        val bg = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds t, cb, b and the final projection
+        val t = bg.groupBy("w1")
+          .agg(sum("c").as("tw"), count(lit(1)).as("n1f"))
+        val cb = bg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val b = bg.agg(count(lit(1)).as("bb"))
+        bg.join(t, "w1").join(cb, "w2")
+          .crossJoin(broadcast(b))
+          .select(col("w1"), col("w2"), col("c"),
+            round(greatest(col("c") - lit(0.75), lit(0.0)) / col("tw")
+              + (lit(0.75) / col("tw")) * col("n1f")
+                * (col("n1b") / col("bb").cast("double")), 6).as("p_kn"))
       })
   )
 }

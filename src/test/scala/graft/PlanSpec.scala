@@ -491,7 +491,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_hits/q_kcore: iterate on equi-joins with broadcast totals only") {
-    for (name <- Seq("q_hits", "q_kcore")) {
+    for (name <- Seq("q_hits", "q_kcore", "q_weighted_path", "q_textrank")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }

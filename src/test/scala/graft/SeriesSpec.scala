@@ -25,6 +25,70 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_holt_forecast matches a driver-side fold") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._2).flatMap { case (et, rows) =>
+      val xs = rows.sortBy(_._1).map(_._3.toDouble)
+      if (xs.length < 2) None
+      else {
+        var l = xs(1); var b = xs(1) - xs(0)
+        for (x <- xs.drop(2)) {
+          val l2 = 0.5 * x + 0.5 * (l + b)
+          b = 0.3 * (l2 - l) + 0.7 * b
+          l = l2
+        }
+        Some(et -> ((xs.length, l, b)))
+      }
+    }
+    val got = q("q_holt_forecast").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == expected.keySet)
+    for ((et, (n, l, b)) <- expected) {
+      val r = got(et)
+      assert(r.getInt(1) == n, s"$et: n")
+      // outputs are round(x, 4): allow the half-ulp of that rounding
+      def close(a: Double, e: Double, what: String) =
+        assert(math.abs(a - e) <= 5e-5 + 1e-9, s"$et $what: $a vs $e")
+      close(r.getDouble(2), l, "level")
+      close(r.getDouble(3), b, "trend")
+      close(r.getDouble(4), l + 1 * b, "f1")
+      close(r.getDouble(5), l + 2 * b, "f2")
+      close(r.getDouble(6), l + 3 * b, "f3")
+    }
+  }
+
+  test("q_theil_sen matches a driver-side pairwise-slope selection") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._2).flatMap { case (et, rows) =>
+      val xs = rows.sortBy(_._1).map(_._3).zipWithIndex
+        .map { case (c, i) => (i + 1, c) } // t is 1-based
+      val slopes = for {
+        (i, ci) <- xs; (j, cj) <- xs if j > i
+      } yield (((cj - ci).toDouble / (j - i).toDouble), i, j)
+      if (slopes.isEmpty) None
+      else {
+        val sorted = slopes.sortBy(t => (t._1, t._2, t._3))
+        val pick = sorted((slopes.length + 1) / 2 - 1)._1
+        Some(et -> ((xs.length, slopes.length.toLong, pick)))
+      }
+    }
+    val got = q("q_theil_sen").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    for ((et, (n, m, slope)) <- expected) {
+      val r = got(et)
+      assert(r.getInt(1) == n && r.getLong(2) == m, s"$et counts")
+      assert(math.abs(r.getDouble(3) - slope) <= 5e-7 + 1e-12,
+        s"$et slope ${r.getDouble(3)} vs $slope")
+    }
+  }
+
   test("q_ewma_smooth: smoother stays inside its input envelope") {
     val rows = q("q_ewma_smooth").collect()
     assert(rows.nonEmpty)

@@ -26,6 +26,39 @@ class TraversalSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_path matches a driver-side Bellman-Ford (<=3 hops)") {
+    // rebuild the same weighted bipartite graph, then run the textbook
+    // relaxation in plain Scala — the spec pins the ITERATION, the
+    // DuckDB oracle already pins the SQL-expressible semantics
+    val o = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val fwd = o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .agg((min("l_quantity").cast("long") % 9 + 1).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = fwd ++ fwd.map { case (a, b, w) => (b, a, w) }
+    val adj = edges.groupBy(_._1)
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (seed <- Seq(0L, 2L, 4L) if adj.contains(seed)) {
+      var best = Map(seed -> 0L)
+      for (_ <- 1 to 3) {
+        val relaxed = for {
+          (n, c) <- best.toSeq
+          (_, d, w) <- adj.getOrElse(n, Array.empty[(Long, Long, Long)])
+        } yield d -> (c + w)
+        best = (best.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      for ((n, c) <- best) expected((seed, n)) = c
+    }
+    val got = q("q_weighted_path").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected.toMap, "weighted-path table diverged")
+    assert(got.nonEmpty)
+  }
+
   test("q_hierarchy_closure: root is the leading digit, depth = digits-1") {
     val rows = q("q_hierarchy_closure").collect()
     assert(rows.nonEmpty)
