@@ -284,6 +284,16 @@ object Dedup {
           .withColumn("ps", explode(sequence(
             ceil(col("pb") * threshold - 1e-9).cast("int"),
             floor(col("pb") / threshold + 1e-9).cast("int"))))
+        // (A block-index-keyed variant of this join — explode each side
+        // over its nonzero mask blocks so shard-disjoint vocabularies
+        // never pair — was prototyped and MEASURED NEUTRAL at sf10:
+        // 59 s vs 55 s on q_dedup_auto's 44.5k-set slice, because a
+        // 64-bit block spans ~2 of the 10 replica shards, cutting
+        // candidates only ~3× while the min-shared-block uniqueness
+        // filter doubles per-candidate cost. Reverted; it would win
+        // only when shards-per-block ≪ 1, i.e. hundreds of small
+        // disjoint vocabularies, at which point set counts cross
+        // `maxSets` into the inverted fallback anyway.)
         val setPairs = a.join(broadcast(bKeyed),
           col("pa") === col("ps") && col("sa") < col("sb"))
         // ONE popcount fold per pair: |A∪B| = |A| + |B| − |A∩B| and the

@@ -111,6 +111,37 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 0.9)
   }
 
+  test("multi-long bitmask path exact on a sharded 160-word vocabulary") {
+    import spark.implicits._
+    // two shards with DISJOINT 80-word vocabularies (160 words -> 3 mask
+    // longs: exercises the map-assembled multi-long mask build, not the
+    // single-long fast path). Within each shard: a base doc, a
+    // 0.9-boundary near-dup (18 of 20 words) and an unrelated doc.
+    // Cross-checked against the independently-shipped inverted-index
+    // path — same pairs, same jaccard; never a cross-shard pair.
+    def doc(shard: String, words: Seq[Int]) =
+      words.map(i => s"$shard$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc("a", 1 to 20)), (2L, doc("a", 1 to 18)),
+      (3L, doc("a", 40 to 60)),
+      (1001L, doc("b", 1 to 20)), (1002L, doc("b", 1 to 18)),
+      (1003L, doc("b", 40 to 60)),
+      (1004L, doc("b", 1 to 20))  // identical set to 1001 -> J = 1.0
+    ).toDF("doc_id", "text")
+    val bm = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask)
+    val inv = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardInverted)
+    val got = bm.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == inv.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet, got)
+    // the boundary pairs (1002 pairs with BOTH copies of the b-shard
+    // 20-word set), the identical pair — and never a cross-shard pair
+    assert(got == Set((1L, 2L, 0.9), (1001L, 1002L, 0.9),
+      (1002L, 1004L, 0.9), (1001L, 1004L, 1.0)), got)
+  }
+
   test("bitmask cap overflow: set-level inverted fallback emits identical pairs") {
     // forcing the guard (maxSets = 1) must route to the inverted index
     // over DISTINCT SETS and reproduce the banded popcount path's exact
