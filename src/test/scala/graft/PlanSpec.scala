@@ -407,8 +407,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("traversal/sweep-line queries plan no unpartitioned global window") {
+    // q_theil_sen/q_holt_forecast: every window/fold partitioned by
+    // series — a global window would serialize all series' pairs/values
     for (name <- Seq("q_interval_union", "q_concurrency_peak",
-        "q_source_cap")) {
+        "q_source_cap", "q_theil_sen", "q_holt_forecast")) {
       val sp = q(name).queryExecution.sparkPlan
       val globalWindows = sp.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
