@@ -153,6 +153,86 @@ object AnalyticQueries {
           .select("cluster_id", "n_members", "golden_name", "total_acctbal")
       }),
 
+    // FELLEGI–SUNTER probabilistic record linkage over the same blocked
+    // candidate space as q_golden_record: per-field agreement indicators
+    // (name within edit distance 1, nation, segment, 1000-unit account
+    // balance band in exact integer cents), a
+    // log₂(m/u)-style weight per indicator — fixed LITERAL weights, the
+    // production shape where m/u come from an offline EM fit; literals
+    // also remove any cross-engine log() ulp risk — and a total match
+    // score classified link / possible / nonlink. Every decision
+    // threshold sits ≥0.6 from any reachable score (16 combos,
+    // verified), so float comparisons can't straddle engines. Scale:
+    // candidates come from Fuzzy.editDistancePairs' q-gram+length
+    // blocking (exact for the edit bound, never all-pairs); scoring is
+    // one codegen'd projection per candidate.
+    QueryDef(
+      "q_fs_linkage",
+      Some("""WITH c AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             |    c_nationkey FROM customer WHERE c_custkey < 500),
+             |p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |    levenshtein(a.c_name, b.c_name) AS dist,
+             |    a.c_nationkey = b.c_nationkey AS agr_nation,
+             |    a.c_mktsegment = b.c_mktsegment AS agr_segment,
+             |    CAST(round(a.c_acctbal * 100, 0) AS BIGINT) // 100000 =
+             |      CAST(round(b.c_acctbal * 100, 0) AS BIGINT) // 100000
+             |      AS agr_band
+             |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+             |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+             |s AS (SELECT id_a, id_b, dist <= 1 AS agr_name,
+             |    agr_nation, agr_segment, agr_band,
+             |    (CASE WHEN dist <= 1 THEN 9.8919::DOUBLE
+             |       ELSE -4.3205::DOUBLE END
+             |     + CASE WHEN agr_nation THEN 4.5699::DOUBLE
+             |       ELSE -4.2630::DOUBLE END
+             |     + CASE WHEN agr_segment THEN 2.1699::DOUBLE
+             |       ELSE -3.0::DOUBLE END
+             |     + CASE WHEN agr_band THEN 4.4919::DOUBLE
+             |       ELSE -3.2630::DOUBLE END) AS score
+             |  FROM p)
+             |SELECT id_a, id_b, agr_name, agr_nation, agr_segment,
+             |  agr_band, round(score, 4) AS score,
+             |  CASE WHEN score >= 10 THEN 'link'
+             |    WHEN score >= 0 THEN 'possible'
+             |    ELSE 'nonlink' END AS decision
+             |FROM s""".stripMargin),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") < 500)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            "c_nationkey")
+        val cand = graft.ops.Fuzzy.editDistancePairs(
+          c.select("c_custkey", "c_name"), "c_custkey", "c_name",
+          maxDist = 2)
+        val fields = c.select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) div 100000")
+            .as("ph"),
+          col("c_mktsegment").as("sg"), col("c_nationkey").as("na"))
+        val p = cand
+          .join(fields.select(col("c_custkey").as("id_a"),
+            col("ph").as("ph_a"), col("sg").as("sg_a"),
+            col("na").as("na_a")), Seq("id_a"))
+          .join(fields.select(col("c_custkey").as("id_b"),
+            col("ph").as("ph_b"), col("sg").as("sg_b"),
+            col("na").as("na_b")), Seq("id_b"))
+          .withColumn("agr_name", col("dist") <= 1)
+          .withColumn("agr_nation", col("na_a") === col("na_b"))
+          .withColumn("agr_segment", col("sg_a") === col("sg_b"))
+          .withColumn("agr_band", col("ph_a") === col("ph_b"))
+        val score =
+          when(col("agr_name"), lit(9.8919)).otherwise(lit(-4.3205)) +
+          when(col("agr_nation"), lit(4.5699)).otherwise(lit(-4.2630)) +
+          when(col("agr_segment"), lit(2.1699)).otherwise(lit(-3.0)) +
+          when(col("agr_band"), lit(4.4919)).otherwise(lit(-3.2630))
+        p.withColumn("score", score)
+          .select(col("id_a"), col("id_b"), col("agr_name"),
+            col("agr_nation"), col("agr_segment"), col("agr_band"),
+            round(col("score"), 4).as("score"),
+            when(col("score") >= 10, "link")
+              .when(col("score") >= 0, "possible")
+              .otherwise("nonlink").as("decision"))
+      }),
+
     // PageRank (5 power iterations, d = 0.85) over the symmetrized
     // customer↔supplier purchase graph — iterative graph centrality as a
     // first-class batch op. Node ids are disjoint by parity (customer·2,

@@ -308,6 +308,28 @@ object TemporalQueries {
         .stripMargin),
       (s, dir) => IncrementalStream.slidingCountsGated(s, dir)),
 
+    // STREAMING TOP-K: the stream maintains watermarked per-(window,
+    // user) counts (the unbounded state); the k-bounded leaderboard
+    // rank runs as a batch window over the checkpointed sink —
+    // append-mode can't retract a leaderboard row when a late arrival
+    // reorders it, so ranking stays out of the streaming graph. Oracle
+    // replays counts + closed-window cutoff + rank in batch SQL.
+    QueryDef(
+      "q_stream_topk",
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tsu, user_id FROM events),
+             |w AS (SELECT (tsu // 3600000000) * 3600000000 AS win_start_us,
+             |    user_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM e GROUP BY 1, 2),
+             |cl AS (SELECT * FROM w
+             |  WHERE win_start_us + 3600000000 <= (SELECT max(tsu) FROM e)),
+             |r AS (SELECT win_start_us, user_id, n,
+             |    CAST(row_number() OVER (PARTITION BY win_start_us
+             |      ORDER BY n DESC, user_id) AS INT) AS rk
+             |  FROM cl)
+             |SELECT win_start_us, rk, user_id, n FROM r
+             |WHERE rk <= 3""".stripMargin),
+      (s, dir) => IncrementalStream.topkPerWindowGated(s, dir)),
+
     // ROLLING MEDIAN (robust running statistic — outlier-resistant where
     // q_rolling_agg's mean is not): 7-row trailing frame per event type.
     // Spark has no windowed percentile, so the frame's values collect

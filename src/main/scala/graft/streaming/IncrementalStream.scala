@@ -105,6 +105,40 @@ object IncrementalStream {
     spark.read.parquet(s"$tmp/out")
   }
 
+  /** Streaming TOP-K (continuous leaderboard): the STREAM maintains the
+    * watermarked per-(window, user) counts — the unbounded, stateful
+    * part — and the k-bounded rank runs as a batch window over the
+    * checkpointed sink at read time (partitioned by window, so state is
+    * one window's user set, never the stream). This is the standard
+    * split for top-k over streams: append-mode can't re-emit a
+    * leaderboard row when a later arrival reorders it, so the ranking
+    * stays out of the streaming graph and the sink stays incrementally
+    * maintainable. Same staged landing dir + AvailableNow + append-mode
+    * watermark cutoff as [[windowedCountsGated]].
+    */
+  def topkPerWindowGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk-").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    graft.Tables.stageFixture(src, s"$tmp/in/events")
+    val agg = graft.Tables.normalizeEventTs(
+        statefulSession(spark).readStream.schema(schema).parquet(s"$tmp/in"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("user_id"), col("n"))
+    runAvailableNow(agg, s"$tmp/chk", s"$tmp/out")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start_us").orderBy(col("n").desc, col("user_id"))
+    spark.read.parquet(s"$tmp/out")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("win_start_us"), col("rk").cast("int").as("rk"),
+        col("user_id"), col("n"))
+  }
+
   /** Sliding-window sibling of [[windowedCountsGated]]: 2-hour windows
     * advancing every hour, so each event lands in TWO overlapping
     * windows — the overlap semantics (state per open window, twice the
