@@ -190,6 +190,129 @@ object SeriesQueries {
             round(col("st.l") + lit(3) * col("st.b"), 4).as("f3"))
       }),
 
+    // BURST DETECTION (Kleinberg-style 2-state Viterbi) per event type:
+    // decode each daily series into baseline/burst states by exact
+    // dynamic programming — emission cost |c−μ_s| against the series'
+    // lower-median (μ₀) and 75th-rank (μ₁) levels, switch penalty
+    // K = μ₁−μ₀+1, prefer-stay tie-break, final-state argmin with
+    // state-0 tie-break. EVERYTHING IS INTEGER ARITHMETIC (costs are
+    // sums of |BIGINT| diffs; level selection is rank-based, no
+    // interpolation), so the decoded path is bit-identical on any
+    // engine — no float HMM fragility. Scale: the recurrence is
+    // sequential only WITHIN a series (the q_holt_forecast contract):
+    // forward costs + backpointers accumulate in one calendar-bounded
+    // array fold, the backtrack is a second fold over the reversed
+    // codes, and series parallelize. The oracle replays forward and
+    // backtrack as two recursive CTEs.
+    QueryDef(
+      "q_burst_detect",
+      Some(s"""WITH RECURSIVE d AS ($dailySql),
+             |r AS (SELECT event_type, day, c, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY day) AS t FROM d),
+             |nn AS (SELECT event_type, CAST(max(t) AS INT) AS n
+             |  FROM r GROUP BY 1),
+             |srt AS (SELECT event_type, c, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY c, day) AS q FROM d),
+             |mu AS (SELECT s0.event_type, s0.c AS mu0, s1.c AS mu1,
+             |    s1.c - s0.c + 1 AS k
+             |  FROM (SELECT srt.event_type, srt.c FROM srt
+             |      JOIN nn USING (event_type)
+             |      WHERE srt.q = (nn.n + 1) // 2) s0
+             |  JOIN (SELECT srt.event_type, srt.c FROM srt
+             |      JOIN nn USING (event_type)
+             |      WHERE srt.q = nn.n - nn.n // 4) s1
+             |    ON s1.event_type = s0.event_type),
+             |fw(event_type, t, c0, c1, p0, p1) AS (
+             |  SELECT r.event_type, 1, abs(r.c - mu.mu0),
+             |    abs(r.c - mu.mu1), 0, 1
+             |  FROM r JOIN mu USING (event_type) WHERE r.t = 1
+             |  UNION ALL
+             |  SELECT fw.event_type, fw.t + 1,
+             |    abs(r.c - mu.mu0) + CASE WHEN fw.c0 <= fw.c1 + mu.k
+             |      THEN fw.c0 ELSE fw.c1 + mu.k END,
+             |    abs(r.c - mu.mu1) + CASE WHEN fw.c1 <= fw.c0 + mu.k
+             |      THEN fw.c1 ELSE fw.c0 + mu.k END,
+             |    CASE WHEN fw.c0 <= fw.c1 + mu.k THEN 0 ELSE 1 END,
+             |    CASE WHEN fw.c1 <= fw.c0 + mu.k THEN 1 ELSE 0 END
+             |  FROM fw JOIN r ON r.event_type = fw.event_type
+             |    AND r.t = fw.t + 1
+             |  JOIN mu ON mu.event_type = fw.event_type),
+             |fin AS (SELECT fw.event_type,
+             |    CASE WHEN fw.c0 <= fw.c1 THEN 0 ELSE 1 END AS cur
+             |  FROM fw JOIN nn ON nn.event_type = fw.event_type
+             |    AND fw.t = nn.n),
+             |back(event_type, t, cur) AS (
+             |  SELECT fin.event_type, nn.n, fin.cur
+             |  FROM fin JOIN nn USING (event_type)
+             |  UNION ALL
+             |  SELECT back.event_type, back.t - 1,
+             |    CASE WHEN back.cur = 0 THEN fw.p0 ELSE fw.p1 END
+             |  FROM back JOIN fw ON fw.event_type = back.event_type
+             |    AND fw.t = back.t
+             |  WHERE back.t > 1)
+             |SELECT r.event_type, r.day, r.c, CAST(back.cur AS INT) AS burst
+             |FROM r JOIN back ON back.event_type = r.event_type
+             |  AND back.t = r.t""".stripMargin),
+      (s, dir) => {
+        val base = daily(s, dir)
+          .groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+              .as("dc"),
+            array_sort(collect_list(struct(col("c"), col("day"))))
+              .as("cs"))
+          .withColumn("xs", transform(col("dc"), e => e.getField("c")))
+          .withColumn("n", size(col("xs")))
+          .withColumn("mu0",
+            element_at(col("cs"), expr("CAST((n + 1) div 2 AS INT)"))
+              .getField("c"))
+          .withColumn("mu1",
+            element_at(col("cs"), expr("CAST(n - n div 4 AS INT)"))
+              .getField("c"))
+          .withColumn("k", col("mu1") - col("mu0") + 1)
+        val init = struct(
+          abs(element_at(col("xs"), 1) - col("mu0")).as("c0"),
+          abs(element_at(col("xs"), 1) - col("mu1")).as("c1"),
+          array().cast("array<int>").as("bp"))
+        val fwd = aggregate(
+          slice(col("xs"), lit(2), greatest(col("n") - 1, lit(0))),
+          init, (acc, x) => {
+            val s0 = when(acc.getField("c0") <=
+                acc.getField("c1") + col("k"), acc.getField("c0"))
+              .otherwise(acc.getField("c1") + col("k"))
+            val s1 = when(acc.getField("c1") <=
+                acc.getField("c0") + col("k"), acc.getField("c1"))
+              .otherwise(acc.getField("c0") + col("k"))
+            val p0 = when(acc.getField("c0") <=
+              acc.getField("c1") + col("k"), 0).otherwise(1)
+            val p1 = when(acc.getField("c1") <=
+              acc.getField("c0") + col("k"), 1).otherwise(0)
+            struct((abs(x - col("mu0")) + s0).as("c0"),
+              (abs(x - col("mu1")) + s1).as("c1"),
+              concat(acc.getField("bp"),
+                array((p0 + p1 * 2).cast("int"))).as("bp"))
+          })
+        val withFwd = base.withColumn("fw", fwd)
+          .withColumn("cur0", when(col("fw.c0") <= col("fw.c1"), 0)
+            .otherwise(1).cast("int"))
+        // backtrack: walk the backpointer codes last→first; state at
+        // t−1 is bit0 (if cur=0) or bit1 (if cur=1) of the code at t
+        val states = aggregate(reverse(col("fw.bp")),
+          struct(col("cur0").as("cur"), array(col("cur0")).as("st")),
+          (acc, code) => {
+            val pred = when(acc.getField("cur") === 0,
+                code.bitwiseAND(lit(1)))
+              .otherwise(shiftright(code, 1)).cast("int")
+            struct(pred.as("cur"),
+              concat(acc.getField("st"), array(pred)).as("st"))
+          })
+        withFwd.withColumn("burst", reverse(states.getField("st")))
+          .select(col("event_type"),
+            posexplode(arrays_zip(col("dc"), col("burst"))))
+          .select(col("event_type"),
+            col("col.dc.day").as("day"), col("col.dc.c").as("c"),
+            col("col.burst").cast("int").as("burst"))
+      }),
+
     // THEIL–SEN robust trend per event type: the median of all pairwise
     // slopes (cⱼ−cᵢ)/(j−i) over the daily series — the outlier-immune
     // alternative to q_trend_ols (breakdown point 29% vs 0%). Median is

@@ -60,6 +60,44 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("q_burst_detect matches a driver-side integer Viterbi") {
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._2).flatMap { case (et, rows) =>
+      val xs = rows.sortBy(_._1).map(r => (r._1, r._3))
+      val n = xs.length
+      val byC = rows.map(r => (r._3, r._1)).sorted
+      val mu0 = byC((n + 1) / 2 - 1)._1
+      val mu1 = byC(n - n / 4 - 1)._1
+      val k = mu1 - mu0 + 1
+      var c0 = math.abs(xs(0)._2 - mu0); var c1 = math.abs(xs(0)._2 - mu1)
+      val bp = Array.newBuilder[(Int, Int)]
+      for ((_, x) <- xs.drop(1)) {
+        val (s0, p0) = if (c0 <= c1 + k) (c0, 0) else (c1 + k, 1)
+        val (s1, p1) = if (c1 <= c0 + k) (c1, 1) else (c0 + k, 0)
+        bp += ((p0, p1))
+        c0 = math.abs(x - mu0) + s0; c1 = math.abs(x - mu1) + s1
+      }
+      val codes = bp.result()
+      var cur = if (c0 <= c1) 0 else 1
+      val states = Array.fill(n)(0)
+      states(n - 1) = cur
+      for (t <- n - 2 to 0 by -1) {
+        cur = if (cur == 0) codes(t)._1 else codes(t)._2
+        states(t) = cur
+      }
+      xs.zipWithIndex.toSeq.map { case ((day, x), i) =>
+        (et, day) -> ((x, states(i)))
+      }
+    }
+    val got = q("q_burst_detect").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got == expected.toMap && got.nonEmpty)
+  }
+
   test("q_theil_sen matches a driver-side pairwise-slope selection") {
     val daily = Tables.t(spark, sf, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
