@@ -190,6 +190,100 @@ object SeriesQueries {
             round(col("st.l") + lit(3) * col("st.b"), 4).as("f3"))
       }),
 
+    // FORECAST BACKTEST (MASE) per event type: hold out the last 7 days,
+    // refit Holt (same α/β/init as q_holt_forecast) on the train prefix,
+    // forecast the holdout, and score against the SEASONAL-NAIVE
+    // baseline (x_{t−7}) — mase = MAE_holt / MAE_naive, the
+    // scale-free "is the model better than last week's value" number a
+    // metrics warehouse actually acts on. Series with <10 days are
+    // skipped (no meaningful holdout). Same calendar-bounded array-fold
+    // shape as q_holt_forecast; the oracle replays the truncated
+    // recursion and joins the naive lag.
+    QueryDef(
+      "q_forecast_backtest",
+      Some(s"""WITH RECURSIVE d AS ($dailySql),
+             |r AS (SELECT event_type, CAST(c AS DOUBLE) AS x,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rn
+             |  FROM d),
+             |nn AS (SELECT event_type, CAST(max(rn) AS INT) AS n
+             |  FROM r GROUP BY 1),
+             |tr AS (SELECT event_type, n, n - 7 AS m FROM nn
+             |  WHERE n >= 10),
+             |hw(event_type, t, l, b) AS (
+             |  SELECT a.event_type, 2, b2.x, b2.x - a.x
+             |  FROM r a JOIN r b2 ON b2.event_type = a.event_type
+             |    AND b2.rn = 2
+             |  JOIN tr ON tr.event_type = a.event_type
+             |  WHERE a.rn = 1
+             |  UNION ALL
+             |  SELECT hw.event_type, hw.t + 1,
+             |    0.5 * r.x + 0.5 * (hw.l + hw.b),
+             |    0.3 * ((0.5 * r.x + 0.5 * (hw.l + hw.b)) - hw.l)
+             |      + 0.7 * hw.b
+             |  FROM hw JOIN r ON r.event_type = hw.event_type
+             |    AND r.rn = hw.t + 1
+             |  JOIN tr ON tr.event_type = hw.event_type
+             |  WHERE hw.t + 1 <= tr.m),
+             |st AS (SELECT hw.event_type, hw.l, hw.b
+             |  FROM hw JOIN tr ON tr.event_type = hw.event_type
+             |    AND hw.t = tr.m),
+             |ev AS (SELECT r.event_type, r.rn - tr.m AS h, r.x,
+             |    p.x AS x_naive
+             |  FROM r JOIN tr USING (event_type)
+             |  JOIN r p ON p.event_type = r.event_type
+             |    AND p.rn = r.rn - 7
+             |  WHERE r.rn > tr.m),
+             |mm AS (SELECT ev.event_type,
+             |    avg(abs(ev.x - (st.l + ev.h * st.b))) AS mae_holt,
+             |    avg(abs(ev.x - ev.x_naive)) AS mae_naive
+             |  FROM ev JOIN st USING (event_type) GROUP BY 1)
+             |SELECT mm.event_type, tr.n,
+             |  round(mm.mae_holt, 4) AS mae_holt,
+             |  round(mm.mae_naive, 4) AS mae_naive,
+             |  CASE WHEN mm.mae_naive > 0
+             |    THEN round(mm.mae_holt / mm.mae_naive, 4) END AS mase
+             |FROM mm JOIN tr USING (event_type)""".stripMargin),
+      (s, dir) => {
+        val arr = daily(s, dir)
+          .groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+            .as("dc"))
+          .withColumn("xs",
+            transform(col("dc"), e => e.getField("c").cast("double")))
+          .withColumn("n", size(col("xs")))
+          .filter(col("n") >= 10)
+          .withColumn("m", col("n") - 7)
+        val init = struct(
+          element_at(col("xs"), 2).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b"))
+        val st = aggregate(
+          slice(col("xs"), lit(3), greatest(col("m") - 2, lit(0))),
+          init, (acc, x) => {
+            val l = acc.getField("l")
+            val b = acc.getField("b")
+            val l2 = lit(0.5) * x + lit(0.5) * (l + b)
+            struct(l2.as("l"),
+              (lit(0.3) * (l2 - l) + lit(0.7) * b).as("b"))
+          })
+        val withSt = arr.withColumn("st", st)
+        def at(off: Int) =
+          element_at(col("xs"), (col("m") + off).cast("int"))
+        val maeHolt = (1 to 7).map(h =>
+          abs(at(h) - (col("st.l") + lit(h) * col("st.b"))))
+          .reduce(_ + _) / 7.0
+        val maeNaive = (1 to 7).map(h => abs(at(h) - at(h - 7)))
+          .reduce(_ + _) / 7.0
+        withSt
+          .withColumn("mae_holt", maeHolt)
+          .withColumn("mae_naive", maeNaive)
+          .select(col("event_type"), col("n").cast("int").as("n"),
+            round(col("mae_holt"), 4).as("mae_holt"),
+            round(col("mae_naive"), 4).as("mae_naive"),
+            when(col("mae_naive") > 0,
+              round(col("mae_holt") / col("mae_naive"), 4)).as("mase"))
+      }),
+
     // BURST DETECTION (Kleinberg-style 2-state Viterbi) per event type:
     // decode each daily series into baseline/burst states by exact
     // dynamic programming — emission cost |c−μ_s| against the series'
