@@ -93,6 +93,104 @@ object ExperimentQueries {
                 + se2b * se2b / (col("n_b") - 1)), 2)).as("df"))
       }),
 
+    // mSPRT SEQUENTIAL MONITORING (always-valid inference): the daily
+    // peeking dashboard the fixed-horizon q_ab_ttest can't legally
+    // power. Per day, cumulative per-arm counts/sums accumulate in
+    // EXACT INTEGER CENTS (day-partitioned prefix sums — only the
+    // final likelihood is float, computed with identical op order),
+    // the mixture likelihood ratio Λ_t = √(V/(V+τ²))·
+    // exp(δ²τ²/(2V(V+τ²))) uses the full-period pooled σ² (cents²,
+    // documented simplification) and a fixed τ=50-cent mixing prior,
+    // and the always-valid p is the running min of 1/Λ — monotone, so
+    // stopping any day keeps the guarantee. All windows run on the
+    // day-domain table (≤|days| rows), never the corpus.
+    QueryDef(
+      "q_msprt",
+      Some(s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+             |    CASE WHEN $bucketSql < 50 THEN 'A' ELSE 'B' END
+             |      AS variant,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |g AS (SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS s,
+             |    CAST(sum(cents * cents) AS BIGINT) AS s2
+             |  FROM e GROUP BY 1, 2),
+             |cum AS (SELECT day, variant,
+             |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+             |    CAST(sum(s) OVER w AS BIGINT) AS cs
+             |  FROM g WINDOW w AS (PARTITION BY variant ORDER BY day
+             |    ROWS UNBOUNDED PRECEDING)),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(s) AS BIGINT) AS ss,
+             |    CAST(sum(s2) AS BIGINT) AS ss2 FROM g),
+             |sg AS (SELECT (CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE)
+             |      * ss / nn) / (nn - 1) AS sigma2 FROM tot),
+             |pv AS (SELECT a.day, a.cn AS n_a, b.cn AS n_b,
+             |    CAST(b.cs AS DOUBLE) / b.cn
+             |      - CAST(a.cs AS DOUBLE) / a.cn AS delta,
+             |    sg.sigma2 * (1.0 / a.cn + 1.0 / b.cn) AS va
+             |  FROM cum a JOIN cum b ON b.day = a.day
+             |    AND a.variant = 'A' AND b.variant = 'B'
+             |  CROSS JOIN sg),
+             |lm AS (SELECT day, n_a, n_b, delta,
+             |    sqrt(va / (va + 2500.0))
+             |      * exp(delta * delta * 2500.0
+             |        / (2 * va * (va + 2500.0))) AS lam
+             |  FROM pv),
+             |ap AS (SELECT day, n_a, n_b, delta, lam,
+             |    min(least(1.0, 1.0 / lam)) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS p_av
+             |  FROM lm)
+             |SELECT day, n_a, n_b, round(delta, 4) AS delta_cents,
+             |  round(lam, 4) AS lambda,
+             |  round(p_av, 6) AS p_always_valid,
+             |  p_av < 0.05 AS significant
+             |FROM ap""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = assigned(s, dir)
+          .select(to_date(col("ts")).as("day"), col("variant"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val g = e.groupBy("day", "variant")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+            sum(col("cents") * col("cents")).as("s2"))
+          .localCheckpoint() // feeds cum, tot
+        val w = Window.partitionBy("variant").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g.select(col("day"), col("variant"),
+          sum("n").over(w).as("cn"), sum("s").over(w).as("cs"))
+        val tot = g.agg(sum("n").as("nn"), sum("s").as("ss"),
+          sum("s2").as("ss2"))
+          .select(((col("ss2").cast("double")
+            - col("ss").cast("double") * col("ss") / col("nn"))
+            / (col("nn") - 1)).as("sigma2"))
+        val pv = cum.filter(col("variant") === "A")
+          .select(col("day"), col("cn").as("na"), col("cs").as("csa"))
+          .join(cum.filter(col("variant") === "B")
+            .select(col("day"), col("cn").as("nb"), col("cs").as("csb")),
+            Seq("day"))
+          .crossJoin(broadcast(tot))
+          .withColumn("delta", col("csb").cast("double") / col("nb")
+            - col("csa").cast("double") / col("na"))
+          .withColumn("va",
+            col("sigma2") * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+        val lam = sqrt(col("va") / (col("va") + lit(2500.0))) *
+          exp(col("delta") * col("delta") * lit(2500.0) /
+            (lit(2) * col("va") * (col("va") + lit(2500.0))))
+        // the running-min window is over the ≤|days| per-day table — a
+        // one-partition frame by design, bounded by the calendar
+        val wd = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pv.withColumn("lam", lam)
+          .withColumn("p_av",
+            min(least(lit(1.0), lit(1.0) / col("lam"))).over(wd))
+          .select(col("day"), col("na").as("n_a"), col("nb").as("n_b"),
+            round(col("delta"), 4).as("delta_cents"),
+            round(col("lam"), 4).as("lambda"),
+            round(col("p_av"), 6).as("p_always_valid"),
+            (col("p_av") < 0.05).as("significant"))
+      }),
+
     // CUPED variance reduction: per-user pre-period covariate x (event
     // count before the ts midpoint) against post-period outcome y (value
     // sum after it); θ = cov(x,y)/var(x) over ALL users (pooled — θ must
