@@ -93,6 +93,81 @@ object ExperimentQueries {
                 + se2b * se2b / (col("n_b") - 1)), 2)).as("df"))
       }),
 
+    // POISSON BOOTSTRAP CI — the distributed bootstrap: classic
+    // resampling needs N draws per replicate from one urn (a shuffle
+    // nightmare); the Poisson trick gives each (row, replicate) an
+    // INDEPENDENT Poisson(1) multiplicity, so the whole B=100-replicate
+    // bootstrap is one row-local explode + one aggregation, map-side
+    // combinable at any scale. Multiplicities are DETERMINISTIC here:
+    // sha60(event_id:b) mod 1000 against literal Poisson(1) CDF cuts
+    // (368/736/920/981 → 0..4+, the ≤0.1% tail mass collapsed into 4 —
+    // documented approximation), so both engines draw the same
+    // resamples. The 95% CI is rank-SELECTED from the 100 replicate
+    // means (ranks 3 and 98 under (mean, b) order — no interpolation,
+    // no float risk); replicate means divide exact integer-cents sums.
+    QueryDef(
+      "q_bootstrap_ci",
+      Some(s"""WITH e AS (SELECT event_id,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |x AS (SELECT e.cents, t.b,
+             |    ${graft.expressions.Hashing.sha60Sql(
+                    "CAST(event_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)")}
+             |      % 1000 AS h
+             |  FROM e CROSS JOIN unnest(range(0, 100)) AS t(b)),
+             |m AS (SELECT b,
+             |    CAST(sum(CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+             |      WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END
+             |      * cents) AS BIGINT) AS s,
+             |    CAST(sum(CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+             |      WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END)
+             |      AS BIGINT) AS w
+             |  FROM x GROUP BY b),
+             |mm AS (SELECT b, CAST(s AS DOUBLE) / w AS mean_b FROM m
+             |  WHERE w > 0),
+             |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b)
+             |    AS rk FROM mm),
+             |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+             |  FROM e)
+             |SELECT base.n, round(base.mean_cents, 4) AS mean_cents,
+             |  round(lo.mean_b, 4) AS ci_lo, round(hi.mean_b, 4) AS ci_hi
+             |FROM base
+             |CROSS JOIN (SELECT mean_b FROM r WHERE rk = 3) lo
+             |CROSS JOIN (SELECT mean_b FROM r WHERE rk = 98) hi""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .localCheckpoint() // feeds the replicate fan-out AND the base
+        val x = e.withColumn("b", explode(sequence(lit(0), lit(99))))
+          .withColumn("h", graft.expressions.Hashing.sha60(
+            concat(col("event_id").cast("string"), lit(":"),
+              col("b").cast("string"))) % 1000)
+          .withColumn("mult",
+            when(col("h") < 368, 0).when(col("h") < 736, 1)
+              .when(col("h") < 920, 2).when(col("h") < 981, 3)
+              .otherwise(4))
+        val m = x.groupBy("b")
+          .agg(sum(col("mult") * col("cents")).as("s"),
+            sum("mult").as("w"))
+          .filter(col("w") > 0)
+          .withColumn("mean_b", col("s").cast("double") / col("w"))
+        // 100-row replicate table: the rank window is bounded by B
+        val r = m.withColumn("rk",
+          row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+        val base = e.agg(count(lit(1)).as("n"),
+          (sum("cents").cast("double") / count(lit(1))).as("mean_cents"))
+        base.crossJoin(broadcast(r.filter(col("rk") === 3)
+            .select(col("mean_b").as("lo"))))
+          .crossJoin(broadcast(r.filter(col("rk") === 98)
+            .select(col("mean_b").as("hi"))))
+          .select(col("n"), round(col("mean_cents"), 4).as("mean_cents"),
+            round(col("lo"), 4).as("ci_lo"),
+            round(col("hi"), 4).as("ci_hi"))
+      }),
+
     // mSPRT SEQUENTIAL MONITORING (always-valid inference): the daily
     // peeking dashboard the fixed-horizon q_ab_ttest can't legally
     // power. Per day, cumulative per-arm counts/sums accumulate in
