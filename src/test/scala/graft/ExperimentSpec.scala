@@ -354,4 +354,69 @@ class ExperimentSpec extends SparkSpec {
         s"z $z vs gap ${pa - pb}")
     }
   }
+
+  test("q_msprt: always-valid p is monotone non-increasing, flags consistent") {
+    val rows = q("q_msprt").collect().sortBy(_.getDate(0).toString)
+    assert(rows.nonEmpty)
+    var prev = Double.MaxValue
+    for (r <- rows) {
+      val p = r.getDouble(5)
+      assert(p > 0 && p <= 1.0 + 1e-9, s"p $p out of range")
+      assert(p <= prev + 5e-7, s"p increased: $prev -> $p")
+      assert(r.getBoolean(6) == (p < 0.05) ||
+        math.abs(p - 0.05) < 1e-6, "flag inconsistent with p")
+      prev = p
+      // cumulative arms only grow
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    val ns = rows.map(r => (r.getLong(1), r.getLong(2)))
+    assert(ns.sliding(2).forall(w =>
+      w.length < 2 || (w(1)._1 >= w(0)._1 && w(1)._2 >= w(0)._2)))
+  }
+
+  test("q_bootstrap_ci: interval ordered and inside the data range") {
+    val r = q("q_bootstrap_ci").collect().head
+    val (n, mean, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0 && lo <= hi)
+    val cents = Tables.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100, 0)
+        .cast("long")).collect().map(_.getLong(0))
+    // replicate means are convex combinations of data values
+    assert(lo >= cents.min - 1e-6 && hi <= cents.max + 1e-6)
+    assert(mean >= cents.min - 1e-6 && mean <= cents.max + 1e-6)
+  }
+
+  test("q_fs_linkage: score is the exact literal weight sum, decisions consistent") {
+    val rows = q("q_fs_linkage").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ws = Seq(
+        if (r.getBoolean(2)) 9.8919 else -4.3205,
+        if (r.getBoolean(3)) 4.5699 else -4.2630,
+        if (r.getBoolean(4)) 2.1699 else -3.0,
+        if (r.getBoolean(5)) 4.4919 else -3.2630)
+      val score = ws.sum
+      assert(math.abs(r.getDouble(6) - score) < 5e-5, s"score ${r.getDouble(6)} vs $score")
+      val want = if (score >= 10) "link" else if (score >= 0) "possible" else "nonlink"
+      assert(r.getString(7) == want, s"decision ${r.getString(7)} vs $want at $score")
+    }
+    // the fixture's sequential names guarantee at least one linked pair
+    assert(rows.exists(_.getString(7) == "link"))
+  }
+
+  test("q_stream_topk: ranks dense 1..k, counts non-increasing within a window") {
+    val rows = q("q_stream_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((win, grp) <- rows.groupBy(_._1)) {
+      val byRank = grp.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length),
+        s"window $win ranks not dense")
+      assert(byRank.length <= 3)
+      assert(byRank.sliding(2).forall(w =>
+        w.length < 2 || w(0)._3 >= w(1)._3), s"window $win counts not sorted")
+    }
+  }
 }
