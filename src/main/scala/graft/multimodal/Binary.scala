@@ -509,7 +509,12 @@ object Binary {
     * Row-local folds after one explode — zero shuffle, the spectrogram
     * precursor at corpus scale.
     */
-  def wavSpectrum(df: DataFrame): DataFrame = {
+  /** Shared DFT kernel: one row per (doc, frame, bin 0..8) with the RAW
+    * bin power, re/im folded strictly left-to-right against the literal
+    * twiddle tables — the bit-reproducible core [[wavSpectrum]] and
+    * [[wavDominantBins]] both build on.
+    */
+  private def framedPower(df: DataFrame): DataFrame = {
     val frameLen = 16
     val cosLit = array(dftCosTab.map(lit): _*)
     val sinLit = array(dftSinTab.map(lit): _*)
@@ -528,8 +533,29 @@ object Binary {
     val im = aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0.0),
       (acc, n) => acc - el(col("frame") * frameLen + n) *
         element_at(sinLit, (col("bin") * n) % 16 + 1))
-    val spec = framed
-      .withColumn("power", re * re + im * im)
+    framed.withColumn("power", re * re + im * im)
+  }
+
+  /** Per-frame DOMINANT non-DC bin (argmax of raw power over bins 1..8,
+    * ties to the lower bin) — the landmark an audio fingerprint hashes.
+    * The powers are bit-reproducible (literal twiddles, fixed fold
+    * order), so the argmax — and every fingerprint built from it — is
+    * deterministic across engines. Row-local except the 8-row per-frame
+    * rank window.
+    */
+  def wavDominantBins(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    framedPower(df)
+      .filter(col("bin") >= 1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("frame"))
+          .orderBy(col("power").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("frame"), col("bin").cast("int").as("bin"))
+  }
+
+  def wavSpectrum(df: DataFrame): DataFrame = {
+    val spec = framedPower(df)
       .withColumn("tot",
         sum("power").over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"), col("frame"))))

@@ -670,6 +670,78 @@ object ExtensionQueries {
             "doc_id", nSamples = 64),
           "wav"))),
 
+    // AUDIO FINGERPRINT (shazam-lite landmarks): per frame, the DOMINANT
+    // non-DC DFT bin (argmax of the bit-reproducible raw powers, ties to
+    // the lower bin) — the 4-frame dominant-bin sequence packs into one
+    // base-9 integer fingerprint, and docs sharing a fingerprint form
+    // acoustic near-dup groups (min-id canonical). This is the audio
+    // half of the dedup story (dHash is the image half): row-local DFT,
+    // an 8-row per-frame rank window, then ONE shuffle on the compact
+    // fingerprint — never on samples. The oracle replays the DFT with
+    // the shared twiddle-table literals and the same rank argmax.
+    QueryDef(
+      "q_audio_fingerprint",
+      Some {
+        def sg(e: String) =
+          s"""CASE WHEN (doc_id*13 + ($e)*11) % 65536 >= 32768
+             |  THEN (doc_id*13 + ($e)*11) % 65536 - 65536
+             |  ELSE (doc_id*13 + ($e)*11) % 65536 END""".stripMargin
+        s"""WITH tw AS (SELECT ${Binary.tabSql(Binary.dftCosTab)} AS ct,
+           |    ${Binary.tabSql(Binary.dftSinTab)} AS st),
+           |fr AS (SELECT doc_id, unnest(range(0, 4)) AS frame FROM documents),
+           |sm AS (SELECT doc_id, frame,
+           |    list_transform(range(0, 16), k -> ${sg("frame*16 + k")}) AS v
+           |  FROM fr),
+           |b AS (SELECT doc_id, frame, v, unnest(range(1, 9)) AS bin FROM sm),
+           |sp AS (SELECT doc_id, frame, bin,
+           |    list_sum(list_transform(range(0, 16),
+           |      n -> v[n+1]::DOUBLE * ct[(bin*n) % 16 + 1])) AS re,
+           |    -list_sum(list_transform(range(0, 16),
+           |      n -> v[n+1]::DOUBLE * st[(bin*n) % 16 + 1])) AS im
+           |  FROM b, tw),
+           |dom AS (SELECT doc_id, frame, bin FROM (
+           |    SELECT doc_id, frame, bin, row_number() OVER (
+           |      PARTITION BY doc_id, frame
+           |      ORDER BY re*re + im*im DESC, bin) AS rk
+           |    FROM sp) WHERE rk = 1),
+           |fp AS (SELECT doc_id,
+           |    CAST(max(CASE WHEN frame = 0 THEN bin END) AS INT) AS dom0,
+           |    CAST(max(CASE WHEN frame = 1 THEN bin END) AS INT) AS dom1,
+           |    CAST(max(CASE WHEN frame = 2 THEN bin END) AS INT) AS dom2,
+           |    CAST(max(CASE WHEN frame = 3 THEN bin END) AS INT) AS dom3,
+           |    CAST(sum(bin * CASE frame WHEN 0 THEN 1 WHEN 1 THEN 9
+           |      WHEN 2 THEN 81 ELSE 729 END) AS INT) AS fp
+           |  FROM dom GROUP BY 1),
+           |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_same,
+           |    min(doc_id) AS canonical_id
+           |  FROM fp GROUP BY 1)
+           |SELECT f.doc_id, f.dom0, f.dom1, f.dom2, f.dom3, f.fp,
+           |  g.n_same, g.canonical_id
+           |FROM fp f JOIN g USING (fp)""".stripMargin
+      },
+      (s, dir) => {
+        val dom = Binary.wavDominantBins(Binary.decodeWav(
+          Binary.wavFromSeed(
+            Tables.t(s, dir, "documents").select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", nSamples = 64),
+          "wav"))
+        val weight = when(col("frame") === 0, 1)
+          .when(col("frame") === 1, 9)
+          .when(col("frame") === 2, 81).otherwise(729)
+        val fp = dom.groupBy("doc_id").agg(
+          max(when(col("frame") === 0, col("bin"))).cast("int").as("dom0"),
+          max(when(col("frame") === 1, col("bin"))).cast("int").as("dom1"),
+          max(when(col("frame") === 2, col("bin"))).cast("int").as("dom2"),
+          max(when(col("frame") === 3, col("bin"))).cast("int").as("dom3"),
+          sum(col("bin") * weight).cast("int").as("fp"))
+        val g = fp.groupBy("fp").agg(count(lit(1)).as("n_same"),
+          min("doc_id").as("canonical_id"))
+        fp.join(g, "fp")
+          .select(col("doc_id"), col("dom0"), col("dom1"), col("dom2"),
+            col("dom3"), col("fp"), col("n_same"), col("canonical_id"))
+      }),
+
     // LANGID EVALUATION in-engine: confusion matrix of the n-gram
     // heuristic against the fixture's ground-truth lang column, with
     // per-truth-language recall — the measurement that decides whether
