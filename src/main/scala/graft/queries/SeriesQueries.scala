@@ -284,6 +284,104 @@ object SeriesQueries {
               round(col("mae_holt") / col("mae_naive"), 4)).as("mase"))
       }),
 
+    // SPLIT-CONFORMAL FORECAST INTERVAL per event type: the
+    // distribution-free uncertainty wrapper around q_holt_forecast —
+    // fit on days 1..n−14, calibrate the absolute residuals on the next
+    // 7 days, take the ⌈(7+1)·0.7⌉ = 6th smallest residual as the 70%
+    // conformal radius q (rank SELECTION, no interpolation), then score
+    // empirical coverage on the final 7 held-out days: the guarantee
+    // says ≥70% of them land within ±q of the (same-fit) forecast, and
+    // the gate emits the measured rate. Series with <17 days skip.
+    // Same calendar-bounded fold as the Holt family; the oracle replays
+    // the truncated recursion, the rank pick, and the coverage count.
+    QueryDef(
+      "q_conformal_interval",
+      Some(s"""WITH RECURSIVE d AS ($dailySql),
+             |r AS (SELECT event_type, CAST(c AS DOUBLE) AS x,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rn
+             |  FROM d),
+             |nn AS (SELECT event_type, CAST(max(rn) AS INT) AS n
+             |  FROM r GROUP BY 1),
+             |tr AS (SELECT event_type, n, n - 14 AS m FROM nn
+             |  WHERE n >= 17),
+             |hw(event_type, t, l, b) AS (
+             |  SELECT a.event_type, 2, b2.x, b2.x - a.x
+             |  FROM r a JOIN r b2 ON b2.event_type = a.event_type
+             |    AND b2.rn = 2
+             |  JOIN tr ON tr.event_type = a.event_type
+             |  WHERE a.rn = 1
+             |  UNION ALL
+             |  SELECT hw.event_type, hw.t + 1,
+             |    0.5 * r.x + 0.5 * (hw.l + hw.b),
+             |    0.3 * ((0.5 * r.x + 0.5 * (hw.l + hw.b)) - hw.l)
+             |      + 0.7 * hw.b
+             |  FROM hw JOIN r ON r.event_type = hw.event_type
+             |    AND r.rn = hw.t + 1
+             |  JOIN tr ON tr.event_type = hw.event_type
+             |  WHERE hw.t + 1 <= tr.m),
+             |st AS (SELECT hw.event_type, hw.l, hw.b
+             |  FROM hw JOIN tr ON tr.event_type = hw.event_type
+             |    AND hw.t = tr.m),
+             |cal AS (SELECT r.event_type, r.rn - tr.m AS h,
+             |    abs(r.x - (st.l + (r.rn - tr.m) * st.b)) AS res
+             |  FROM r JOIN tr USING (event_type)
+             |  JOIN st USING (event_type)
+             |  WHERE r.rn > tr.m AND r.rn <= tr.m + 7),
+             |qq AS (SELECT event_type, res AS q FROM (
+             |    SELECT event_type, res, row_number() OVER (
+             |      PARTITION BY event_type ORDER BY res, h) AS rk
+             |    FROM cal) WHERE rk = 6),
+             |cov AS (SELECT r.event_type,
+             |    CAST(sum(CASE WHEN
+             |      abs(r.x - (st.l + (r.rn - tr.m) * st.b)) <= qq.q
+             |      THEN 1 ELSE 0 END) AS INT) AS n_covered
+             |  FROM r JOIN tr USING (event_type)
+             |  JOIN st USING (event_type) JOIN qq USING (event_type)
+             |  WHERE r.rn > tr.m + 7
+             |  GROUP BY 1)
+             |SELECT tr.event_type, tr.n, round(qq.q, 4) AS q_radius,
+             |  cov.n_covered, round(cov.n_covered / 7.0, 4) AS coverage
+             |FROM tr JOIN qq USING (event_type)
+             |JOIN cov USING (event_type)""".stripMargin),
+      (s, dir) => {
+        val arr = daily(s, dir)
+          .groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+            .as("dc"))
+          .withColumn("xs",
+            transform(col("dc"), e => e.getField("c").cast("double")))
+          .withColumn("n", size(col("xs")))
+          .filter(col("n") >= 17)
+          .withColumn("m", col("n") - 14)
+        val init = struct(
+          element_at(col("xs"), 2).as("l"),
+          (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b"))
+        val st = aggregate(
+          slice(col("xs"), lit(3), greatest(col("m") - 2, lit(0))),
+          init, (acc, x) => {
+            val l = acc.getField("l")
+            val b = acc.getField("b")
+            val l2 = lit(0.5) * x + lit(0.5) * (l + b)
+            struct(l2.as("l"),
+              (lit(0.3) * (l2 - l) + lit(0.7) * b).as("b"))
+          })
+        val withSt = arr.withColumn("st", st)
+        def at(off: Int) =
+          element_at(col("xs"), (col("m") + off).cast("int"))
+        def res(h: Int) =
+          abs(at(h) - (col("st.l") + lit(h) * col("st.b")))
+        val q = element_at(
+          array_sort(array((1 to 7).map(res): _*)), 6)
+        val withQ = withSt.withColumn("q", q)
+        val covered = (8 to 14).map(h =>
+          when(res(h) <= col("q"), 1).otherwise(0)).reduce(_ + _)
+        withQ.withColumn("n_covered", covered.cast("int"))
+          .select(col("event_type"), col("n").cast("int").as("n"),
+            round(col("q"), 4).as("q_radius"), col("n_covered"),
+            round(col("n_covered") / lit(7.0), 4).as("coverage"))
+      }),
+
     // BURST DETECTION (Kleinberg-style 2-state Viterbi) per event type:
     // decode each daily series into baseline/burst states by exact
     // dynamic programming — emission cost |c−μ_s| against the series'
