@@ -619,6 +619,147 @@ object FeatureQueries {
             round(auc, 4).as("auc"),
             round(col("ece"), 4).as("ece"))
           .orderBy("lang")
+      }),
+
+    // MEASURE CORRELATION MATRIX — pairwise Pearson r over the four
+    // lineitem measures in ONE corpus scan: every Σx/Σx²/Σxy
+    // accumulates as an exact integer — quantity integral, rates in
+    // cents, and price at DOLLAR grain (correlation is scale-invariant;
+    // cents-grain Σp² overflows BIGINT past ~60M rows — found when the
+    // sf1 run ANSI-errored — dollar grain holds to ~6e9 rows; past
+    // that, swap the two price sums to DECIMAL(38,0)), map-side
+    // combinable, and the 6 pair rows project off
+    // the single aggregate row. Only the final r is float, computed
+    // with identical operation order in both engines. The shape a
+    // feature-selection pass wants at 100 TB: no per-pair rescan.
+    QueryDef(
+      "q_corr_matrix",
+      Some {
+        val ms = Seq("q" -> "quantity", "p" -> "extendedprice",
+          "d" -> "discount", "t" -> "tax")
+        val sums = ms.map { case (k, _) =>
+          s"CAST(sum($k) AS BIGINT) AS s$k, CAST(sum($k*$k) AS BIGINT) AS s$k$k"
+        }.mkString(",\n             |    ")
+        val crosses = (for {
+          i <- ms.indices; j <- ms.indices if i < j
+        } yield {
+          val (a, b) = (ms(i)._1, ms(j)._1)
+          s"CAST(sum($a*$b) AS BIGINT) AS s$a$b"
+        }).mkString(",\n             |    ")
+        val rows = (for {
+          i <- ms.indices; j <- ms.indices if i < j
+        } yield {
+          val (a, an) = ms(i); val (b, bn) = ms(j)
+          s"""SELECT '$an' AS m1, '$bn' AS m2, n,
+             |  round((CAST(n AS DOUBLE)*s$a$b - CAST(s$a AS DOUBLE)*s$b)
+             |    / (sqrt(CAST(n AS DOUBLE)*s$a$a - CAST(s$a AS DOUBLE)*s$a)
+             |      * sqrt(CAST(n AS DOUBLE)*s$b$b
+             |        - CAST(s$b AS DOUBLE)*s$b)), 6) AS corr
+             |FROM s"""
+        }).mkString("\n             |UNION ALL\n             |")
+        s"""WITH m AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+           |    CAST(round(l_extendedprice, 0) AS BIGINT) AS p,
+           |    CAST(round(l_discount*100, 0) AS BIGINT) AS d,
+           |    CAST(round(l_tax*100, 0) AS BIGINT) AS t
+           |  FROM lineitem),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    $sums,
+           |    $crosses
+           |  FROM m)
+           |$rows""".stripMargin
+      },
+      (s, dir) => {
+        val ms = Seq("q" -> "quantity", "p" -> "extendedprice",
+          "d" -> "discount", "t" -> "tax")
+        val m = Tables.t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice"), 0).cast("long").as("p"),
+          round(col("l_discount") * 100, 0).cast("long").as("d"),
+          round(col("l_tax") * 100, 0).cast("long").as("t"))
+        val aggs = ms.flatMap { case (k, _) => Seq(
+          sum(col(k)).as(s"s$k"), sum(col(k) * col(k)).as(s"s$k$k"))
+        } ++ (for {
+          i <- ms.indices; j <- ms.indices if i < j
+        } yield sum(col(ms(i)._1) * col(ms(j)._1))
+          .as(s"s${ms(i)._1}${ms(j)._1}"))
+        val st = m.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
+        val pairRows = for {
+          i <- ms.indices; j <- ms.indices if i < j
+        } yield {
+          val (a, an) = ms(i); val (b, bn) = ms(j)
+          val nD = col("n").cast("double")
+          def sd(x: String) = col(s"s$x").cast("double")
+          st.select(lit(an).as("m1"), lit(bn).as("m2"), col("n"),
+            round((nD * col(s"s$a$b") - sd(a) * col(s"s$b"))
+              / (sqrt(nD * col(s"s$a$a") - sd(a) * col(s"s$a"))
+                * sqrt(nD * col(s"s$b$b") - sd(b) * col(s"s$b"))), 6)
+              .as("corr"))
+        }
+        pairRows.reduce(_ unionByName _)
+      }),
+
+    // COLUMN MUTUAL INFORMATION (event_type × ISO weekday): the
+    // feature-selection / drift primitive for CATEGORICAL pairs —
+    // I(A;B) = Σ p(a,b)·log₂(p(a,b)/(p(a)p(b))) from exact contingency
+    // counts (one scan, |A|·|B|-bounded tables), with both marginal
+    // entropies and the normalized MI/min(H) score. Only the final
+    // logs are float, over identical exact-integer ratios.
+    QueryDef(
+      "q_mutual_info",
+      Some("""WITH e AS (SELECT event_type AS a,
+             |    isodow(ts::TIMESTAMP) AS b FROM events),
+             |jt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab
+             |  FROM e GROUP BY 1, 2),
+             |ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+             |  FROM jt GROUP BY 1),
+             |mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+             |  FROM jt GROUP BY 1),
+             |nt AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM jt),
+             |mi AS (SELECT sum((jt.nab / CAST(nt.n AS DOUBLE))
+             |      * log2((CAST(jt.nab AS DOUBLE) * nt.n)
+             |        / (CAST(ma.na AS DOUBLE) * mb.nb))) AS mi
+             |  FROM jt JOIN ma USING (a) JOIN mb USING (b)
+             |  CROSS JOIN nt),
+             |ha AS (SELECT -sum((na / CAST(nt.n AS DOUBLE))
+             |    * log2(na / CAST(nt.n AS DOUBLE))) AS h
+             |  FROM ma CROSS JOIN nt),
+             |hb AS (SELECT -sum((nb / CAST(nt.n AS DOUBLE))
+             |    * log2(nb / CAST(nt.n AS DOUBLE))) AS h
+             |  FROM mb CROSS JOIN nt)
+             |SELECT nt.n, round(mi.mi, 6) AS mi_bits,
+             |  round(ha.h, 6) AS h_type, round(hb.h, 6) AS h_dow,
+             |  round(mi.mi / least(ha.h, hb.h), 6) AS nmi
+             |FROM nt, mi, ha, hb""".stripMargin),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type").as("a"),
+            dayofweek(col("ts")).as("__dow"))
+          // Spark dayofweek: Sunday=1..Saturday=7 → ISO Monday=1..Sunday=7
+          .withColumn("b", when(col("__dow") === 1, 7)
+            .otherwise(col("__dow") - 1))
+        val jt = e.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+          .localCheckpoint() // feeds marginals, total and the MI sum
+        val ma = jt.groupBy("a").agg(sum("nab").as("na"))
+        val mb = jt.groupBy("b").agg(sum("nab").as("nb"))
+        val nt = jt.agg(sum("nab").as("n"))
+        val mi = jt.join(ma, "a").join(mb, "b")
+          .crossJoin(broadcast(nt))
+          .agg(sum((col("nab") / col("n").cast("double"))
+            * log2((col("nab").cast("double") * col("n"))
+              / (col("na").cast("double") * col("nb")))).as("mi"))
+        val ha = ma.crossJoin(broadcast(nt))
+          .agg((-sum((col("na") / col("n").cast("double"))
+            * log2(col("na") / col("n").cast("double")))).as("h_type"))
+        val hb = mb.crossJoin(broadcast(nt))
+          .agg((-sum((col("nb") / col("n").cast("double"))
+            * log2(col("nb") / col("n").cast("double")))).as("h_dow"))
+        nt.crossJoin(broadcast(mi)).crossJoin(broadcast(ha))
+          .crossJoin(broadcast(hb))
+          .select(col("n"), round(col("mi"), 6).as("mi_bits"),
+            round(col("h_type"), 6).as("h_type"),
+            round(col("h_dow"), 6).as("h_dow"),
+            round(col("mi") / least(col("h_type"), col("h_dow")), 6)
+              .as("nmi"))
       })
   )
 }
