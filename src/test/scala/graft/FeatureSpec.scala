@@ -178,4 +178,29 @@ class FeatureSpec extends SparkSpec {
     assert(math.abs(rayleigh - lambda) / lambda < 0.15,
       s"Rayleigh $rayleigh vs reported eigenvalue $lambda")
   }
+
+  test("q_corr_matrix: all 6 ordered pairs present, r within [-1, 1]") {
+    val rows = q("q_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(rows.size == 6, s"${rows.size} pairs")
+    val ms = Seq("quantity", "extendedprice", "discount", "tax")
+    for (i <- ms.indices; j <- ms.indices if i < j)
+      assert(rows.contains((ms(i), ms(j))), s"missing ${ms(i)}/${ms(j)}")
+    // the driver fixture draws the measures independently, so no pair
+    // may show strong correlation — |r| small is the semantic check
+    for (((a, b), c) <- rows) {
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr($a,$b)=$c")
+      assert(math.abs(c) < 0.3, s"corr($a,$b)=$c on independent draws")
+    }
+  }
+
+  test("q_mutual_info: MI bounded by the marginal entropies, NMI in [0,1]") {
+    val r = q("q_mutual_info").collect().head
+    val (mi, ha, hb, nmi) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mi >= -1e-6, s"MI $mi negative")
+    assert(mi <= math.min(ha, hb) + 1e-6, s"MI $mi exceeds min entropy")
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6, s"NMI $nmi")
+    assert(ha > 0 && hb > 0)
+  }
 }
