@@ -82,6 +82,59 @@ object TraversalQueries {
         dist
       }),
 
+    // DEGREE ASSORTATIVITY of the customer↔supplier graph: the Pearson
+    // correlation of endpoint degrees over the symmetrized edge list —
+    // do hubs attach to hubs (r>0) or to leaves (r<0)? The one-number
+    // graph-science diagnostic that decides whether degree-based
+    // partitioning/salting will see skew amplification. One scan of the
+    // edge list joined to the node-degree table; every Σd/Σd²/Σdadb is
+    // an exact integer, only the final r is float (identical op order
+    // both engines). Bipartite graphs are disassortative by
+    // construction when degree distributions differ across sides.
+    QueryDef(
+      "q_assortativity",
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             |    l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+             |  FROM e GROUP BY 1),
+             |j AS (SELECT da.d AS x, db.d AS y
+             |  FROM e JOIN deg da ON da.node = e.src
+             |  JOIN deg db ON db.node = e.dst),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx,
+             |    CAST(sum(y*y) AS BIGINT) AS syy,
+             |    CAST(sum(x*y) AS BIGINT) AS sxy
+             |  FROM j)
+             |SELECT n AS n_dir_edges,
+             |  round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+             |    / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+             |      * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)),
+             |    6) AS assortativity
+             |FROM s""".stripMargin),
+      (s, dir) => {
+        val e = edges(s, dir).localCheckpoint() // degree agg + 2 probes
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d"))
+        val j = e
+          .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+          .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+        val st = j.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast("double")
+        st.select(col("n").as("n_dir_edges"),
+          round((nD * col("sxy") - col("sx").cast("double") * col("sy"))
+            / (sqrt(nD * col("sxx") - col("sx").cast("double") * col("sx"))
+              * sqrt(nD * col("syy")
+                - col("sy").cast("double") * col("sy"))), 6)
+            .as("assortativity"))
+      }),
+
     // WEIGHTED shortest path (hop-bounded Bellman-Ford) from the same
     // three seeds: edge weight = (min linking quantity) % 9 + 1 — a
     // deterministic 1..9 integer toll — and the answer is the cheapest
