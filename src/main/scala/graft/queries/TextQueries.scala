@@ -1000,6 +1000,70 @@ object TextQueries {
         r.select(col("node").as("word"), round(col("r"), 6).as("rank"))
       }),
 
+    // KEYNESS (Dunning log-likelihood ratio G²): which words
+    // distinguish one corpus slice from another — the corpus-linguistics
+    // standard behind "what changed in this week's crawl" and
+    // contamination triage, sharper than raw frequency ratios on rare
+    // words. Slices are the deterministic doc_id parity halves;
+    // G² = 2·Σ O·ln(O/E) against the pooled expectation, with the
+    // 0·ln0 = 0 convention, and the enriched side decided by the EXACT
+    // integer cross-product a·N_B vs b·N_A (no float tie risk). One
+    // corpus scan → vocab-bounded contingency table; only the final
+    // logs are float.
+    QueryDef(
+      "q_keyness",
+      Some("""WITH t AS (SELECT doc_id % 2 AS sl,
+             |    unnest(regexp_split_to_array(lower(trim(
+             |      regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+             |  FROM documents),
+             |t2 AS (SELECT sl, w FROM t WHERE w <> ''),
+             |c AS (SELECT w,
+             |    CAST(sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS a,
+             |    CAST(sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS b
+             |  FROM t2 GROUP BY 1),
+             |nt AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+             |    CAST(sum(b) AS BIGINT) AS nb FROM c),
+             |g AS (SELECT c.w, c.a, c.b,
+             |    2 * (CASE WHEN c.a > 0 THEN c.a * ln(c.a
+             |        / (CAST(nt.na AS DOUBLE) * (c.a + c.b)
+             |          / (nt.na + nt.nb))) ELSE 0 END
+             |      + CASE WHEN c.b > 0 THEN c.b * ln(c.b
+             |        / (CAST(nt.nb AS DOUBLE) * (c.a + c.b)
+             |          / (nt.na + nt.nb))) ELSE 0 END) AS g2,
+             |    CASE WHEN c.a * nt.nb > c.b * nt.na THEN 'A'
+             |      WHEN c.a * nt.nb < c.b * nt.na THEN 'B'
+             |      ELSE 'tie' END AS enriched
+             |  FROM c CROSS JOIN nt)
+             |SELECT w, a, b, round(g2, 4) AS g2, enriched
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        val t = Tables.t(s, dir, "documents")
+          .select((col("doc_id") % 2).as("sl"),
+            explode(split(graft.dedup.Dedup.normalized(col("text")), " "))
+              .as("w"))
+          .filter(col("w") =!= "")
+        val c = t.groupBy("w").agg(
+          sum(when(col("sl") === 0, 1).otherwise(0)).as("a"),
+          sum(when(col("sl") === 1, 1).otherwise(0)).as("b"))
+          .localCheckpoint() // feeds the totals AND the scored rows
+        val nt = c.agg(sum("a").as("na"), sum("b").as("nb"))
+        val scored = c.crossJoin(broadcast(nt))
+        val g2 = lit(2) * (
+          when(col("a") > 0, col("a") * log(col("a")
+            / (col("na").cast("double") * (col("a") + col("b"))
+              / (col("na") + col("nb"))))).otherwise(lit(0.0))
+          + when(col("b") > 0, col("b") * log(col("b")
+            / (col("nb").cast("double") * (col("a") + col("b"))
+              / (col("na") + col("nb"))))).otherwise(lit(0.0)))
+        scored.select(col("w"), col("a"), col("b"),
+          round(g2, 4).as("g2"),
+          when(col("a") * col("nb") > col("b") * col("na"), "A")
+            .when(col("a") * col("nb") < col("b") * col("na"), "B")
+            .otherwise("tie").as("enriched"))
+      }),
+
     // KNESER-NEY smoothed bigram probabilities (absolute discount
     // D=0.75, interpolated form): P(w₂|w₁) = max(c−D,0)/c(w₁·) +
     // (D/c(w₁·))·N₁₊(w₁·)·P_cont(w₂) with the continuation prior
