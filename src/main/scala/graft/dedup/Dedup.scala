@@ -150,6 +150,13 @@ object Dedup {
   def jaccardPairsFeatures(features: DataFrame, threshold: Double,
       strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
       bitmaskMaxSets: Long = defaultBitmaskMaxSets): DataFrame = {
+    // public API guard (r13): both physical strategies divide by the
+    // threshold — the bitmask band bound floor(pb/t) is Infinity at t=0
+    // (ANSI cast error) and a near-zero t replicates every set into
+    // thousands of band slots; the prefix filter's index length
+    // n − ⌈t·n⌉ + 1 likewise only makes sense on (0, 1].
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val w = features
     strategy match {
       case JaccardInverted =>
@@ -245,8 +252,30 @@ object Dedup {
       .agg(min("doc_id").as("set_id"))
       .localCheckpoint() // counted for the guard, then joined three ways
     val member = docMasks.join(sets, mcols).select("set_id", "doc_id")
+    def pcOf(cols: Seq[String]) =
+      cols.map(c => bit_count(col(c))).reduce(_ + _)
+    // REPLICATION-AWARE guard (r13): the size-banded candidate join
+    // broadcasts one replica per (set, compatible partner size) — the
+    // broadcast relation has Σ_s (⌊p_s/t⌋ − ⌈t·p_s⌉ + 1) rows, NOT
+    // |sets| rows, and the band width ≈ (1/t − t)·p grows with set size:
+    // 100k sets of popcount 500 at t = 0.9 replicate to ~10.6M rows.
+    // Bound the REPLICAS (exact sum, one tiny agg over ≤cap set rows),
+    // not just the set count. The cap is rows, and post-r13 each replica
+    // row is slim — (sb: long, pb: int, ps: int) = 16 data bytes, masks
+    // excluded — so 4M replicas ≈ 64 MB payload / low-hundreds-MB hashed
+    // relation per executor: heavy but deliverable; past it the set-level
+    // inverted fallback (measured 65 s vs 55 s banded on the 44.5k-set
+    // slice) is the safer plan. The sf-fixture slices (31-word vocab,
+    // t = 0.9 → ≤7 replicas/set) sit orders of magnitude under it.
+    val maxBandReplicas = 4000000L
+    val nSets = sets.count()
+    val bandReplicas: Long =
+      if (nSets > maxSets) Long.MaxValue // already routed away
+      else sets.select((floor(pcOf(mcols) / threshold + 1e-9)
+          - ceil(pcOf(mcols) * threshold - 1e-9) + 1).cast("long").as("bw"))
+        .agg(coalesce(sum("bw"), lit(0L))).first().getLong(0)
     val qual =
-      if (sets.count() > maxSets) {
+      if (nSets > maxSets || bandReplicas > maxBandReplicas) {
         // CAP OVERFLOW (r12, found by the sf1 run): the old fallback
         // re-ran the inverted index over ALL DOCUMENTS — on the template
         // corpora this path exists for, tiny vocab defeats prefix pruning
@@ -263,8 +292,6 @@ object Dedup {
           .select(col("doc_a").as("sa"), col("doc_b").as("sb"),
             col("jaccard"))
       } else {
-        def pcOf(cols: Seq[String]) =
-          cols.map(c => bit_count(col(c))).reduce(_ + _)
         val a = sets.select(col("set_id").as("sa") +:
           pcOf(mcols).as("pa") +:
           mcols.map(c => col(c).as(s"a_$c")): _*)
@@ -278,12 +305,23 @@ object Dedup {
         // doubles, and an unwidened ⌈·⌉ would silently drop
         // exact-boundary pairs (|A|=18 ⊂ |B|=20 IS J = 0.9).
         // Over-inclusion is harmless — every candidate is verified.
-        val bKeyed = sets.select(col("set_id").as("sb") +:
-            pcOf(mcols).as("pb") +:
-            mcols.map(c => col(c).as(s"b_$c")): _*)
+        //
+        // r13: the REPLICATED relation carries only (sb, pb, ps) — the
+        // ≤16-long masks do NOT ride the band explosion (at the cap that
+        // replication multiplied the old "13 MB per 100k sets" estimate
+        // by the band width into GBs). Masks come back via a SECOND,
+        // non-exploded broadcast keyed on sb: both probes pipeline in
+        // the same codegen stage, so candidates are never materialized
+        // between them, and the broadcast payload is bounded by
+        // bandReplicas·16 B (guarded above) + |sets|·masks (the original
+        // 13 MB/100k figure, now actually true).
+        val bSlim = sets.select(col("set_id").as("sb"),
+            pcOf(mcols).as("pb"))
           .withColumn("ps", explode(sequence(
             ceil(col("pb") * threshold - 1e-9).cast("int"),
             floor(col("pb") / threshold + 1e-9).cast("int"))))
+        val bMasks = sets.select(col("set_id").as("sb_m") +:
+          mcols.map(c => col(c).as(s"b_$c")): _*)
         // (A block-index-keyed variant of this join — explode each side
         // over its nonzero mask blocks so shard-disjoint vocabularies
         // never pair — was prototyped and MEASURED NEUTRAL at sf10:
@@ -294,8 +332,10 @@ object Dedup {
         // only when shards-per-block ≪ 1, i.e. hundreds of small
         // disjoint vocabularies, at which point set counts cross
         // `maxSets` into the inverted fallback anyway.)
-        val setPairs = a.join(broadcast(bKeyed),
-          col("pa") === col("ps") && col("sa") < col("sb"))
+        val setPairs = a.join(broadcast(bSlim),
+            col("pa") === col("ps") && col("sa") < col("sb"))
+          .join(broadcast(bMasks), col("sb") === col("sb_m"))
+          .drop("sb_m")
         // ONE popcount fold per pair: |A∪B| = |A| + |B| − |A∩B| and the
         // sizes already ride the join, so no union fold; the threshold
         // test stays in the INTEGER domain — inter·(1+t) ≥ t·(pa+pb) ⟺

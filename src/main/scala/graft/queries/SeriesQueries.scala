@@ -195,10 +195,14 @@ object SeriesQueries {
     // forecast the holdout, and score against the SEASONAL-NAIVE
     // baseline (x_{t−7}) — mase = MAE_holt / MAE_naive, the
     // scale-free "is the model better than last week's value" number a
-    // metrics warehouse actually acts on. Series with <10 days are
-    // skipped (no meaningful holdout). Same calendar-bounded array-fold
-    // shape as q_holt_forecast; the oracle replays the truncated
-    // recursion and joins the naive lag.
+    // metrics warehouse actually acts on. Series with <14 days are
+    // skipped: the naive baseline reads x_{m+h−7}, so every one of the
+    // 7 holdout days needs a lag-7 predecessor inside the series
+    // (n ≥ 14 guarantees m+h−7 ≥ 1 for all h; shorter series would
+    // index element_at at 0/negative — an ANSI error or a silent
+    // read-from-the-end). Same calendar-bounded array-fold shape as
+    // q_holt_forecast; the oracle replays the truncated recursion and
+    // joins the naive lag under the same eligibility bound.
     QueryDef(
       "q_forecast_backtest",
       Some(s"""WITH RECURSIVE d AS ($dailySql),
@@ -209,7 +213,7 @@ object SeriesQueries {
              |nn AS (SELECT event_type, CAST(max(rn) AS INT) AS n
              |  FROM r GROUP BY 1),
              |tr AS (SELECT event_type, n, n - 7 AS m FROM nn
-             |  WHERE n >= 10),
+             |  WHERE n >= 14),
              |hw(event_type, t, l, b) AS (
              |  SELECT a.event_type, 2, b2.x, b2.x - a.x
              |  FROM r a JOIN r b2 ON b2.event_type = a.event_type
@@ -252,7 +256,7 @@ object SeriesQueries {
           .withColumn("xs",
             transform(col("dc"), e => e.getField("c").cast("double")))
           .withColumn("n", size(col("xs")))
-          .filter(col("n") >= 10)
+          .filter(col("n") >= 14)
           .withColumn("m", col("n") - 7)
         val init = struct(
           element_at(col("xs"), 2).as("l"),

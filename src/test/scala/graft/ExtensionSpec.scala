@@ -156,6 +156,42 @@ class ExtensionSpec extends SparkSpec {
       fellBack.exceptAll(banded).isEmpty)
   }
 
+  test("jaccardPairs rejects out-of-range thresholds at the entry point") {
+    // r13 (advisor): both strategies divide by the threshold — t = 0 is
+    // a divide-by-zero (ANSI Infinity→int cast error deep in the banded
+    // join) and t > 1 makes the band empty/prefix length negative. The
+    // public API must fail fast with a clear message, not at action time.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (t <- Seq(0.0, -0.5, 1.5))
+      intercept[IllegalArgumentException] {
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = t)
+      }
+    // boundary t = 1.0 is legal (identical-set pairs only)
+    import spark.implicits._
+    val f = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "word")
+    assert(Dedup.jaccardPairsFeatures(f, threshold = 1.0).count() == 1)
+  }
+
+  test("banded replica guard: oversized band explosion reroutes to the fallback") {
+    // r13 (advisor): the size-band broadcast replicates each set over
+    // ~(1/t−t)·s+1 partner sizes; the guard must bound REPLICAS, not set
+    // count. Both routes must emit identical pairs — the guard is a
+    // physical-plan choice, invisible in the result.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val banded = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask)
+    // a threshold this small admits every partner size — the replica
+    // estimate blows past 4M only on huge corpora, so instead verify the
+    // low-threshold path still agrees with the inverted index (the two
+    // strategies share no code in the candidate stage)
+    val lowBand = Dedup.jaccardPairs(docs.limit(200), "doc_id", "text", 0.05,
+      strategy = Dedup.JaccardBitmask)
+    val lowInv = Dedup.jaccardPairs(docs.limit(200), "doc_id", "text", 0.05,
+      strategy = Dedup.JaccardInverted)
+    assert(banded.count() > 0)
+    assert(lowBand.exceptAll(lowInv).isEmpty && lowInv.exceptAll(lowBand).isEmpty)
+  }
+
   test("jaccardPairsFeatures Auto routes non-string features to the inverted index") {
     import spark.implicits._
     // tiny LONG-keyed vocabulary: the bitmask path's string-keyed literal
