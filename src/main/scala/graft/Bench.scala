@@ -73,8 +73,14 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("\"failed\"")(_.toString)
     }.mkString("{", ",", "}")
+    // Self-describing provenance (r13): a raw single-invocation artifact
+    // and a min-merged ledger row can legitimately differ by the host's
+    // ~10% consecutive-heavy-run envelope — the artifact itself must say
+    // which kind it is. Downstream min-merges (benchdiff lists,
+    // perfledger add) extend this field with their input artifacts.
+    val prov = s"""{"passes":$passes,"merge":"per-query min over $passes interleaved passes","invocations":1,"subset":${only.nonEmpty}}"""
     val perQueryLine =
-      s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","provenance":$prov}"""
     println(perQueryLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     // The stdout stream's consumer keeps only a bounded tail, which has

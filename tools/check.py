@@ -12,7 +12,7 @@ exactly (floats to 9 significant digits).
 
 Dev-only tool — not part of the shipped library.
 """
-import sys, os, json, math
+import sys, os, json, math, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -75,7 +75,7 @@ def lint_oracles(oracle):
             print(h)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout=None):
     # The gate's verdict depends on the DuckDB that renders the oracle;
     # record it so a locally-green/driver-red row can be attributed to a
     # version gap instead of re-litigating the query.
@@ -95,7 +95,7 @@ def main(sf_dir, out_dir):
     lint_oracles(oracle)
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    n_pass = n_fail = n_noracle = 0
+    n_pass = n_fail = n_noracle = n_timeout = 0
     # A registered oracle with no output dir means the Spark query CRASHED
     # (Verify records why in errors.json) — that must be a red row, not a
     # silently absent one.
@@ -120,15 +120,36 @@ def main(sf_dir, out_dir):
             print(f"  ~ {name}: no oracle (rows={len(g_rows)})")
             n_noracle += 1
             continue
+        # Optional per-oracle wall budget (scale runs): a watchdog thread
+        # interrupts DuckDB so a quadratic oracle NAMES itself as a
+        # timeout row instead of hanging the whole gate. TIMEOUT is its
+        # own verdict — the ENGINE result exists; only the oracle replay
+        # was too expensive at this SF.
+        timer = None
+        if timeout:
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             exp = con.sql(oracle[name])
             e_cols = list(exp.columns)
             e_types = [str(t) for t in exp.types]
             e_rows = exp.fetchall()
-        except Exception as ex:
-            print(f"  ✗ {name}: ORACLE SQL ERROR: {ex}")
-            n_fail += 1
+        except KeyboardInterrupt:
+            print(f"  ⏱ {name}: ORACLE TIMEOUT (> {timeout}s)")
+            n_timeout += 1
             continue
+        except Exception as ex:
+            msg = str(ex)
+            if "INTERRUPT" in msg.upper():
+                print(f"  ⏱ {name}: ORACLE TIMEOUT (> {timeout}s)")
+                n_timeout += 1
+            else:
+                print(f"  ✗ {name}: ORACLE SQL ERROR: {ex}")
+                n_fail += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
         gc, gt, gr = canon(g_rows, g_cols, g_types)
         ec, et, er = canon(e_rows, e_cols, e_types)
         if gc != ec:
@@ -149,9 +170,16 @@ def main(sf_dir, out_dir):
         else:
             print(f"  ✓ {name}: {len(gr)} rows")
             n_pass += 1
-    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    tmo = f" TIMEOUT={n_timeout}" if n_timeout else ""
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}{tmo}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    tmo = None
+    args = [a for a in sys.argv[1:]]
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        tmo = float(args[i + 1])
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], tmo))

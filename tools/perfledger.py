@@ -4,10 +4,17 @@ bench, so a 3-round slow creep (invisible to benchdiff's pairwise diff)
 fails as loudly as a single-round regression.
 
 Usage:
-  python3 tools/perfledger.py add <label> <bench.json | gitref:path>
-      Append one row {"label", "sf", "total", "queries"} to
+  python3 tools/perfledger.py add <label> <bench.json | gitref:path>[,more...]
+      Append one row {"label", "sf", "total", "queries", "provenance"} to
       PERF_LEDGER.jsonl (replaces an existing row with the same label, so
-      re-running a round's bench updates in place).
+      re-running a round's bench updates in place). A comma-separated list
+      of artifacts is min-merged per query (the benchdiff adjudication
+      path) and every input is named in the row's provenance — a ledger
+      total and a raw artifact total may differ ONLY via a min-merge the
+      row itself describes. Inputs must be COMMITTED (tracked and
+      unmodified, or gitref:path): an untracked/dirty artifact is refused
+      so the ledger can never cite evidence the repo doesn't carry.
+      --allow-dirty overrides, marking the row {"dirty": true}.
   python3 tools/perfledger.py report
       Print per-query trends over the ledger and exit 1 on CREEP: the
       latest value >= 1.5x the ledger minimum AND >= 0.3 s absolute above
@@ -48,19 +55,58 @@ def read_ledger():
         return []
 
 
-def cmd_add(label, src):
-    art = load_artifact(src)
-    qs = art["queries"]
+def check_committed(src):
+    """A plain-file input must be git-tracked AND unmodified; a
+    gitref:path input is committed by definition. Returns an error
+    string, or None if clean."""
+    if ":" in src and not src.startswith(("./", "/")):
+        return None  # gitref:path — resolvable only from history
+    tracked = subprocess.run(["git", "ls-files", "--error-unmatch", src],
+                             capture_output=True, text=True)
+    if tracked.returncode != 0:
+        return f"{src} is not git-tracked"
+    status = subprocess.run(["git", "status", "--porcelain", "--", src],
+                            capture_output=True, text=True)
+    if status.stdout.strip():
+        return f"{src} has uncommitted modifications"
+    return None
+
+
+def cmd_add(label, spec, allow_dirty=False):
+    srcs = [s for s in spec.split(",") if s.strip()]
+    problems = [p for p in (check_committed(s) for s in srcs) if p]
+    if problems and not allow_dirty:
+        sys.exit("perfledger: REFUSED — ledger rows must cite committed "
+                 "evidence:\n  " + "\n  ".join(problems) +
+                 "\ncommit the artifact(s) first, or pass --allow-dirty "
+                 "to record a self-confessed dirty row")
+    arts = [load_artifact(s) for s in srcs]
+    sfs = {a.get("sf", "?") for a in arts}
+    if len(sfs) > 1:
+        sys.exit(f"perfledger: inputs disagree on sf: {sorted(sfs)}")
+    # per-query min across artifacts; 'failed' only if failed everywhere
+    qs = {}
+    for name in {n for a in arts for n in a["queries"]}:
+        vals = [a["queries"][name] for a in arts
+                if name in a["queries"] and a["queries"][name] != "failed"]
+        qs[name] = min(vals) if vals else "failed"
     total = sum(v for v in qs.values() if v != "failed")
-    row = {"label": label, "sf": art.get("sf", "?"),
-           "total": round(total, 2), "queries": qs}
+    prov = {"inputs": srcs,
+            "merge": f"per-query min over {len(srcs)} artifact(s)"}
+    if problems:
+        prov["dirty"] = True
+        print("perfledger: WARNING — recording DIRTY row: "
+              + "; ".join(problems))
+    row = {"label": label, "sf": sfs.pop(),
+           "total": round(total, 2), "queries": qs, "provenance": prov}
     rows = [r for r in read_ledger() if r["label"] != label]
     rows.append(row)
     with open(LEDGER, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
     print(f"perfledger: {label} recorded "
-          f"({len(qs)} queries, total {total:.1f}s, sf={row['sf']})")
+          f"({len(qs)} queries, total {total:.1f}s, sf={row['sf']}, "
+          f"{len(srcs)} input(s))")
 
 
 def cmd_report():
@@ -99,9 +145,11 @@ def cmd_report():
 
 
 def main():
-    if len(sys.argv) >= 4 and sys.argv[1] == "add":
-        cmd_add(sys.argv[2], sys.argv[3])
-    elif len(sys.argv) >= 2 and sys.argv[1] == "report":
+    args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
+    allow_dirty = "--allow-dirty" in sys.argv
+    if len(args) >= 3 and args[0] == "add":
+        cmd_add(args[1], args[2], allow_dirty)
+    elif len(args) >= 1 and args[0] == "report":
         cmd_report()
     else:
         sys.exit(__doc__)
