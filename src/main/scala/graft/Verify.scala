@@ -7,8 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER (r14): lets the SAME correctness dump run under
+    // local-cluster[n,cores,mem] — separate executor JVMs exercise
+    // closure serialization, executor-static state and broadcast
+    // delivery that local[*] structurally cannot (everything in-process).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val b = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }

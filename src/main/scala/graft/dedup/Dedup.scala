@@ -96,6 +96,13 @@ object Dedup {
     */
   val defaultBitmaskMaxSets = 100000L
 
+  /** Cap on the REPLICA sum of the size-banded candidate broadcast
+    * (Σ_s band-width(s) rows, each a slim (sb, pb, ps) triple ≈ 16 B):
+    * 4M replicas ≈ 64 MB payload — heavy but deliverable; past it the
+    * set-level inverted fallback is the safer physical plan. Injectable
+    * (r14) so the reroute branch is testable with a tiny cap. */
+  val defaultMaxBandReplicas = 4000000L
+
   /** @deprecated renamed — since r10 the guard caps DISTINCT WORD-SET
     * masks, not documents; use [[defaultBitmaskMaxSets]]. This alias
     * preserves ONLY references to the constant by its old name; the
@@ -133,7 +140,8 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, strategy: JaccardStrategy = JaccardAuto,
       dfCap: Option[Double] = None,
-      bitmaskMaxSets: Long = defaultBitmaskMaxSets): DataFrame =
+      bitmaskMaxSets: Long = defaultBitmaskMaxSets,
+      maxBandReplicas: Long = defaultMaxBandReplicas): DataFrame =
     jaccardPairsFeatures(
       wordSets(df, idCol, textCol)
         // explode_outer + null filter: inner explode makes
@@ -141,7 +149,7 @@ object Dedup {
         // pre-shuffle filter that re-runs the normalization per row
         .select(col(idCol).as("doc_id"), explode_outer(col("words")).as("word"))
         .filter(col("word").isNotNull),
-      threshold, strategy, dfCap, bitmaskMaxSets)
+      threshold, strategy, dfCap, bitmaskMaxSets, maxBandReplicas)
 
   /** Exact Jaccard over an arbitrary exploded feature table
     * `(doc_id, word)` — words, char n-grams, shingle hashes, anything
@@ -149,7 +157,8 @@ object Dedup {
     */
   def jaccardPairsFeatures(features: DataFrame, threshold: Double,
       strategy: JaccardStrategy = JaccardAuto, dfCap: Option[Double] = None,
-      bitmaskMaxSets: Long = defaultBitmaskMaxSets): DataFrame = {
+      bitmaskMaxSets: Long = defaultBitmaskMaxSets,
+      maxBandReplicas: Long = defaultMaxBandReplicas): DataFrame = {
     // public API guard (r13): both physical strategies divide by the
     // threshold — the bitmask band bound floor(pb/t) is Infinity at t=0
     // (ANSI cast error) and a near-zero t replicates every set into
@@ -189,7 +198,8 @@ object Dedup {
           // distinct word-set masks and guards on THAT count internally,
           // falling back to the inverted index past bitmaskMaxSets sets
           if (exactVocab <= maskMaxVocab)
-            jaccardBitmask(wc, threshold, bitmaskMaxSets, dfCap)
+            jaccardBitmask(wc, threshold, bitmaskMaxSets, dfCap,
+              maxBandReplicas)
           else jaccardInvertedIndex(wc, threshold, dfCap)
         }
     }
@@ -218,7 +228,8 @@ object Dedup {
     * `maxSets` guard.
     */
   private def jaccardBitmask(w: DataFrame, threshold: Double,
-      maxSets: Long, dfCap: Option[Double]): DataFrame = {
+      maxSets: Long, dfCap: Option[Double],
+      maxBandReplicas: Long = defaultMaxBandReplicas): DataFrame = {
     // the caller guarantees vocab ≤ maskMaxVocab: assign bits driver-side
     // (a global row_number window here moved all words to one partition and
     // was the repo's last unpartitioned-window warning) and inline them as
@@ -267,11 +278,19 @@ object Dedup {
     // inverted fallback (measured 65 s vs 55 s banded on the 44.5k-set
     // slice) is the safer plan. The sf-fixture slices (31-word vocab,
     // t = 0.9 → ≤7 replicas/set) sit orders of magnitude under it.
-    val maxBandReplicas = 4000000L
     val nSets = sets.count()
+    // r14 (advisor): pc/threshold is unbounded in the DOUBLE domain — at
+    // extreme-but-legal thresholds (t ≲ 1e-16) floor()'s long result
+    // overflows and the guard built to PREVENT blowups would itself ANSI-
+    // error instead of routing to the fallback. Clamp the per-set band
+    // width at 1e12 BEFORE leaving double: the clamp only engages when
+    // pc/t > 1e12 (t < ~1e-9), ten-thousand× past any practical cap, so
+    // the replica sum stays EXACT everywhere routing could go either way,
+    // and Σ ≤ maxSets·1e12 = 1e17 cannot overflow the long sum either.
     val bandReplicas: Long =
       if (nSets > maxSets) Long.MaxValue // already routed away
-      else sets.select((floor(pcOf(mcols) / threshold + 1e-9)
+      else sets.select((floor(least(pcOf(mcols) / threshold, lit(1.0e12))
+            + 1e-9)
           - ceil(pcOf(mcols) * threshold - 1e-9) + 1).cast("long").as("bw"))
         .agg(coalesce(sum("bw"), lit(0L))).first().getLong(0)
     val qual =
@@ -317,9 +336,15 @@ object Dedup {
         // 13 MB/100k figure, now actually true).
         val bSlim = sets.select(col("set_id").as("sb"),
             pcOf(mcols).as("pb"))
+          // upper band edge clamped (r14, defense-in-depth): any set
+          // whose pb/t exceeds int range carries a band width far past
+          // the replica guard, so this branch is unreachable for such
+          // thresholds — but the clamp keeps the UNCHOSEN plan free of
+          // ANSI-overflow expressions should the guard ever move
           .withColumn("ps", explode(sequence(
             ceil(col("pb") * threshold - 1e-9).cast("int"),
-            floor(col("pb") / threshold + 1e-9).cast("int"))))
+            least(floor(least(col("pb") / threshold, lit(1.0e9)) + 1e-9),
+              lit(2000000000L)).cast("int"))))
         val bMasks = sets.select(col("set_id").as("sb_m") +:
           mcols.map(c => col(c).as(s"b_$c")): _*)
         // (A block-index-keyed variant of this join — explode each side

@@ -27,12 +27,23 @@ import org.apache.spark.sql.functions._
   *     positions — norms and coordinate distributions unchanged,
   *     cross-replica cosine decorrelated.
   *
-  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
+  * SKEW MODE (r14, `--skew`): real fleets are Zipfian, the uniform
+  * replication above is not — so salting/AQE-skew claims were argued,
+  * never measured. With `--skew`, ~50 % of lineitem rows remap their
+  * l_suppkey (and orders rows their o_custkey) onto the 1 % smallest
+  * keys OF THE SAME REPLICA — hot keys carry ~50× the average row
+  * count, referential integrity holds (every remapped FK is an
+  * existing same-replica dimension key), schemas/row counts unchanged.
+  * Perf fixture ONLY: results differ from the uniform fixture by
+  * construction, so no oracle gate ever reads a skewed dir.
+  *
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor> [--skew]
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val Array(inDir, outDir, factorS) = args
+    val (inDir, outDir, factorS) = (args(0), args(1), args(2))
+    val skew = args.length > 3 && args(3) == "--skew"
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val b = SparkSession.builder()
@@ -65,11 +76,31 @@ object ScaleUp {
     for (t <- Seq("region", "nation"))
       write(t, spark.read.parquet(s"$inDir/$t.parquet"), 1)
 
+    // Hot-key remap for --skew: HALF the rows (deterministic hash coin on
+    // a stable key) redirect their dimension FK to one of the `nKeys/100`
+    // smallest same-replica keys. Runs AFTER the r·stride shift, so the
+    // hot range is r·stride + [1, nHot] — valid keys in every replica.
+    def hotify(keyCol: String, nKeys: Long, coinCol: String)(
+        d: DataFrame, r: Int): DataFrame =
+      if (!skew) d
+      else {
+        val nHot = math.max(1L, nKeys / 100)
+        d.withColumn(keyCol,
+          when(pmod(xxhash64(col(coinCol)), lit(2)) === 0,
+            lit(r * stride) + pmod(xxhash64(col(coinCol), lit(7)), lit(nHot))
+              + 1)
+            .otherwise(col(keyCol)))
+      }
+    val nSupp = spark.read.parquet(s"$inDir/supplier.parquet").count()
+    val nCust = spark.read.parquet(s"$inDir/customer.parquet").count()
+
     replicate("customer", Seq("c_custkey"))
     replicate("supplier", Seq("s_suppkey"))
     replicate("part", Seq("p_partkey"))
-    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"),
+      hotify("o_custkey", nCust, "o_orderkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      hotify("l_suppkey", nSupp, "l_orderkey"),
       parts = 16)
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), (d, r) =>

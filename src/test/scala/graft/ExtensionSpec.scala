@@ -180,16 +180,36 @@ class ExtensionSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val banded = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
       strategy = Dedup.JaccardBitmask)
-    // a threshold this small admits every partner size — the replica
-    // estimate blows past 4M only on huge corpora, so instead verify the
-    // low-threshold path still agrees with the inverted index (the two
+    // r14: maxBandReplicas is injectable — a cap of 1 forces EVERY
+    // corpus over the bandReplicas > cap branch (the set-level inverted
+    // fallback), so the reroute path itself is exercised, not just
+    // inferred. The guard is a physical-plan choice: the rerouted run
+    // must emit exactly the banded run's pairs.
+    val rerouted = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9,
+      strategy = Dedup.JaccardBitmask, maxBandReplicas = 1L)
+    assert(banded.count() > 0)
+    assert(rerouted.exceptAll(banded).isEmpty &&
+      banded.exceptAll(rerouted).isEmpty)
+    // low-threshold agreement with the inverted index (the two
     // strategies share no code in the candidate stage)
     val lowBand = Dedup.jaccardPairs(docs.limit(200), "doc_id", "text", 0.05,
       strategy = Dedup.JaccardBitmask)
     val lowInv = Dedup.jaccardPairs(docs.limit(200), "doc_id", "text", 0.05,
       strategy = Dedup.JaccardInverted)
-    assert(banded.count() > 0)
     assert(lowBand.exceptAll(lowInv).isEmpty && lowInv.exceptAll(lowBand).isEmpty)
+  }
+
+  test("banded guard survives extreme-but-legal thresholds without overflow") {
+    // r14 (advisor): floor(pc/t) at t ≲ 1e-16 exceeds Long range — the
+    // guard must CLAMP and route to the fallback, not ANSI-error. A
+    // threshold this small admits every pair with any overlap.
+    import spark.implicits._
+    val f = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "word")
+    val pairs = Dedup.jaccardPairsFeatures(f, threshold = 1e-17,
+      strategy = Dedup.JaccardBitmask)
+    // docs 1,2 share "a" (J=1); doc 3 shares nothing (J=0 — never a pair)
+    assert(pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .toSet == Set((1L, 2L)))
   }
 
   test("jaccardPairsFeatures Auto routes non-string features to the inverted index") {

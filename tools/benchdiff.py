@@ -40,8 +40,14 @@ def load(path):
         return json.load(f)
 
 
-def merge_min(arts):
-    """Merge per-query dicts by minimum; 'failed' only if failed in all."""
+def merge_min(arts, names=None):
+    """Merge per-query dicts by minimum; 'failed' only if failed in all.
+
+    The merged artifact gets its OWN provenance naming the inputs and the
+    min-merge rule — inheriting arts[0]'s provenance wholesale would
+    misdescribe the merge (e.g. claim 1 invocation for a min-of-3), which
+    contradicts the provenance contract in Bench.scala.
+    """
     out = dict(arts[0])
     qs = dict(arts[0]["queries"])
     for art in arts[1:]:
@@ -52,12 +58,18 @@ def merge_min(arts):
             elif v != "failed" and v < cur:
                 qs[name] = v
     out["queries"] = qs
+    if len(arts) > 1:
+        out["provenance"] = {
+            "inputs": names if names else [f"artifact[{i}]"
+                                           for i in range(len(arts))],
+            "merge": f"per-query min over {len(arts)} artifact(s)",
+        }
     return out
 
 
 def load_many(spec):
     paths = [p for p in spec.split(",") if p]
-    merged = merge_min([load(p) for p in paths])
+    merged = merge_min([load(p) for p in paths], names=paths)
     name = paths[0] if len(paths) == 1 else f"min-of-{len(paths)}({spec})"
     return merged, name
 

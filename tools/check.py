@@ -75,7 +75,7 @@ def lint_oracles(oracle):
             print(h)
 
 
-def main(sf_dir, out_dir, timeout=None):
+def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
     # The gate's verdict depends on the DuckDB that renders the oracle;
     # record it so a locally-green/driver-red row can be attributed to a
     # version gap instead of re-litigating the query.
@@ -107,15 +107,60 @@ def main(sf_dir, out_dir, timeout=None):
     for name in sorted((set(oracle) | set(errors)) - set(names)):
         print(f"  ✗ {name}: NO OUTPUT — {errors.get(name, 'query produced no result dir')}")
         n_fail += 1
+    # Watchdog state shared with the timer thread. The lock + "running"
+    # flag close the race the bare `Timer(timeout, con.interrupt)` had:
+    # a timer firing between fetchall() returning and cancel() would
+    # interrupt an IDLE connection, and the stale interrupt then aborted
+    # the NEXT query's engine-parquet read (outside any try/except).
+    wd_lock = threading.Lock()
+    wd = {"running": False, "fired": False}
+
+    def on_timeout():
+        with wd_lock:
+            if wd["running"]:
+                wd["fired"] = True
+                con.interrupt()
+
+    def timed_out(ex):
+        # A timeout verdict requires BOTH a configured budget and the
+        # watchdog having actually fired — a genuine engine error that
+        # merely mentions "interrupt" must stay a red row.
+        return (timeout is not None and wd["fired"]
+                and (isinstance(ex, KeyboardInterrupt)
+                     or "INTERRUPT" in str(ex).upper()))
+
     for name in names:
         # relation API, not DB-API execute(): cursor.description only
         # exposes generic DB-API codes (HUGEINT and BIGINT are both
-        # 'NUMBER') — .types carries the real DuckDB types
-        got = con.sql(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-        g_cols = list(got.columns)
-        g_types = [str(t) for t in got.types]
-        g_rows = got.fetchall()
+        # 'NUMBER') — .types carries the real DuckDB types.
+        # Wrapped so a stray watchdog interrupt (or a corrupt engine
+        # dump) is classified per-row instead of crashing the gate.
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+            g_cols = list(got.columns)
+            g_types = [str(t) for t in got.types]
+            g_rows = got.fetchall()
+        except (Exception, KeyboardInterrupt) as ex:
+            if timeout is not None and wd["fired"] \
+                    and "INTERRUPT" in str(ex).upper():
+                # stale interrupt from the previous row's watchdog —
+                # retry once on a clean connection state
+                wd["fired"] = False
+                try:
+                    got = con.sql(f"SELECT * FROM "
+                                  f"'{os.path.join(out_dir, name)}/*.parquet'")
+                    g_cols = list(got.columns)
+                    g_types = [str(t) for t in got.types]
+                    g_rows = got.fetchall()
+                except (Exception, KeyboardInterrupt) as ex2:
+                    print(f"  ✗ {name}: ENGINE RESULT READ ERROR: {ex2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"  ✗ {name}: ENGINE RESULT READ ERROR: {ex}")
+                n_fail += 1
+                continue
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows={len(g_rows)})")
             n_noracle += 1
@@ -127,20 +172,18 @@ def main(sf_dir, out_dir, timeout=None):
         # was too expensive at this SF.
         timer = None
         if timeout:
-            timer = threading.Timer(timeout, con.interrupt)
+            with wd_lock:
+                wd["running"] = True
+                wd["fired"] = False
+            timer = threading.Timer(timeout, on_timeout)
             timer.start()
         try:
             exp = con.sql(oracle[name])
             e_cols = list(exp.columns)
             e_types = [str(t) for t in exp.types]
             e_rows = exp.fetchall()
-        except KeyboardInterrupt:
-            print(f"  ⏱ {name}: ORACLE TIMEOUT (> {timeout}s)")
-            n_timeout += 1
-            continue
-        except Exception as ex:
-            msg = str(ex)
-            if "INTERRUPT" in msg.upper():
+        except (Exception, KeyboardInterrupt) as ex:
+            if timed_out(ex):
                 print(f"  ⏱ {name}: ORACLE TIMEOUT (> {timeout}s)")
                 n_timeout += 1
             else:
@@ -149,6 +192,8 @@ def main(sf_dir, out_dir, timeout=None):
             continue
         finally:
             if timer:
+                with wd_lock:
+                    wd["running"] = False
                 timer.cancel()
         gc, gt, gr = canon(g_rows, g_cols, g_types)
         ec, et, er = canon(e_rows, e_cols, e_types)
@@ -172,14 +217,26 @@ def main(sf_dir, out_dir, timeout=None):
             n_pass += 1
     tmo = f" TIMEOUT={n_timeout}" if n_timeout else ""
     print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}{tmo}")
-    return 1 if n_fail else 0
+    if n_fail:
+        return 1
+    # An all-timeout run must never read as green: with zero passes and
+    # any timeouts there is no correctness evidence at all. --fail-on-
+    # timeout tightens this to "any timeout is a failure" for gates that
+    # demand full oracle coverage.
+    if n_timeout and (fail_on_timeout or n_pass == 0):
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
     tmo = None
+    fot = False
     args = [a for a in sys.argv[1:]]
     if "--timeout" in args:
         i = args.index("--timeout")
         tmo = float(args[i + 1])
         del args[i:i + 2]
-    sys.exit(main(args[0], args[1], tmo))
+    if "--fail-on-timeout" in args:
+        args.remove("--fail-on-timeout")
+        fot = True
+    sys.exit(main(args[0], args[1], tmo, fot))
