@@ -75,12 +75,15 @@ def lint_oracles(oracle):
             print(h)
 
 
-def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
-    # The gate's verdict depends on the DuckDB that renders the oracle;
-    # record it so a locally-green/driver-red row can be attributed to a
-    # version gap instead of re-litigating the query.
-    print(f"duckdb={duckdb.__version__}")
+def connect(sf_dir, mem=None):
+    """Fresh DuckDB connection with the fixture views. `mem` caps DuckDB
+    (scale runs: an uncapped oracle can eat the whole box and poison the
+    shared connection — every later row then OOMs spuriously); spill goes
+    to a temp dir so a capped heavy oracle degrades instead of dying."""
     con = duckdb.connect()
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         # driver fixtures are single files; ScaleUp fixtures are
@@ -90,6 +93,22 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+# Errors after which the CONNECTION itself is suspect (r14, seen in the
+# first sf1 widening run: one oracle OOM'd and every subsequent row —
+# including trivial engine-parquet reads — failed with OOM / "closed
+# pending query result" until reconnect).
+POISON = ("OUT OF MEMORY", "CLOSED PENDING QUERY")
+
+
+def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False, mem=None):
+    # The gate's verdict depends on the DuckDB that renders the oracle;
+    # record it so a locally-green/driver-red row can be attributed to a
+    # version gap instead of re-litigating the query.
+    print(f"duckdb={duckdb.__version__}")
+    con = connect(sf_dir, mem)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     lint_oracles(oracle)
@@ -114,12 +133,13 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
     # the NEXT query's engine-parquet read (outside any try/except).
     wd_lock = threading.Lock()
     wd = {"running": False, "fired": False}
+    holder = {"con": con}
 
     def on_timeout():
         with wd_lock:
             if wd["running"]:
                 wd["fired"] = True
-                con.interrupt()
+                holder["con"].interrupt()
 
     def timed_out(ex):
         # A timeout verdict requires BOTH a configured budget and the
@@ -129,38 +149,48 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
                 and (isinstance(ex, KeyboardInterrupt)
                      or "INTERRUPT" in str(ex).upper()))
 
-    for name in names:
+    def reconnect():
+        try:
+            holder["con"].close()
+        except Exception:
+            pass
+        holder["con"] = connect(sf_dir, mem)
+
+    def fetch(sql):
         # relation API, not DB-API execute(): cursor.description only
         # exposes generic DB-API codes (HUGEINT and BIGINT are both
-        # 'NUMBER') — .types carries the real DuckDB types.
-        # Wrapped so a stray watchdog interrupt (or a corrupt engine
-        # dump) is classified per-row instead of crashing the gate.
+        # 'NUMBER') — .types carries the real DuckDB types
+        rel = holder["con"].sql(sql)
+        return list(rel.columns), [str(t) for t in rel.types], rel.fetchall()
+
+    def fetch_retrying(sql):
+        """One retry on recoverable connection states: a stale watchdog
+        interrupt from the previous row, or a poisoned connection after
+        an OOM (reconnect first)."""
         try:
-            got = con.sql(
-                f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-            g_cols = list(got.columns)
-            g_types = [str(t) for t in got.types]
-            g_rows = got.fetchall()
+            return fetch(sql)
         except (Exception, KeyboardInterrupt) as ex:
-            if timeout is not None and wd["fired"] \
-                    and "INTERRUPT" in str(ex).upper():
-                # stale interrupt from the previous row's watchdog —
-                # retry once on a clean connection state
-                wd["fired"] = False
-                try:
-                    got = con.sql(f"SELECT * FROM "
-                                  f"'{os.path.join(out_dir, name)}/*.parquet'")
-                    g_cols = list(got.columns)
-                    g_types = [str(t) for t in got.types]
-                    g_rows = got.fetchall()
-                except (Exception, KeyboardInterrupt) as ex2:
-                    print(f"  ✗ {name}: ENGINE RESULT READ ERROR: {ex2}")
-                    n_fail += 1
-                    continue
-            else:
-                print(f"  ✗ {name}: ENGINE RESULT READ ERROR: {ex}")
-                n_fail += 1
-                continue
+            msg = str(ex).upper()
+            stale = (timeout is not None and wd["fired"]
+                     and "INTERRUPT" in msg)
+            poisoned = any(p in msg for p in POISON)
+            if not (stale or poisoned):
+                raise
+            wd["fired"] = False
+            if poisoned:
+                reconnect()
+            return fetch(sql)
+
+    for name in names:
+        # Wrapped so a stray watchdog interrupt / poisoned connection /
+        # corrupt engine dump is classified per-row, not a gate crash.
+        try:
+            g_cols, g_types, g_rows = fetch_retrying(
+                f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        except (Exception, KeyboardInterrupt) as ex:
+            print(f"  ✗ {name}: ENGINE RESULT READ ERROR: {ex}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows={len(g_rows)})")
             n_noracle += 1
@@ -178,10 +208,7 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
             timer = threading.Timer(timeout, on_timeout)
             timer.start()
         try:
-            exp = con.sql(oracle[name])
-            e_cols = list(exp.columns)
-            e_types = [str(t) for t in exp.types]
-            e_rows = exp.fetchall()
+            e_cols, e_types, e_rows = fetch(oracle[name])
         except (Exception, KeyboardInterrupt) as ex:
             if timed_out(ex):
                 print(f"  ⏱ {name}: ORACLE TIMEOUT (> {timeout}s)")
@@ -189,6 +216,8 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
             else:
                 print(f"  ✗ {name}: ORACLE SQL ERROR: {ex}")
                 n_fail += 1
+            if any(p in str(ex).upper() for p in POISON):
+                reconnect()  # don't let one OOM poison every later row
             continue
         finally:
             if timer:
@@ -231,12 +260,17 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False):
 if __name__ == "__main__":
     tmo = None
     fot = False
+    memcap = None
     args = [a for a in sys.argv[1:]]
     if "--timeout" in args:
         i = args.index("--timeout")
         tmo = float(args[i + 1])
         del args[i:i + 2]
+    if "--mem" in args:
+        i = args.index("--mem")
+        memcap = args[i + 1]
+        del args[i:i + 2]
     if "--fail-on-timeout" in args:
         args.remove("--fail-on-timeout")
         fot = True
-    sys.exit(main(args[0], args[1], tmo, fot))
+    sys.exit(main(args[0], args[1], tmo, fot, memcap))
