@@ -43,4 +43,33 @@ object Quantiles {
           .as(name)
       } :+ col("n"): _*)
   }
+
+  /** DISCRETE (SQL type-1) group quantiles: the element at 1-based rank
+    * ⌈q·n⌉ (clamped to 1) of the sorted non-null values — matches SQL
+    * `percentile_disc` and DuckDB `quantile_disc` (convention probed
+    * empirically, r14). Unlike the interpolated form above, the result
+    * is an ACTUAL DATA VALUE picked by integer rank: there is no
+    * interpolation arithmetic whose last-ulp rounding can differ between
+    * engines, so a strict comparison against the cut (winsorize clamp
+    * counts, threshold audits) is bit-stable at any scale. The r14 sf1
+    * widening caught exactly that failure: two engines' `quantile_cont`
+    * cuts differed by 1 ulp around a 50-row tie group and flipped a
+    * `value < lo` count — interpolated cuts must never feed strict
+    * comparisons in a gated result.
+    */
+  def groupQuantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy(col("__v"))))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = quantiles.map { case (name, qv) =>
+      min(when(col("__rn") ===
+        greatest(ceil(lit(qv) * col("__n")), lit(1L)), col("__v"))).as(name)
+    } :+ count(lit(1)).as("n")
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
 }

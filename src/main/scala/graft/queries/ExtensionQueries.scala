@@ -925,7 +925,7 @@ object ExtensionQueries {
              |g AS (SELECT grp, list(v ORDER BY vec_id) AS vs FROM m GROUP BY grp),
              |p AS (SELECT grp, list_transform(
              |    list_reduce(vs, (a, b) -> list_transform(range(1, 65), d -> a[d] + b[d])),
-             |    x -> round(x / len(vs), 6)) AS pooled
+             |    x -> round(x / len(vs), 6) + 0.0) AS pooled
              |FROM g)
              |SELECT grp, CAST(unnest(range(0, len(pooled))) AS INT) AS dim,
              |  unnest(pooled) AS val

@@ -135,8 +135,8 @@ object FeatureQueries {
              |    min(v) AS mn, max(v) AS mx
              |  FROM x GROUP BY 1)
              |SELECT CAST(dim AS INT) AS dim, n,
-             |  round(mu, 4) AS mean, round(sd, 4) AS sd,
-             |  round(mn, 4) AS mn, round(mx, 4) AS mx,
+             |  round(mu, 4) + 0.0 AS mean, round(sd, 4) AS sd,
+             |  round(mn, 4) + 0.0 AS mn, round(mx, 4) + 0.0 AS mx,
              |  CASE WHEN sd > 0 THEN round((mx - mu) / sd, 4) END AS z_max
              |FROM s""".stripMargin),
       (s, dir) => {

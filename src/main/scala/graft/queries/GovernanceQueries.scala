@@ -222,14 +222,22 @@ object GovernanceQueries {
     // WINSORIZATION audit: clamp value to per-type exact [p05, p95] and
     // report the clamp counts + winsorized mean — the outlier treatment
     // robust pipelines apply before any mean-based statistic. Cuts come
-    // from ops.Quantiles (partitioned rank arithmetic, quantile_cont
-    // parity proven by q_percentile) and ride back as a broadcast join —
-    // the corpus is never windowed or sorted globally.
+    // from ops.Quantiles and ride back as a broadcast join — the corpus
+    // is never windowed or sorted globally.
+    //
+    // r14: cuts are DISCRETE (type-1) quantiles, not interpolated. The
+    // sf1 widening caught the interpolated form's fragility: the two
+    // engines' quantile_cont produced cuts 1 ulp apart, and the strict
+    // `value < lo` clamp count flipped by an entire 50-row tie group
+    // (green at every sf ≤ 0.1, red at sf1). A discrete cut is a data
+    // value picked by integer rank — bit-identical across engines, so
+    // the comparison is scale-stable. Winsorizing on disc quantiles is
+    // equally standard practice.
     QueryDef(
       "q_winsorize",
       Some("""WITH c AS (SELECT event_type,
-             |    quantile_cont(value, 0.05) AS lo,
-             |    quantile_cont(value, 0.95) AS hi
+             |    quantile_disc(value, 0.05) AS lo,
+             |    quantile_disc(value, 0.95) AS hi
              |  FROM events GROUP BY 1)
              |SELECT e.event_type,
              |  CAST(count(*) AS BIGINT) AS n,
@@ -240,7 +248,7 @@ object GovernanceQueries {
              |FROM events e JOIN c USING (event_type) GROUP BY 1""".stripMargin),
       (s, dir) => {
         val ev = Tables.t(s, dir, "events").select("event_type", "value")
-        val cuts = graft.ops.Quantiles.groupQuantiles(
+        val cuts = graft.ops.Quantiles.groupQuantilesDisc(
             ev, "event_type", "value", Seq("lo" -> 0.05, "hi" -> 0.95))
           .select("event_type", "lo", "hi")
         ev.join(broadcast(cuts), "event_type")

@@ -190,15 +190,24 @@ object TraversalQueries {
         best
       }),
 
-    // Hierarchy closure by POINTER DOUBLING: root ancestor + depth for the
-    // decimal-digit hierarchy parent(n) = n div 10 over customer keys
-    // (single-digit keys are roots). Three doubling rounds resolve depth
-    // ≤ 2³ — every fixture SF's key width — in O(log depth) self-joins
-    // instead of O(depth) chain hops; the self-loop on roots (anc = node,
-    // step 0) makes settled rows idempotent under further doubling. The
-    // left join + coalesce keeps rows whose ancestor key has no row in the
-    // node table (can't happen with contiguous fixture keys, but the
-    // operator must not silently drop on sparse key spaces).
+    // Hierarchy closure for the decimal-digit hierarchy parent(n) =
+    // n div 10 over customer keys (single-digit keys are roots): root
+    // ancestor + depth, CLOSED FORM — the parent function is arithmetic,
+    // so the full chain is derivable from the key itself: root = leading
+    // digit (exact string op, no float log10 edge), depth = digits − 1.
+    // One map-only scan, zero joins, zero shuffles — scale-independent.
+    //
+    // r14 REWRITE (found by the sf1 oracle widening): the previous
+    // implementation pointer-doubled through a LEFT JOIN against the node
+    // table, which silently STALLS when an interior ancestor is not
+    // itself a row — true for every non-contiguous key space, e.g. the
+    // ScaleUp-strided sf1 keys (node 100000001's ancestor 10000000 is no
+    // customer), where it reported depth 1 / root 10000000 against the
+    // oracle's depth 8 / root 1. Contiguous driver fixtures masked it at
+    // every sf ≤ 0.1. Table-backed ITERATIVE closure over genuinely
+    // relational parent pointers stays demonstrated by q_shortest_path /
+    // q_weighted_path / q_cc_star; for an arithmetic hierarchy the
+    // closed form is both the correct and the faster plan.
     QueryDef(
       "q_hierarchy_closure",
       Some("""WITH RECURSIVE walk(node, cur, d) AS (
@@ -209,23 +218,10 @@ object TraversalQueries {
              |FROM walk WHERE cur < 10""".stripMargin),
       (s, dir) => {
         val c = Tables.t(s, dir, "customer").select("c_custkey")
-        var a = c.select(col("c_custkey").as("node"),
-          when(col("c_custkey") < 10, col("c_custkey"))
-            .otherwise(expr("c_custkey div 10")).as("anc"),
-          when(col("c_custkey") < 10, lit(0)).otherwise(lit(1))
-            .cast("int").as("d"))
-          .localCheckpoint()
-        for (_ <- 1 to 3) {
-          val y = a.select(col("node").as("y_node"), col("anc").as("y_anc"),
-            col("d").as("y_d"))
-          a = a.join(y, col("anc") === col("y_node"), "left_outer")
-            .select(col("node"),
-              coalesce(col("y_anc"), col("anc")).as("anc"),
-              (col("d") + coalesce(col("y_d"), lit(0))).cast("int").as("d"))
-            .localCheckpoint()
-        }
-        a.select(col("node").as("c_custkey"), col("anc").as("root_key"),
-          col("d").as("depth"))
+        val ks = col("c_custkey").cast("string")
+        c.select(col("c_custkey"),
+          substring(ks, 1, 1).cast("long").as("root_key"),
+          (length(ks) - 1).cast("int").as("depth"))
       }),
 
     // Interval union (merge-overlaps): each event spans

@@ -42,6 +42,11 @@ def canon(rows, cols, types):
                 if math.isnan(v):
                     v = "NaN"
                 else:
+                    if v == 0.0:
+                        v = 0.0  # IEEE -0.0 == 0.0; don't let the sign
+                        # bit of a rounded-to-zero value fail the row
+                        # (first hit: sf1 mean-centered stats where one
+                        # engine rounds to -0.0 and the other to +0.0)
                     v = f"{v:.9g}"
             vals.append(repr(v))
         out.append(tuple(vals))
@@ -84,6 +89,10 @@ def connect(sf_dir, mem=None):
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # scale runs reconnect on poisoned connections; uncapped worker
+        # pools across reconnects exhausted the process thread limit
+        # ("can't start new thread" 273 queries into the first sf1 run)
+        con.execute("SET threads=16")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         # driver fixtures are single files; ScaleUp fixtures are
@@ -103,7 +112,8 @@ def connect(sf_dir, mem=None):
 POISON = ("OUT OF MEMORY", "CLOSED PENDING QUERY")
 
 
-def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False, mem=None):
+def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False, mem=None,
+         only=None):
     # The gate's verdict depends on the DuckDB that renders the oracle;
     # record it so a locally-green/driver-red row can be attributed to a
     # version gap instead of re-litigating the query.
@@ -114,6 +124,11 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False, mem=None):
     lint_oracles(oracle)
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        # resume/re-check a subset (e.g. after a crash partway through a
+        # scale run) without replaying every oracle
+        names = [n for n in names if n in only]
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = n_noracle = n_timeout = 0
     # A registered oracle with no output dir means the Spark query CRASHED
     # (Verify records why in errors.json) — that must be a red row, not a
@@ -273,4 +288,9 @@ if __name__ == "__main__":
     if "--fail-on-timeout" in args:
         args.remove("--fail-on-timeout")
         fot = True
-    sys.exit(main(args[0], args[1], tmo, fot, memcap))
+    subset = None
+    if "--only" in args:
+        i = args.index("--only")
+        subset = set(x for x in args[i + 1].split(",") if x)
+        del args[i:i + 2]
+    sys.exit(main(args[0], args[1], tmo, fot, memcap, subset))
