@@ -27,23 +27,35 @@ import org.apache.spark.sql.functions._
   *     positions — norms and coordinate distributions unchanged,
   *     cross-replica cosine decorrelated.
   *
-  * SKEW MODE (r14, `--skew`): real fleets are Zipfian, the uniform
-  * replication above is not — so salting/AQE-skew claims were argued,
-  * never measured. With `--skew`, ~50 % of lineitem rows remap their
-  * l_suppkey (and orders rows their o_custkey) onto the 1 % smallest
-  * keys OF THE SAME REPLICA — hot keys carry ~50× the average row
-  * count, referential integrity holds (every remapped FK is an
-  * existing same-replica dimension key), schemas/row counts unchanged.
+  * SKEW MODE (r14, `--skew[=rowFrac:nHot]`): real fleets are Zipfian,
+  * the uniform replication above is not — so salting/AQE-skew claims
+  * were argued, never measured. With `--skew`, `rowFrac` of lineitem
+  * rows remap their l_suppkey (and orders rows their o_custkey) onto
+  * `nHot` fixed keys OF THE SAME REPLICA — referential integrity holds
+  * (every remapped FK is an existing same-replica dimension key),
+  * schemas/row counts unchanged. Default `0.5:nKeys/100` (1 % of keys
+  * carry half the rows, ~50× the average). For a STRAGGLER stress —
+  * a hot key bigger than a whole shuffle partition, the case salting
+  * exists for — use few absolute keys, e.g. `--skew=0.5:4`.
   * Perf fixture ONLY: results differ from the uniform fixture by
   * construction, so no oracle gate ever reads a skewed dir.
   *
-  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor> [--skew]
+  * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
+  *        [--skew[=rowFrac:nHot]]
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (inDir, outDir, factorS) = (args(0), args(1), args(2))
-    val skew = args.length > 3 && args(3) == "--skew"
+    val skewArg = args.drop(3).find(_.startsWith("--skew"))
+    val skew = skewArg.isDefined
+    // --skew=<rowFrac>:<nHot>; nHot = 0 means "1% of keys" (default)
+    val (skewFrac, skewHot): (Double, Long) = skewArg match {
+      case Some(s) if s.contains("=") =>
+        val Array(f, h) = s.split("=")(1).split(":")
+        (f.toDouble, h.toLong)
+      case _ => (0.5, 0L)
+    }
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val b = SparkSession.builder()
@@ -76,19 +88,24 @@ object ScaleUp {
     for (t <- Seq("region", "nation"))
       write(t, spark.read.parquet(s"$inDir/$t.parquet"), 1)
 
-    // Hot-key remap for --skew: HALF the rows (deterministic hash coin on
-    // a stable key) redirect their dimension FK to one of the `nKeys/100`
-    // smallest same-replica keys. Runs AFTER the r·stride shift, so the
-    // hot range is r·stride + [1, nHot] — valid keys in every replica.
+    // Hot-key remap for --skew: `skewFrac` of the rows (deterministic
+    // hash coin on a stable key) redirect their dimension FK to one of
+    // the `nHot` GLOBAL hot keys [1, nHot] — replica 0's smallest keys,
+    // which exist in every replicated dimension table, so referential
+    // integrity holds from any replica. Global (not per-replica) heat is
+    // what makes a hot key's row count GROW with the factor — the
+    // partition-dominating straggler salting exists for; per-replica hot
+    // ranges would spread the heat back out and measure nothing.
     def hotify(keyCol: String, nKeys: Long, coinCol: String)(
         d: DataFrame, r: Int): DataFrame =
       if (!skew) d
       else {
-        val nHot = math.max(1L, nKeys / 100)
+        val nHot = if (skewHot > 0) skewHot else math.max(1L, nKeys / 100)
+        val denom = 1000000L
         d.withColumn(keyCol,
-          when(pmod(xxhash64(col(coinCol)), lit(2)) === 0,
-            lit(r * stride) + pmod(xxhash64(col(coinCol), lit(7)), lit(nHot))
-              + 1)
+          when(pmod(xxhash64(col(coinCol)), lit(denom)) <
+              lit((skewFrac * denom).toLong),
+            pmod(xxhash64(col(coinCol), lit(7)), lit(nHot)) + 1)
             .otherwise(col(keyCol)))
       }
     val nSupp = spark.read.parquet(s"$inDir/supplier.parquet").count()
