@@ -159,6 +159,192 @@ class ScaleInvariantSpec extends AnyFunSuite {
       "engine emitted a non-qualifying slice pair")
   }
 
+  // ---- k-core ---------------------------------------------------------
+
+  test("q_kcore at scale: fixpoint + maximality against an " +
+      "independently rebuilt edge set") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_kcore").localCheckpoint()
+    val k = out.select("k").first().getLong(0)
+
+    // independent edge rebuild (the oracle's formula, restated)
+    val o = Tables.t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.t(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val fwd = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+
+    // k really is ⌊median degree⌋ of the full graph
+    val kRe = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(floor(expr("percentile(d, 0.5)")).as("km"))
+      .first().getLong(0)
+    assert(kRe == k, s"reported k=$k, recomputed ⌊median degree⌋=$kRe")
+
+    // FIXPOINT: induced degree within the output node set equals the
+    // reported core_degree and meets k for EVERY output node
+    val coreNodes = out.select("node").localCheckpoint()
+    val induced = edges
+      .join(coreNodes.withColumnRenamed("node", "src"), Seq("src"))
+      .join(coreNodes.select(col("node").as("dst")), Seq("dst"))
+      .groupBy("src").agg(count(lit(1)).as("di"))
+    val joined = out.join(induced.withColumnRenamed("src", "node"),
+      Seq("node"), "left_outer")
+    assert(joined.filter(col("di").isNull ||
+      col("di") =!= col("core_degree") || col("di") < k).isEmpty,
+      "a core node's induced degree diverges from core_degree or < k")
+
+    // MAXIMALITY: no removed node has ≥ k neighbors inside the core
+    // (otherwise core ∪ {node} would be a larger k-core)
+    val removed = edges.select(col("src").as("node")).distinct()
+      .join(coreNodes, Seq("node"), "left_anti")
+    val intoCore = edges
+      .join(removed.withColumnRenamed("node", "src"), Seq("src"))
+      .join(coreNodes.select(col("node").as("dst")), Seq("dst"))
+      .groupBy("src").agg(count(lit(1)).as("dc"))
+    assert(intoCore.filter(col("dc") >= k).isEmpty,
+      "a removed node has >= k neighbors inside the core")
+  }
+
+  // ---- PCA power iteration -------------------------------------------
+
+  test("q_pca_power at scale: unit loadings, invariant under one more " +
+      "scatter multiply, eigenvalue consistent") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_pca_power").localCheckpoint()
+    val rows = out.orderBy("dim").collect()
+    assert(rows.length == 64)
+    val v = rows.map(_.getDouble(1)) // loading (rounded 4dp)
+    val lam = rows.head.getDouble(2)
+    val evr = rows.head.getDouble(3)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"loading norm $norm")
+    assert(lam > 0 && evr > 0 && evr <= 1, s"lam=$lam evr=$evr")
+
+    // one more scatter multiply u = Xcᵀ(Xc·v): if v converged, u ≈ λ·v —
+    // cos(u, v) near 1 and ‖u‖ near λ (loose: 5 rounds need not be at
+    // machine convergence; the gate catches wrong-subspace vectors)
+    val x0 = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"), col("f").cast("double").as("vv"))
+    val mu = x0.groupBy("dim").agg(avg("vv").as("mu"))
+    val xc = x0.join(mu, Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("vv") - col("mu")).as("x"))
+      .localCheckpoint()
+    val vMap = typedlit(v.zipWithIndex.map { case (x, i) => (i, x) }.toMap)
+    val w = xc.withColumn("vl", element_at(vMap, col("dim")))
+      .groupBy("vec_id").agg(sum(col("x") * col("vl")).as("w"))
+    val u = xc.join(w, Seq("vec_id"))
+      .groupBy("dim").agg(sum(col("x") * col("w")).as("u"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val uNorm = math.sqrt(u.map(x => x * x).sum)
+    val cos = u.zip(v).map { case (a, b) => a * b }.sum / (uNorm * norm)
+    assert(cos > 0.98, s"cos(XᵀXv, v) = $cos — not near the top eigenspace")
+    assert(math.abs(uNorm - lam) / lam < 0.05,
+      s"‖XᵀXv‖ = $uNorm vs reported eigenvalue $lam")
+  }
+
+  // ---- embedding near-dup --------------------------------------------
+
+  test("q_embed_neardup at scale: every pair's cosine recomputed and " +
+      "threshold-bounded") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val pairs = q("q_embed_neardup").localCheckpoint()
+    assert(pairs.filter(col("cos") < 0.4).isEmpty)
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double"))
+        .as("v")).localCheckpoint()
+    val sample = pairs.orderBy("id_a", "id_b").limit(1000)
+    val re = sample
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na", sqrt(expr(
+        "aggregate(va, 0D, (a, x) -> a + x * x)")))
+      .withColumn("nb", sqrt(expr(
+        "aggregate(vb, 0D, (a, x) -> a + x * x)")))
+      .withColumn("rc", round(col("dot") / (col("na") * col("nb")), 4))
+    assert(re.count() == sample.count())
+    assert(re.filter(abs(col("rc") - col("cos")) > 1e-9).isEmpty,
+      "recomputed cosine diverges from the emitted value")
+  }
+
+  // ---- spatial DBSCAN ------------------------------------------------
+
+  test("q_spatial_cluster at scale: sampled core/border/noise roles " +
+      "verified against independently recomputed neighborhoods") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_spatial_cluster").localCheckpoint()
+    val p = points.localCheckpoint()
+
+    // sample ~100 points of each role; recompute each sample point's FULL
+    // in-5km neighborhood by broadcast sample × all-points haversine
+    val sample = out.filter(col("role") === "core").orderBy("id").limit(100)
+      .unionByName(out.filter(col("role") === "border").orderBy("id").limit(100))
+      .unionByName(out.filter(col("role") === "noise").orderBy("id").limit(100))
+      .join(p.withColumnRenamed("pid", "id"), Seq("id"))
+      .select(col("id"), col("role"), col("plat").as("sla"),
+        col("plon").as("sna"))
+    val nbr = broadcast(sample).join(p, col("pid") =!= col("id"))
+      .withColumn("dm", haversine(col("sla"), col("sna"),
+        col("plat"), col("plon")))
+      .filter(col("dm") <= 5000.0)
+      .select("id", "role", "pid")
+      .localCheckpoint()
+    val degree = nbr.groupBy("id", "role").agg(count(lit(1)).as("deg"))
+
+    // core: ≥ 4 in-radius neighbors; border/noise: < 4
+    assert(degree.filter(col("role") === "core" && col("deg") < 4).isEmpty,
+      "a 'core' sample has fewer than 4 in-radius neighbors")
+    assert(degree.filter(col("role") =!= "core" && col("deg") >= 4).isEmpty,
+      "a 'border'/'noise' sample has core-grade degree")
+    // sampled points with NO neighbor at all must be noise
+    val noNbr = sample.join(nbr.select("id").distinct(), Seq("id"),
+      "left_anti")
+    assert(noNbr.filter(col("role") =!= "noise").isEmpty)
+
+    // border has ≥1 CORE neighbor; noise has none
+    val coreIds = out.filter(col("role") === "core")
+      .select(col("id").as("pid"))
+    val coreNbrs = nbr.join(coreIds, Seq("pid"))
+      .select("id").distinct().withColumn("hasCore", lit(true))
+    val flags = sample.join(coreNbrs, Seq("id"), "left_outer")
+    assert(flags.filter(col("role") === "border" && col("hasCore").isNull)
+      .isEmpty, "a 'border' sample has no core neighbor")
+    assert(flags.filter(col("role") === "noise" && col("hasCore").isNotNull)
+      .isEmpty, "a 'noise' sample has a core neighbor")
+  }
+
+  // ---- dedup cluster resolution --------------------------------------
+
+  test("q_dedup_resolve at scale: canonical labels are min-id, " +
+      "self-consistent, and respect every near-dup pair") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val res = q("q_dedup_resolve").localCheckpoint()
+    assert(res.filter(col("canonical_id") > col("doc_id")).isEmpty)
+    assert(res.filter(col("keep") =!=
+      (col("canonical_id") === col("doc_id"))).isEmpty)
+    // every canonical id is itself kept with its own label
+    val canon = res.select(col("canonical_id").as("doc_id")).distinct()
+    val canonRows = res.join(canon, Seq("doc_id"), "left_semi")
+    assert(canonRows.filter(col("canonical_id") =!= col("doc_id")).isEmpty,
+      "a canonical id maps to a different canonical")
+    // pair-consistency: both endpoints of every verified near-dup pair
+    // (q_word_jaccard — itself gated above) share one canonical label
+    val pairs = q("q_word_jaccard").select("doc_a", "doc_b")
+    val lab = res.select(col("doc_id"), col("canonical_id"))
+    val mismatch = pairs
+      .join(lab.select(col("doc_id").as("doc_a"),
+        col("canonical_id").as("ca")), Seq("doc_a"))
+      .join(lab.select(col("doc_id").as("doc_b"),
+        col("canonical_id").as("cb")), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(mismatch.isEmpty, "a near-dup pair spans two clusters")
+  }
+
   test("jaccard strategy agreement at scale on a bounded slice " +
       "(bitmask vs inverted share no candidate code)") {
     assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
