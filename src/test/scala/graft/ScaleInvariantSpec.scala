@@ -345,6 +345,82 @@ class ScaleInvariantSpec extends AnyFunSuite {
     assert(mismatch.isEmpty, "a near-dup pair spans two clusters")
   }
 
+  // ---- jaccard-composite queries -------------------------------------
+  // The remaining TIMEOUT rows are compositions over the near-dup pair
+  // set gated above: recompute each composition from the verified pair
+  // output (plus independently restated split/source attribution) and
+  // compare whole results.
+
+  test("q_split_leakage at scale: recomposed from verified pairs and an " +
+      "independently restated hash split") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_split_leakage").collect().head
+    val pairs = q("q_word_jaccard").select("doc_a", "doc_b")
+    // split restated from first principles (the oracle's formula, not
+    // ops.Sampling): bucket = first 15 hex chars of sha256(doc_id) % 100
+    val split = Tables.t(spark, dir, "documents").select(
+      col("doc_id"),
+      (conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 15),
+        16, 10).cast("long") % 100 < 90).as("nonTest"))
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("nonTest").as("na")),
+        Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("nonTest").as("nb")),
+        Seq("doc_b"))
+      .filter(col("na") =!= col("nb"))
+      .select(when(!col("na"), col("doc_a")).otherwise(col("doc_b"))
+        .as("leaked")).distinct()
+    val nTest = split.filter(!col("nonTest")).count()
+    val nLeaked = leaked.count()
+    assert(out.getLong(0) == nTest, s"n_test ${out.getLong(0)} vs $nTest")
+    assert(out.getLong(1) == nLeaked,
+      s"n_leaked ${out.getLong(1)} vs $nLeaked")
+    assert(math.abs(out.getDouble(2) -
+      (math.rint(nLeaked.toDouble / nTest * 10000) / 10000)) < 1e-9)
+  }
+
+  test("q_source_overlap at scale: matrix recomposed from verified pairs") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_source_overlap").localCheckpoint()
+    val pairs = q("q_word_jaccard").select("doc_a", "doc_b")
+    val srcs = Tables.t(spark, dir, "documents").select("doc_id", "source")
+    val re = pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    assert(out.exceptAll(re).isEmpty && re.exceptAll(out).isEmpty,
+      "overlap matrix diverges from the verified pair set")
+    // conservation: matrix total == pair count
+    val tot = out.agg(sum("n_pairs")).first().getLong(0)
+    assert(tot == pairs.count())
+  }
+
+  test("q_dedup_recall at scale: intersection arithmetic recomposed from " +
+      "the two verified pair sets") {
+    assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
+    val out = q("q_dedup_recall").collect().head
+    val exact = q("q_word_jaccard").select("doc_a", "doc_b")
+      .localCheckpoint()
+    val sim = q("q_simhash_neardup").select("doc_a", "doc_b")
+      .localCheckpoint()
+    val nExact = exact.count()
+    val nSim = sim.count()
+    val nBoth = exact.join(sim, Seq("doc_a", "doc_b")).count()
+    assert(out.getLong(0) == nExact && out.getLong(1) == nSim &&
+      out.getLong(2) == nBoth,
+      s"(${out.getLong(0)},${out.getLong(1)},${out.getLong(2)}) vs " +
+        s"($nExact,$nSim,$nBoth)")
+    assert(nBoth <= math.min(nExact, nSim))
+    assert(math.abs(out.getDouble(3) -
+      math.rint(nBoth.toDouble / nExact * 10000) / 10000) < 1e-9)
+    assert(math.abs(out.getDouble(4) -
+      math.rint(nBoth.toDouble / nSim * 10000) / 10000) < 1e-9)
+  }
+
   test("jaccard strategy agreement at scale on a bounded slice " +
       "(bitmask vs inverted share no candidate code)") {
     assume(dirOpt.isDefined, "set GRAFT_SCALE_DIR to run scale gates")
