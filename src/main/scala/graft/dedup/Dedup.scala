@@ -282,16 +282,26 @@ object Dedup {
     // r14 (advisor): pc/threshold is unbounded in the DOUBLE domain — at
     // extreme-but-legal thresholds (t ≲ 1e-16) floor()'s long result
     // overflows and the guard built to PREVENT blowups would itself ANSI-
-    // error instead of routing to the fallback. Clamp the per-set band
-    // width at 1e12 BEFORE leaving double: the clamp only engages when
-    // pc/t > 1e12 (t < ~1e-9), ten-thousand× past any practical cap, so
-    // the replica sum stays EXACT everywhere routing could go either way,
-    // and Σ ≤ maxSets·1e12 = 1e17 cannot overflow the long sum either.
+    // error instead of routing to the fallback. Two clamps keep the sum
+    // inside long everywhere: (1) the per-set band width at 1e12 BEFORE
+    // leaving double (engages only when pc/t > 1e12, i.e. t < ~1e-9), and
+    // (2) — r15, advisor — the per-set LONG term at maxBandReplicas + 1:
+    // routing only needs to distinguish Σ ≤ cap from Σ > cap, and one set
+    // already over the cap decides it, so clamping each term at cap + 1
+    // loses nothing while bounding Σ ≤ nSets·(cap+1). With the short-
+    // circuit above, nSets ≤ maxSets here, so overflow would need a
+    // caller to inject maxSets·(maxBandReplicas+1) > 2⁶³ — rejected
+    // explicitly instead of wrapping silently.
+    val termCap: Long = math.min(maxBandReplicas, Long.MaxValue - 1) + 1
+    require(maxSets <= Long.MaxValue / termCap,
+      s"bitmaskMaxSets ($maxSets) × (maxBandReplicas+1) ($termCap) " +
+        "overflows the replica-sum guard")
     val bandReplicas: Long =
       if (nSets > maxSets) Long.MaxValue // already routed away
-      else sets.select((floor(least(pcOf(mcols) / threshold, lit(1.0e12))
-            + 1e-9)
-          - ceil(pcOf(mcols) * threshold - 1e-9) + 1).cast("long").as("bw"))
+      else sets.select(least(
+          (floor(least(pcOf(mcols) / threshold, lit(1.0e12)) + 1e-9)
+            - ceil(pcOf(mcols) * threshold - 1e-9) + 1).cast("long"),
+          lit(termCap)).as("bw"))
         .agg(coalesce(sum("bw"), lit(0L))).first().getLong(0)
     val qual =
       if (nSets > maxSets || bandReplicas > maxBandReplicas) {

@@ -4,72 +4,363 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact interpolated group quantiles via a SORT-BASED window instead of
-  * the `percentile` aggregate. The aggregate buffers every value of a
-  * group in one executor's memory — an OOM at 100 TB group sizes — while a
-  * sort-based window rides the shuffle's disk-backed sort, so the same
-  * computation spills instead of dying (and measured ~4× faster here).
+/** Exact group quantiles with a STATISTICS-ADAPTIVE plan.
   *
-  * Definition matches SQL `percentile_cont` / Spark `percentile` /
-  * DuckDB `quantile_cont`: 0-based position p = q·(n−1) over the sorted
-  * non-null values; result = v_lo + (v_hi − v_lo)·(p − ⌊p⌋).
+  * A `Window.partitionBy(group).orderBy(value)` rank pick is exact and
+  * cheap when every group fits one task's sort — but the group is the unit
+  * of parallelism, so a 1e12-row group (or a `lit(1)` global quantile)
+  * becomes a single-reducer straggler at 100 TB no matter how many
+  * executors exist. The fix is not to always pay a multi-pass plan either:
+  * at small group sizes the window sort IS the best plan (one shuffle,
+  * few stages), and the multi-pass selection's extra stages would tax
+  * every caller for a straggler they don't have.
+  *
+  * So this module dispatches like an optimizer: one tiny aggregate over
+  * the per-group counts decides the plan. max(n_group) ≤ `maxSortedGroup`
+  * (default 4M rows — a comfortably sub-second single-task double sort)
+  * → the window form; anything bigger → TWO-LEVEL HISTOGRAM SELECTION:
+  *
+  *   pass 1  per-(group, bucket) counts over B range buckets, cumulated
+  *           over ≤B tiny rows per group → the ONE bucket holding each
+  *           target rank, and the rank's offset within it
+  *   pass 2  re-bracket within that bucket (another ÷B)     [levels ≥ 2]
+  *   final   row_number over ONLY the bracketed rows — ~n/B^levels per
+  *           group instead of n
+  *
+  * Every selection pass is a scan + map-side-combinable aggregation or a
+  * broadcast-joined filter; nothing buffers a whole group anywhere. A
+  * bracket whose min == max IS the answer (massive ties cost nothing); a
+  * bracket whose value range is not finite (NaN/±Inf) skips refinement
+  * and is resolved exactly by the final window over that bracket —
+  * graceful degradation, never a wrong answer. With B = 1024 and
+  * levels = 2 the final sort touches ~n/1e6 of the group: a 1e12-row
+  * group leaves ~1e6 rows for the one ranked pick, and the histogram
+  * shuffles carry only groups × B pre-combined rows. `maxSortedGroup = 0`
+  * forces the two-level path (probes, plan tests).
+  *
+  * The narrow (group, value) projection is materialized once with a lazy
+  * `localCheckpoint` — the decision plus either path make 2–5 passes over
+  * it, and without the checkpoint each pass would replay the caller's
+  * whole upstream pipeline (measured 2–9× on computed inputs). Same
+  * "one materialization pays for k passes" trade PrefixSum makes.
+  *
+  * Definitions: `groupQuantiles` = SQL `percentile_cont` (0-based
+  * p = q·(n−1), result v_lo + (v_hi − v_lo)·(p − ⌊p⌋));
+  * `groupQuantilesDisc` = SQL `percentile_disc` / DuckDB `quantile_disc`
+  * (the element at 1-based rank max(⌈q·n⌉, 1) — an actual data value, so
+  * strict comparisons against the cut are bit-stable across engines; the
+  * r14 sf1 widening caught `quantile_cont` cuts differing by 1 ulp
+  * between engines and flipping a strict `value < lo` count).
+  *
+  * Groups whose values are ALL NULL are kept (NULL cuts, n = 0), matching
+  * SQL GROUP BY / DuckDB — the r14 window form dropped them (filter
+  * before groupBy; advisor find). NULL group keys are a group, as in SQL.
   */
 object Quantiles {
 
-  /** One row per group: the requested `(name, q)` quantiles of `valueCol`
-    * plus the non-null count `n`.
+  private val B_DEFAULT = 1024
+
+  /** Largest group the dispatcher hands to the single-task window sort. */
+  val defaultMaxSortedGroup = 4000000L
+
+  /** One row per group: the requested `(name, q)` interpolated quantiles
+    * of `valueCol` plus the non-null count `n`.
     */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
+      levels: Int = 2,
+      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame = {
+    val (vals, stats) = prep(df, groupCol, valueCol)
+    val wide =
+      if (useWindow(stats, maxSortedGroup)) contWindowCore(vals, quantiles)
+      else contTwoLevel(vals, stats, quantiles, buckets, levels)
+    assemble(stats, wide, groupCol, quantiles.map(_._1))
+  }
+
+  /** DISCRETE (SQL type-1) group quantiles: the element at 1-based rank
+    * max(⌈q·n⌉, 1) of the sorted non-null values.
+    */
+  def groupQuantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
+      levels: Int = 2,
+      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame = {
+    val (vals, stats) = prep(df, groupCol, valueCol)
+    val wide =
+      if (useWindow(stats, maxSortedGroup)) discWindowCore(vals, quantiles)
+      else discTwoLevel(vals, stats, quantiles, buckets, levels)
+    assemble(stats, wide, groupCol, quantiles.map(_._1))
+  }
+
+  // ------------------------------------------------------------------
+  // shared prep / dispatch / assembly
+  // ------------------------------------------------------------------
+
+  /** Narrow (__g, __v double) projection, lazily checkpointed, plus ONE
+    * aggregate that is simultaneously the stats pass and the group
+    * domain: count(__v) counts non-nulls, so all-NULL groups appear with
+    * __n = 0 and NULL __mn/__mx.
+    */
+  private def prep(df: DataFrame, groupCol: String, valueCol: String) = {
+    val base = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint(false)
+    val vals = base.filter(col("__v").isNotNull)
+    val stats = base.groupBy("__g").agg(
+      count(col("__v")).as("__n"), min("__v").as("__mn"),
+      max("__v").as("__mx"))
+      .localCheckpoint(false)
+    (vals, stats)
+  }
+
+  /** The plan decision: one tiny job over the (checkpointed) stats. */
+  private def useWindow(stats: DataFrame, maxSortedGroup: Long): Boolean =
+    maxSortedGroup > 0 && {
+      val m = stats.agg(max("__n")).first()
+      m.isNullAt(0) || m.getLong(0) <= maxSortedGroup
+    }
+
+  /** Keep every group of the input (stats is the domain), restore the
+    * caller's group-column name, n = 0 and NULL cuts for all-NULL groups.
+    */
+  private def assemble(stats: DataFrame, wide: DataFrame,
+      groupCol: String, names: Seq[String]): DataFrame = {
+    val dom = stats.select(col("__g").as("__dg"))
+    dom.join(wide, col("__dg") <=> wide("__g"), "left")
+      .select(col("__dg").as(groupCol) +: names.map(col) :+
+        coalesce(col("n"), lit(0L)).as("n"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // window cores (small-group plan): one shuffle sort, group-bounded task
+  // state — the right plan whenever every group fits a task
+  // ------------------------------------------------------------------
+
+  private def contWindowCore(vals: DataFrame,
       quantiles: Seq[(String, Double)]): DataFrame = {
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val ranked = vals
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(groupCol).orderBy(col("__v"))))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(groupCol)))
+        row_number().over(Window.partitionBy("__g").orderBy(col("__v"))))
+      .withColumn("__wn", count(lit(1)).over(Window.partitionBy("__g")))
     val aggs = quantiles.flatMap { case (name, qv) =>
-      val p = lit(qv) * (col("__n") - 1) // constant within a group
+      val p = lit(qv) * (col("__wn") - 1) // constant within a group
       Seq(
         min(when(col("__rn") === floor(p) + 1, col("__v"))).as(s"__${name}_lo"),
         min(when(col("__rn") === ceil(p) + 1, col("__v"))).as(s"__${name}_hi"),
         min(p - floor(p)).as(s"__${name}_f"))
     } :+ count(lit(1)).as("n")
-    ranked.groupBy(groupCol)
+    ranked.groupBy("__g")
       .agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol) +: quantiles.map { case (name, _) =>
+      .select(col("__g") +: quantiles.map { case (name, _) =>
         (col(s"__${name}_lo") +
           (col(s"__${name}_hi") - col(s"__${name}_lo")) * col(s"__${name}_f"))
           .as(name)
       } :+ col("n"): _*)
   }
 
-  /** DISCRETE (SQL type-1) group quantiles: the element at 1-based rank
-    * ⌈q·n⌉ (clamped to 1) of the sorted non-null values — matches SQL
-    * `percentile_disc` and DuckDB `quantile_disc` (convention probed
-    * empirically, r14). Unlike the interpolated form above, the result
-    * is an ACTUAL DATA VALUE picked by integer rank: there is no
-    * interpolation arithmetic whose last-ulp rounding can differ between
-    * engines, so a strict comparison against the cut (winsorize clamp
-    * counts, threshold audits) is bit-stable at any scale. The r14 sf1
-    * widening caught exactly that failure: two engines' `quantile_cont`
-    * cuts differed by 1 ulp around a 50-row tie group and flipped a
-    * `value < lo` count — interpolated cuts must never feed strict
-    * comparisons in a gated result.
-    */
-  def groupQuantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+  private def discWindowCore(vals: DataFrame,
       quantiles: Seq[(String, Double)]): DataFrame = {
-    val ranked = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val ranked = vals
       .withColumn("__rn",
-        row_number().over(Window.partitionBy(groupCol).orderBy(col("__v"))))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(groupCol)))
+        row_number().over(Window.partitionBy("__g").orderBy(col("__v"))))
+      .withColumn("__wn", count(lit(1)).over(Window.partitionBy("__g")))
     val aggs = quantiles.map { case (name, qv) =>
       min(when(col("__rn") ===
-        greatest(ceil(lit(qv) * col("__n")), lit(1L)), col("__v"))).as(name)
+        greatest(ceil(lit(qv) * col("__wn")), lit(1L)), col("__v"))).as(name)
     } :+ count(lit(1)).as("n")
-    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    ranked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
   }
+
+  // ------------------------------------------------------------------
+  // two-level cores (huge-group plan)
+  // ------------------------------------------------------------------
+
+  private def contTwoLevel(vals: DataFrame, stats: DataFrame,
+      quantiles: Seq[(String, Double)], buckets: Int,
+      levels: Int): DataFrame = {
+    // per-(group, quantile) target ranks: lo/hi elements around p = q(n−1)
+    val spec = stats.filter(col("__n") > 0).select(
+      col("__g"), col("__n"),
+      explode(array(quantiles.map { case (name, qv) =>
+        val p = lit(qv) * (col("__n") - 1).cast("double")
+        struct(lit(name).as("__q"),
+          (floor(p) + 1).cast("long").as("__rlo"),
+          (ceil(p) + 1).cast("long").as("__rhi"),
+          (p - floor(p)).as("__f"))
+      }: _*)).as("__s"))
+      .select(col("__g"), col("__n"), col("__s.__q"),
+        col("__s.__rlo"), col("__s.__rhi"), col("__s.__f"))
+    // distinct ranks to resolve (rlo == rhi whenever p is integral)
+    val ranks = spec.select(col("__g"), explode(array(col("__rlo"),
+      col("__rhi"))).as("__r")).distinct()
+    val got = rankSelect(vals, stats, ranks, buckets, levels)
+    // null-safe on the group key: a NULL group key is a group in SQL
+    val gotLo = got.select(col("__g").as("__lg"), col("__r").as("__lr"),
+      col("__rv").as("__vlo"))
+    val gotHi = got.select(col("__g").as("__hg"), col("__r").as("__hr"),
+      col("__rv").as("__vhi"))
+    spec
+      .join(gotLo,
+        col("__g") <=> col("__lg") && col("__rlo") === col("__lr"))
+      .join(gotHi,
+        col("__g") <=> col("__hg") && col("__rhi") === col("__hr"))
+      .select(col("__g"), col("__n"), col("__q"),
+        (col("__vlo") + (col("__vhi") - col("__vlo")) * col("__f"))
+          .as("__qv"))
+      .groupBy("__g")
+      .agg(first("__n").as("n"), quantiles.map { case (name, _) =>
+        min(when(col("__q") === name, col("__qv"))).as(name)
+      }: _*)
+  }
+
+  private def discTwoLevel(vals: DataFrame, stats: DataFrame,
+      quantiles: Seq[(String, Double)], buckets: Int,
+      levels: Int): DataFrame = {
+    val spec = stats.filter(col("__n") > 0).select(
+      col("__g"), col("__n"),
+      explode(array(quantiles.map { case (name, qv) =>
+        struct(lit(name).as("__q"),
+          greatest(ceil(lit(qv) * col("__n")), lit(1L)).cast("long")
+            .as("__r"))
+      }: _*)).as("__s"))
+      .select(col("__g"), col("__n"), col("__s.__q"), col("__s.__r"))
+    val ranks = spec.select("__g", "__r").distinct()
+    val got = rankSelect(vals, stats, ranks, buckets, levels)
+      .select(col("__g").as("__gg"), col("__r").as("__gr"), col("__rv"))
+    spec.join(got,
+        col("__g") <=> col("__gg") && col("__r") === col("__gr"))
+      .groupBy("__g")
+      .agg(first("__n").as("n"), quantiles.map { case (name, _) =>
+        min(when(col("__q") === name, col("__rv"))).as(name)
+      }: _*)
+  }
+
+  /** Exact rank selection: for each (group __g, 1-based rank __r) in
+    * `ranks`, the element at that rank of the group's ascending non-null
+    * values → (__g, __r, __rv). Histogram-brackets the rank through
+    * `levels` rounds of B range buckets, then ranks only the final
+    * bracket. Spark NaN semantics (NaN = NaN, NaN greatest) make the
+    * comparisons total; non-finite brackets skip refinement (resolved by
+    * the final window over the bracket — exact, just unnarrowed).
+    */
+  private def rankSelect(vals: DataFrame, stats: DataFrame,
+      ranks: DataFrame, buckets: Int, levels: Int): DataFrame = {
+    require(levels >= 1 && buckets >= 2)
+    val bLit = lit(buckets.toDouble)
+    // needs: one row per (group, rank) with the current bracket
+    //   [__lo, __hi] (inclusive value bounds known to contain the rank),
+    //   __rib = the rank RELATIVE to the bracket's sorted values,
+    //   __done = resolved value (non-null once known).
+    var needs = ranks.join(stats.withColumnRenamed("__g", "__sg"),
+        col("__g") <=> col("__sg"))
+      .select(col("__g"), col("__r"), col("__r").as("__rib"),
+        col("__mn").as("__lo"), col("__mx").as("__hi"),
+        when(col("__mn") === col("__mx"), col("__mn")).as("__done"))
+
+    for (level <- 1 to levels) {
+      // a bracket refines only when open and its width is a finite > 0
+      // double; NaN/Inf-polluted brackets fall through to the final window
+      val width = col("__hi") - col("__lo")
+      val active = needs.filter(col("__done").isNull &&
+        width > 0 && !isnan(width) &&
+        width =!= lit(Double.PositiveInfinity))
+      val rest = needs.filter(!(col("__done").isNull &&
+        width > 0 && !isnan(width) &&
+        width =!= lit(Double.PositiveInfinity)))
+      // level 1's bracket is the whole group for every rank: build ONE
+      // shared per-(group, bucket) histogram instead of replicating the
+      // data per rank — the big-data pass stays ×1
+      val refined = if (level == 1) {
+        val withB = vals.join(broadcast(
+            stats.select(col("__g").as("__sg"), col("__mn"), col("__mx"))
+              .filter(!isnan(col("__mx") - col("__mn")) &&
+                (col("__mx") - col("__mn")) > 0 &&
+                (col("__mx") - col("__mn")) =!= lit(Double.PositiveInfinity))),
+            col("__g") <=> col("__sg"))
+          .withColumn("__b", least(
+            floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+              * bLit).cast("long"), lit(buckets - 1L)))
+        val hist = withB.groupBy("__g", "__b").agg(
+            count(lit(1)).as("__c"),
+            min("__v").as("__bmn"), max("__v").as("__bmx"))
+          .withColumn("__cb",
+            sum("__c").over(Window.partitionBy("__g").orderBy("__b"))
+              - col("__c"))
+        locate(active, hist, perRank = false)
+      } else {
+        val joined = vals.join(broadcast(active
+            .select(col("__g").as("__sg"), col("__r").as("__sr"),
+              col("__lo"), col("__hi"))),
+          col("__g") <=> col("__sg") &&
+            col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+          .withColumn("__b", least(
+            floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))
+              * bLit).cast("long"), lit(buckets - 1L)))
+        val hist = joined.groupBy(col("__g"), col("__sr").as("__hr"),
+            col("__b"))
+          .agg(count(lit(1)).as("__c"),
+            min("__v").as("__bmn"), max("__v").as("__bmx"))
+          .withColumn("__cb",
+            sum("__c").over(Window.partitionBy("__g", "__hr").orderBy("__b"))
+              - col("__c"))
+        locate(active, hist, perRank = true)
+      }
+      needs = refined.unionByName(rest)
+    }
+
+    val open = needs.filter(col("__done").isNull)
+      .select(col("__g").as("__sg"), col("__r").as("__sr"),
+        col("__rib"), col("__lo"), col("__hi"))
+    // final exact pick: rank only the bracketed rows; partition size is
+    // the bracket count (~n/B^levels), not the group
+    val picked = vals.join(broadcast(open),
+        col("__g") <=> col("__sg") &&
+          col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g", "__sr").orderBy("__v")))
+      .filter(col("__rn") === col("__rib"))
+      .select(col("__g"), col("__sr").as("__r"), col("__v").as("__rv"))
+    needs.filter(col("__done").isNotNull)
+      .select(col("__g"), col("__r"), col("__done").as("__rv"))
+      .unionByName(picked)
+  }
+
+  /** Bucket location: join each (group, rank) need to the one histogram
+    * row whose cumulative range covers the in-bracket rank. `perRank`
+    * matches the level-≥2 per-(group, rank) histogram key.
+    */
+  private def locate(active: DataFrame, hist: DataFrame,
+      perRank: Boolean): DataFrame = {
+    val h = hist.withColumnRenamed("__g", "__hg")
+    val cond = col("__g") <=> col("__hg") &&
+      col("__rib") > col("__cb") && col("__rib") <= col("__cb") + col("__c")
+    active.join(h,
+        if (perRank) cond && col("__r") === col("__hr") else cond)
+      .select(col("__g"), col("__r"),
+        (col("__rib") - col("__cb")).as("__rib"),
+        col("__bmn").as("__lo"), col("__bmx").as("__hi"),
+        when(col("__bmn") === col("__bmx"), col("__bmn")).as("__done"))
+  }
+
+  // ------------------------------------------------------------------
+  // r14 window formulations, kept verbatim as the equivalence reference
+  // for QuantilesTwoLevelSpec (they drop all-NULL groups — the public
+  // forms keep them).
+  // ------------------------------------------------------------------
+
+  private[graft] def groupQuantilesWindowed(df: DataFrame, groupCol: String,
+      valueCol: String, quantiles: Seq[(String, Double)]): DataFrame =
+    contWindowCore(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v")),
+      quantiles).withColumnRenamed("__g", groupCol)
+
+  private[graft] def groupQuantilesDiscWindowed(df: DataFrame,
+      groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame =
+    discWindowCore(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v")),
+      quantiles).withColumnRenamed("__g", groupCol)
 }

@@ -58,4 +58,65 @@ object Skew {
       .join(replicatedSmall, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** PROFILE-DRIVEN salted equi-join — the r14 SkewProbe playbook encoded
+    * as an operator. Blanket salting ([[saltedJoin]]) is skew-INVARIANT
+    * but costs ~1.5× on uniform data (measured, COVERAGE §r14): the small
+    * side is replicated ×`salts` for EVERY key whether or not it is hot.
+    * This variant first profiles the large side with a cheap sampled scan
+    * (`sampleFraction`, default 1 %), salts ONLY the keys whose estimated
+    * row count exceeds `hotKeyMinRows`, and leaves the rest of the data on
+    * the plain (salt = 0) path — so on a uniform input it degenerates to
+    * the plain shuffle join plus one sampled aggregation, and under skew
+    * the hot keys' rows spread across `salts` tasks exactly as in
+    * [[saltedJoin]].
+    *
+    * Fully declarative — the hot-key set stays a (≤ `maxHotKeys`-row)
+    * DataFrame broadcast to both sides, never collected to the driver.
+    * The sampled profile is seeded, so the plan is deterministic; sampling
+    * noise can only mis-route a borderline key to the wrong PATH (a
+    * performance effect), never change the join result.
+    *
+    * Same join-type domain as [[saltedJoin]]: inner/left/left_semi/
+    * left_anti (the large side carries exactly one salt per row, so
+    * salting multiplies nothing on its side; right/full would multiply
+    * unmatched small-side rows).
+    */
+  def adaptiveSaltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner",
+      sampleFraction: Double = 0.01,
+      hotKeyMinRows: Long = 1000000L,
+      maxHotKeys: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType), s"unsupported joinType $joinType")
+    val minSampled = math.max(1L,
+      math.ceil(hotKeyMinRows * sampleFraction).toLong)
+    val hot = large.select(keys.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__hc"))
+      .filter(col("__hc") >= minSampled)
+      .orderBy(col("__hc").desc)
+      .limit(maxHotKeys)
+      .select(keys.map(col) :+ lit(true).as("__hot"): _*)
+    val saltedLarge = large.join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(spark_partition_id() + monotonically_increasing_id(),
+            lit(salts)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("__hot")
+    val replicatedSmall = small.join(broadcast(hot), keys, "left")
+      .withColumn("__salt", explode(sequence(lit(0),
+        when(col("__hot"), lit(salts - 1)).otherwise(lit(0)))))
+      .withColumn("__salt", col("__salt").cast("int"))
+      .drop("__hot")
+    saltedLarge
+      .join(replicatedSmall, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
 }

@@ -31,17 +31,30 @@ import org.apache.spark.sql.functions._
   * the uniform replication above is not — so salting/AQE-skew claims
   * were argued, never measured. With `--skew`, `rowFrac` of lineitem
   * rows remap their l_suppkey (and orders rows their o_custkey) onto
-  * `nHot` fixed keys OF THE SAME REPLICA — referential integrity holds
-  * (every remapped FK is an existing same-replica dimension key),
-  * schemas/row counts unchanged. Default `0.5:nKeys/100` (1 % of keys
-  * carry half the rows, ~50× the average). For a STRAGGLER stress —
+  * `nHot` fixed GLOBAL hot keys [1, nHot] (replica 0's smallest keys,
+  * present in every replicated dimension table, so referential
+  * integrity holds from any replica; global heat is what makes a hot
+  * key's row count grow with the factor) — schemas/row counts
+  * unchanged. Default `0.5:nKeys/100` (1 % of keys carry half the
+  * rows, ~50× the average). For a STRAGGLER stress —
   * a hot key bigger than a whole shuffle partition, the case salting
   * exists for — use few absolute keys, e.g. `--skew=0.5:4`.
   * Perf fixture ONLY: results differ from the uniform fixture by
   * construction, so no oracle gate ever reads a skewed dir.
   *
+  * PERTURB MODE (r15, `--perturb`): plain ×N replication copies every
+  * monetary value N times, so an ORDER BY price LIMIT k over the scaled
+  * fixture manufactures EXACT ties the base data never had — TPC-H
+  * Q3/Q10 at sf10 became spec-level nondeterministic (either engine's
+  * pick is a correct answer, but they differ). With `--perturb`,
+  * replica r > 0 adds r cents to `l_extendedprice` and `o_totalprice`
+  * (deterministic, ≤ factor−1 cents — far below any aggregate gate's
+  * rounding, large enough that replicated rows stop tying). The oracle
+  * replays DuckDB on the SAME perturbed dir, so both engines see
+  * identical values and the tie-break ambiguity is gone, not hidden.
+  *
   * Usage: runMain graft.tools.ScaleUp <inDir> <outDir> <factor>
-  *        [--skew[=rowFrac:nHot]]
+  *        [--skew[=rowFrac:nHot]] [--perturb]
   */
 object ScaleUp {
 
@@ -52,10 +65,15 @@ object ScaleUp {
     // --skew=<rowFrac>:<nHot>; nHot = 0 means "1% of keys" (default)
     val (skewFrac, skewHot): (Double, Long) = skewArg match {
       case Some(s) if s.contains("=") =>
-        val Array(f, h) = s.split("=")(1).split(":")
-        (f.toDouble, h.toLong)
+        // --skew=<rowFrac> (nHot defaults) or --skew=<rowFrac>:<nHot>
+        s.split("=")(1).split(":") match {
+          case Array(f) => (f.toDouble, 0L)
+          case Array(f, h) => (f.toDouble, h.toLong)
+          case _ => sys.error(s"bad --skew argument: $s")
+        }
       case _ => (0.5, 0L)
     }
+    val perturb = args.drop(3).contains("--perturb")
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val b = SparkSession.builder()
@@ -111,13 +129,21 @@ object ScaleUp {
     val nSupp = spark.read.parquet(s"$inDir/supplier.parquet").count()
     val nCust = spark.read.parquet(s"$inDir/customer.parquet").count()
 
+    // --perturb: replica r adds r cents to the named money column —
+    // deterministic, bounded by (factor−1) cents, kills replication ties
+    def centify(colName: String)(d: DataFrame, r: Int): DataFrame =
+      if (!perturb || r == 0) d
+      else d.withColumn(colName, col(colName) + lit(r) * 0.01)
+
     replicate("customer", Seq("c_custkey"))
     replicate("supplier", Seq("s_suppkey"))
     replicate("part", Seq("p_partkey"))
-    replicate("orders", Seq("o_orderkey", "o_custkey"),
-      hotify("o_custkey", nCust, "o_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"), (d, r) =>
+      centify("o_totalprice")(
+        hotify("o_custkey", nCust, "o_orderkey")(d, r), r))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      hotify("l_suppkey", nSupp, "l_orderkey"),
+      (d, r) => centify("l_extendedprice")(
+        hotify("l_suppkey", nSupp, "l_orderkey")(d, r), r),
       parts = 16)
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), (d, r) =>

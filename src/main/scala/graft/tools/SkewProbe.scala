@@ -55,6 +55,15 @@ object SkewProbe {
       Skew.saltedJoin(li, supp, Seq("l_suppkey"), salts = cpus.toInt)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"))
+    // profile-driven: salts only keys the 1 % sample estimates above
+    // 500k rows — on the uniform fixture (300 rows/key) nothing is hot
+    // and the plan degenerates to the plain join + one sampled agg; on
+    // the --skew fixture the 4 hot keys (~7.5 M rows each) are salted
+    def adaptiveJoin(): DataFrame =
+      Skew.adaptiveSaltedJoin(li, supp, Seq("l_suppkey"),
+          salts = cpus.toInt, hotKeyMinRows = 500000L)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"))
     def plainAgg(): DataFrame =
       li.groupBy("l_suppkey")
         .agg(round(sum("l_quantity"), 2).as("sq"), count(lit(1)).as("n"))
@@ -65,6 +74,25 @@ object SkewProbe {
     def plainMedian(): DataFrame =
       li.groupBy("l_suppkey")
         .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    // r15: exact group median via two-level histogram selection — the
+    // per-(key, bucket) counts are map-side combinable, so a hot key's
+    // 7.5 M values collapse to ≤1024 histogram rows BEFORE the shuffle
+    // and the holistic skew penalty (1.4× measured on `percentile` at
+    // r14) disappears; on uniform small-group data the extra passes make
+    // it SLOWER than the buffer/window forms — it is the huge-group and
+    // global-quantile plan, not a universal replacement
+    def twoLevelMedian(): DataFrame =
+      graft.ops.Quantiles.groupQuantiles(li, "l_suppkey",
+        "l_extendedprice", Seq("med" -> 0.5), maxSortedGroup = 0)
+    def windowMedian(): DataFrame =
+      graft.ops.Quantiles.groupQuantilesWindowed(li, "l_suppkey",
+        "l_extendedprice", Seq("med" -> 0.5))
+    // the shipped default: the stats-adaptive dispatcher — window plan on
+    // the uniform fixture (300 rows/key), two-level on the skew fixture
+    // (hot keys of 7.5 M rows exceed maxSortedGroup)
+    def adaptiveMedian(): DataFrame =
+      graft.ops.Quantiles.groupQuantiles(li, "l_suppkey",
+        "l_extendedprice", Seq("med" -> 0.5))
 
     // (variant name, config overrides, plan)
     val variants: Seq[(String, Map[String, String], () => DataFrame)] = Seq(
@@ -78,9 +106,15 @@ object SkewProbe {
       ("join_shuffle_salted", Map(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.skewJoin.enabled" -> "false"), saltedJoin _),
+      ("join_shuffle_adaptive_salted", Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false"), adaptiveJoin _),
       ("agg_algebraic_plain", Map.empty, plainAgg _),
       ("agg_algebraic_salted", Map.empty, saltedAgg _),
-      ("agg_median_plain", Map.empty, plainMedian _))
+      ("agg_median_plain", Map.empty, plainMedian _),
+      ("agg_median_window", Map.empty, windowMedian _),
+      ("agg_median_twolevel", Map.empty, twoLevelMedian _),
+      ("agg_median_adaptive", Map.empty, adaptiveMedian _))
 
     val best = collection.mutable.Map[String, Double]()
     for (_ <- 1 to passes; (name, confs, plan) <- variants) {

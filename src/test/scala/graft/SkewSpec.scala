@@ -71,4 +71,37 @@ class SkewSpec extends SparkSpec {
     val saltedLeft = Skew.saltedJoin(li, o, Seq("l_orderkey"), 4, "left")
     assert(saltedLeft.count() == plainLeft.count())
   }
+
+  test("adaptiveSaltedJoin equals plain join across hot, cold and unmatched keys") {
+    import spark.implicits._
+    // one hot key (80% of rows), a cold tail, and keys missing from the
+    // small side — with a threshold that makes exactly the hot key salted
+    val large = spark.range(100000)
+      .select(when(col("id") < 80000, 7L).otherwise(col("id") % 500).as("k"),
+        col("id").as("v"))
+    val small = spark.range(300).select(col("id").as("k"),
+      (col("id") * 10).as("w"))
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = large.join(small, Seq("k"), jt)
+      val ad = Skew.adaptiveSaltedJoin(large, small, Seq("k"), salts = 8,
+        joinType = jt, sampleFraction = 0.05, hotKeyMinRows = 10000L)
+      assert(ad.exceptAll(plain).isEmpty && plain.exceptAll(ad).isEmpty, jt)
+    }
+  }
+
+  test("adaptiveSaltedJoin on uniform data leaves the small side unreplicated") {
+    import spark.implicits._
+    // no key reaches the threshold → every row rides the salt=0 path; the
+    // joined cardinality must equal the plain join's (nothing replicated,
+    // nothing dropped), and the profile finds zero hot keys
+    val large = spark.range(50000).select((col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val small = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val plain = large.join(small, Seq("k"))
+    val ad = Skew.adaptiveSaltedJoin(large, small, Seq("k"), salts = 8,
+      sampleFraction = 0.1, hotKeyMinRows = 5000L)
+    assert(ad.count() == plain.count())
+    assert(ad.exceptAll(plain).isEmpty && plain.exceptAll(ad).isEmpty)
+  }
 }

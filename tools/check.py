@@ -138,6 +138,10 @@ def main(sf_dir, out_dir, timeout=None, fail_on_timeout=False, mem=None,
     if os.path.exists(err_path):
         with open(err_path) as f:
             errors = json.load(f)
+    if only:
+        # --only must also scope the error ledger, or a subset/resume run
+        # reports every out-of-subset errored query as NO OUTPUT
+        errors = {k: v for k, v in errors.items() if k in only}
     for name in sorted((set(oracle) | set(errors)) - set(names)):
         print(f"  ✗ {name}: NO OUTPUT — {errors.get(name, 'query produced no result dir')}")
         n_fail += 1
