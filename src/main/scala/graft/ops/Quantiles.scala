@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * few stages), and the multi-pass selection's extra stages would tax
   * every caller for a straggler they don't have.
   *
-  * So this module dispatches like an optimizer: one tiny aggregate over
-  * the per-group counts decides the plan. max(n_group) ≤ `maxSortedGroup`
-  * (default 4M rows — a comfortably sub-second single-task double sort)
-  * → the window form; anything bigger → TWO-LEVEL HISTOGRAM SELECTION:
+  * So this module dispatches like an optimizer, PER GROUP: groups at or
+  * under `maxSortedGroup` rows (default 4M — a comfortably sub-second
+  * single-task double sort) ride one window scan; only the hot groups
+  * pay the TWO-LEVEL HISTOGRAM SELECTION:
   *
   *   pass 1  per-(group, bucket) counts over B range buckets, cumulated
   *           over ≤B tiny rows per group → the ONE bucket holding each
@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   * forces the two-level path (probes, plan tests).
   *
   * The narrow (group, value) projection is materialized once with a lazy
-  * `localCheckpoint` — the decision plus either path make 2–5 passes over
-  * it, and without the checkpoint each pass would replay the caller's
-  * whole upstream pipeline (measured 2–9× on computed inputs). Same
-  * "one materialization pays for k passes" trade PrefixSum makes.
+  * `localCheckpoint` — the stats decision plus either plan re-scan it
+  * 2–4×, and each re-scan would otherwise replay the caller's whole
+  * upstream pipeline (measured 2–9× on computed inputs). Same "one
+  * materialization pays for k passes" trade PrefixSum makes; for a bare
+  * quantile over a raw scan with known-cold groups the materialization
+  * is the measurable cost of adaptivity (~2× of the bare window plan at
+  * 60 M rows — SkewProbe's agg_median rows), and the windowed form
+  * remains available to callers who have that knowledge statically.
   *
   * Definitions: `groupQuantiles` = SQL `percentile_cont` (0-based
   * p = q·(n−1), result v_lo + (v_hi − v_lo)·(p − ⌊p⌋));
@@ -69,13 +73,9 @@ object Quantiles {
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
       levels: Int = 2,
-      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame = {
-    val (vals, stats) = prep(df, groupCol, valueCol)
-    val wide =
-      if (useWindow(stats, maxSortedGroup)) contWindowCore(vals, quantiles)
-      else contTwoLevel(vals, stats, quantiles, buckets, levels)
-    assemble(stats, wide, groupCol, quantiles.map(_._1))
-  }
+      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame =
+    hybrid(df, groupCol, valueCol, quantiles, buckets, levels,
+      maxSortedGroup, disc = false)
 
   /** DISCRETE (SQL type-1) group quantiles: the element at 1-based rank
     * max(⌈q·n⌉, 1) of the sorted non-null values.
@@ -83,71 +83,105 @@ object Quantiles {
   def groupQuantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
       levels: Int = 2,
-      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame = {
-    val (vals, stats) = prep(df, groupCol, valueCol)
-    val wide =
-      if (useWindow(stats, maxSortedGroup)) discWindowCore(vals, quantiles)
-      else discTwoLevel(vals, stats, quantiles, buckets, levels)
-    assemble(stats, wide, groupCol, quantiles.map(_._1))
-  }
+      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame =
+    hybrid(df, groupCol, valueCol, quantiles, buckets, levels,
+      maxSortedGroup, disc = true)
 
   // ------------------------------------------------------------------
-  // shared prep / dispatch / assembly
+  // PER-GROUP hybrid dispatch. The unit that straggles is the GROUP, so
+  // the plan choice is per group, not per query: exact per-group stats
+  // over a checkpointed narrow base decide; when no group exceeds the
+  // cap, ONE window scan over the checkpointed base (the r14 plan);
+  // otherwise only the hot groups pay the multi-pass two-level selection
+  // (their list is bounded by totalRows/maxSortedGroup, so it
+  // broadcasts) and the cold groups still ride the window scan, union.
+  // Both paths are exact; the dispatch threshold is performance-only.
   // ------------------------------------------------------------------
 
-  /** Narrow (__g, __v double) projection, lazily checkpointed, plus ONE
-    * aggregate that is simultaneously the stats pass and the group
-    * domain: count(__v) counts non-nulls, so all-NULL groups appear with
-    * __n = 0 and NULL __mn/__mx.
-    */
-  private def prep(df: DataFrame, groupCol: String, valueCol: String) = {
-    val base = df
-      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+  private def hybrid(df: DataFrame, groupCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)], buckets: Int, levels: Int,
+      cap: Long, disc: Boolean): DataFrame = {
+    val names = quantiles.map(_._1)
+    def windowAllOn(frame: DataFrame): DataFrame =
+      if (disc) discWindowAll(frame, quantiles)
+      else contWindowAll(frame, quantiles)
+    def twoLevelOn(vs: DataFrame, st: DataFrame, lv: Int): DataFrame =
+      if (disc) discTwoLevel(vs, st, quantiles, buckets, lv)
+      else contTwoLevel(vs, st, quantiles, buckets, lv)
+    // narrow checkpoint: the stats decision plus either plan re-scan this
+    // 2-4x, and each re-scan would otherwise replay the caller's whole
+    // upstream pipeline (measured 2-9x on computed inputs)
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("double").as("__v"))
       .localCheckpoint(false)
     val vals = base.filter(col("__v").isNotNull)
     val stats = base.groupBy("__g").agg(
       count(col("__v")).as("__n"), min("__v").as("__mn"),
       max("__v").as("__mx"))
       .localCheckpoint(false)
-    (vals, stats)
+    if (cap == 0) // forced two-level on every group (probes, plan tests)
+      return assemble(stats, twoLevelOn(vals, stats, levels), groupCol, names)
+    val mrow = stats.agg(max("__n")).first()
+    val maxN = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
+    if (maxN <= cap)
+      return rename(windowAllOn(base), groupCol, names)
+    // refinement depth from the KNOWN max group size: enough levels that
+    // the final bracket (~maxN/B^L) fits a task's sort — one level covers
+    // up to cap·B rows (4G at the defaults), two up to cap·B²
+    val lv = math.max(1, math.ceil(
+      math.log(maxN.toDouble / cap) / math.log(buckets.toDouble)).toInt)
+    val hotG = stats.filter(col("__n") > cap)
+    val hotKeys = broadcast(hotG.select(col("__g").as("__hk")))
+    val cold = rename(windowAllOn(
+      base.join(hotKeys, col("__g") <=> col("__hk"), "left_anti")),
+      groupCol, names)
+    // the hot slice feeds 2+ selection passes — materialize it once
+    // rather than re-filtering the full base per pass
+    val valsHot = vals.join(hotKeys, col("__g") <=> col("__hk"), "left_semi")
+      .localCheckpoint(false)
+    val hot = assemble(hotG, twoLevelOn(valsHot, hotG, lv), groupCol, names)
+    cold.unionByName(hot)
   }
 
-  /** The plan decision: one tiny job over the (checkpointed) stats. */
-  private def useWindow(stats: DataFrame, maxSortedGroup: Long): Boolean =
-    maxSortedGroup > 0 && {
-      val m = stats.agg(max("__n")).first()
-      m.isNullAt(0) || m.getLong(0) <= maxSortedGroup
-    }
+  private def rename(wide: DataFrame, groupCol: String,
+      names: Seq[String]): DataFrame =
+    wide.select(col("__g").as(groupCol) +: names.map(col) :+ col("n"): _*)
 
-  /** Keep every group of the input (stats is the domain), restore the
-    * caller's group-column name, n = 0 and NULL cuts for all-NULL groups.
+  /** Keep every group of `domain` (left join), restore the caller's
+    * group-column name, n = 0 and NULL cuts for groups the core dropped.
     */
-  private def assemble(stats: DataFrame, wide: DataFrame,
+  private def assemble(domain: DataFrame, wide: DataFrame,
       groupCol: String, names: Seq[String]): DataFrame = {
-    val dom = stats.select(col("__g").as("__dg"))
+    val dom = domain.select(col("__g").as("__dg"))
     dom.join(wide, col("__dg") <=> wide("__g"), "left")
       .select(col("__dg").as(groupCol) +: names.map(col) :+
         coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 
   // ------------------------------------------------------------------
-  // window cores (small-group plan): one shuffle sort, group-bounded task
-  // state — the right plan whenever every group fits a task
+  // window cores (cold-group plan): ONE shuffle sort over (__g, __v)
+  // INCLUDING null values — nulls sort first and ranks are shifted by
+  // the per-group null count, so all-NULL groups survive to the groupBy
+  // (NULL cuts, n = 0) without a separate domain pass.
   // ------------------------------------------------------------------
 
-  private def contWindowCore(vals: DataFrame,
+  private def contWindowAll(base: DataFrame,
       quantiles: Seq[(String, Double)]): DataFrame = {
-    val ranked = vals
+    val w = Window.partitionBy("__g")
+    val ranked = base
       .withColumn("__rn",
-        row_number().over(Window.partitionBy("__g").orderBy(col("__v"))))
-      .withColumn("__wn", count(lit(1)).over(Window.partitionBy("__g")))
+        row_number().over(w.orderBy(asc_nulls_first("__v"))))
+      .withColumn("__nn", count(col("__v")).over(w))
+      .withColumn("__nu", count(lit(1)).over(w) - col("__nn"))
     val aggs = quantiles.flatMap { case (name, qv) =>
-      val p = lit(qv) * (col("__wn") - 1) // constant within a group
+      val p = lit(qv) * (col("__nn") - 1) // constant within a group
       Seq(
-        min(when(col("__rn") === floor(p) + 1, col("__v"))).as(s"__${name}_lo"),
-        min(when(col("__rn") === ceil(p) + 1, col("__v"))).as(s"__${name}_hi"),
+        min(when(col("__rn") - col("__nu") === floor(p) + 1, col("__v")))
+          .as(s"__${name}_lo"),
+        min(when(col("__rn") - col("__nu") === ceil(p) + 1, col("__v")))
+          .as(s"__${name}_hi"),
         min(p - floor(p)).as(s"__${name}_f"))
-    } :+ count(lit(1)).as("n")
+    } :+ count(col("__v")).as("n")
     ranked.groupBy("__g")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("__g") +: quantiles.map { case (name, _) =>
@@ -157,16 +191,18 @@ object Quantiles {
       } :+ col("n"): _*)
   }
 
-  private def discWindowCore(vals: DataFrame,
+  private def discWindowAll(base: DataFrame,
       quantiles: Seq[(String, Double)]): DataFrame = {
-    val ranked = vals
+    val w = Window.partitionBy("__g")
+    val ranked = base
       .withColumn("__rn",
-        row_number().over(Window.partitionBy("__g").orderBy(col("__v"))))
-      .withColumn("__wn", count(lit(1)).over(Window.partitionBy("__g")))
+        row_number().over(w.orderBy(asc_nulls_first("__v"))))
+      .withColumn("__nn", count(col("__v")).over(w))
+      .withColumn("__nu", count(lit(1)).over(w) - col("__nn"))
     val aggs = quantiles.map { case (name, qv) =>
-      min(when(col("__rn") ===
-        greatest(ceil(lit(qv) * col("__wn")), lit(1L)), col("__v"))).as(name)
-    } :+ count(lit(1)).as("n")
+      min(when(col("__rn") - col("__nu") ===
+        greatest(ceil(lit(qv) * col("__nn")), lit(1L)), col("__v"))).as(name)
+    } :+ count(col("__v")).as("n")
     ranked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -349,7 +385,7 @@ object Quantiles {
 
   private[graft] def groupQuantilesWindowed(df: DataFrame, groupCol: String,
       valueCol: String, quantiles: Seq[(String, Double)]): DataFrame =
-    contWindowCore(
+    contWindowAll(
       df.filter(col(valueCol).isNotNull)
         .select(col(groupCol).as("__g"),
           col(valueCol).cast("double").as("__v")),
@@ -358,7 +394,7 @@ object Quantiles {
   private[graft] def groupQuantilesDiscWindowed(df: DataFrame,
       groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)]): DataFrame =
-    discWindowCore(
+    discWindowAll(
       df.filter(col(valueCol).isNotNull)
         .select(col(groupCol).as("__g"),
           col(valueCol).cast("double").as("__v")),

@@ -96,25 +96,42 @@ object Skew {
       .contains(joinType), s"unsupported joinType $joinType")
     val minSampled = math.max(1L,
       math.ceil(hotKeyMinRows * sampleFraction).toLong)
-    val hot = large.select(keys.map(col): _*)
+    // NULL keys never equi-join, so they can't be usefully hot
+    val hotRows = large
+      .select(keys.map(col): _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .sample(withReplacement = false, sampleFraction, seed)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__hc"))
       .filter(col("__hc") >= minSampled)
       .orderBy(col("__hc").desc)
       .limit(maxHotKeys)
-      .select(keys.map(col) :+ lit(true).as("__hot"): _*)
-    val saltedLarge = large.join(broadcast(hot), keys, "left")
-      .withColumn("__salt",
-        when(col("__hot"),
-          pmod(spark_partition_id() + monotonically_increasing_id(),
-            lit(salts)))
-          .otherwise(lit(0)).cast("int"))
-      .drop("__hot")
-    val replicatedSmall = small.join(broadcast(hot), keys, "left")
-      .withColumn("__salt", explode(sequence(lit(0),
-        when(col("__hot"), lit(salts - 1)).otherwise(lit(0)))))
+      .select(keys.map(col): _*)
+      .collect() // k-bounded (≤ maxHotKeys) driver state, like PrefixSum's
+                 // per-partition offsets or IVF's centroids
+    if (hotRows.isEmpty)
+      // uniform data: the plan IS the plain join — the profile is the
+      // only cost, and no replication/salting overhead is paid
+      return large.join(small, keys, joinType)
+    val isHot: Column =
+      if (keys.size == 1)
+        // single key: an InSet projection — no extra join pass over the
+        // large side at all
+        col(keys.head).isin(hotRows.map(_.get(0)).toIndexedSeq: _*)
+      else
+        // composite key: OR of null-safe conjunctions (≤ maxHotKeys terms)
+        hotRows.map(r => keys.zipWithIndex.map { case (k, i) =>
+          col(k) <=> lit(r.get(i))
+        }.reduce(_ && _)).reduce(_ || _)
+    val saltedLarge = large.withColumn("__salt",
+      when(isHot,
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+          lit(salts)))
+        .otherwise(lit(0)).cast("int"))
+    val replicatedSmall = small
+      .withColumn("__ns", when(isHot, lit(salts - 1)).otherwise(lit(0)))
+      .withColumn("__salt", explode(sequence(lit(0), col("__ns"))))
       .withColumn("__salt", col("__salt").cast("int"))
-      .drop("__hot")
+      .drop("__ns")
     saltedLarge
       .join(replicatedSmall, keys :+ "__salt", joinType)
       .drop("__salt")

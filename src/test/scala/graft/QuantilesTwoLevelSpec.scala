@@ -189,6 +189,31 @@ class QuantilesTwoLevelSpec extends SparkSpec {
     assert(empt.isEmpty, sp2.toString)
   }
 
+  test("per-group hybrid: hot groups via two-level, cold via window, union exact") {
+    // one group of 30k rows against a 1k cap (hot), plus a cold tail and
+    // an all-NULL group — the union must equal the forced paths exactly
+    val hot = spark.range(30000).select(lit("big").as("g"),
+      pmod(col("id") * 48271L, lit(9973)).cast("double").as("v"))
+    val cold = spark.range(2000).select(
+      concat(lit("c"), pmod(col("id"), lit(7))).as("g"),
+      (col("id") % 997).cast("double").as("v"))
+    val dead = Seq(("dead", Option.empty[Double]),
+      ("dead", Option.empty[Double])).toDF("g", "v")
+    val df = hot.unionByName(cold).unionByName(
+      dead.select(col("g"), col("v").cast("double")))
+    val hy = Quantiles.groupQuantiles(df, "g", "v", qs, buckets = 16,
+      maxSortedGroup = 1000)
+    val forced = Quantiles.groupQuantiles(df, "g", "v", qs, buckets = 16,
+      maxSortedGroup = 0)
+    assert(sortedRows(hy) == sortedRows(forced))
+    assert(hy.count() == 9) // big + c0..c6 + dead
+    val hyD = Quantiles.groupQuantilesDisc(df, "g", "v", qs, buckets = 16,
+      maxSortedGroup = 1000)
+    val forcedD = Quantiles.groupQuantilesDisc(df, "g", "v", qs,
+      buckets = 16, maxSortedGroup = 0)
+    assert(sortedRows(hyD) == sortedRows(forcedD))
+  }
+
   test("levels=1 (no refinement) and levels=3 both exact") {
     val df = fixture(4000, 3)
     val r1 = Quantiles.groupQuantiles(df, "g", "v", qs, buckets = 8,
