@@ -320,6 +320,29 @@ object BreadthQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // PROFILE-DRIVEN salted join (r15): same plain-join oracle — the 1%
+    // sampled hot-key profile, InSet salting of only the profiled-hot
+    // keys, and the no-heat plain-join short-circuit are all invisible in
+    // the RESULT by construction. `hotKeyMinRows` is set low enough that
+    // the fixture's keys profile as hot, so the salted path (not the
+    // short-circuit) is what the hash gate exercises; SkewSpec covers the
+    // short-circuit and SkewProbe measures both regimes at sf10.
+    QueryDef(
+      "q_adaptive_salted_join",
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey""".stripMargin),
+      (s, dir) => Skew.adaptiveSaltedJoin(
+          Tables.t(s, dir, "lineitem").select("l_suppkey", "l_quantity"),
+          Tables.t(s, dir, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          Seq("l_suppkey"), salts = 8,
+          sampleFraction = 0.05, hotKeyMinRows = 20L)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
     // Gaps-and-islands: consecutive event_id runs per user via the
     // row_number-difference trick — one partitioned window + one
     // aggregation, the classic sessionless run detector.
