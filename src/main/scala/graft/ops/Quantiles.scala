@@ -42,11 +42,25 @@ import org.apache.spark.sql.functions._
   * `localCheckpoint` — the stats decision plus either plan re-scan it
   * 2–4×, and each re-scan would otherwise replay the caller's whole
   * upstream pipeline (measured 2–9× on computed inputs). Same "one
-  * materialization pays for k passes" trade PrefixSum makes; for a bare
-  * quantile over a raw scan with known-cold groups the materialization
-  * is the measurable cost of adaptivity (~2× of the bare window plan at
-  * 60 M rows — SkewProbe's agg_median rows), and the windowed form
-  * remains available to callers who have that knowledge statically.
+  * materialization pays for k passes" trade PrefixSum makes. When the
+  * input is CHEAP TO RE-SCAN — its analyzed plan is only
+  * Project/Filter over a leaf (a parquet/local relation, no join/agg/
+  * window/generate upstream) — the checkpoint is pure loss (~1.3× at
+  * 60 M rows, r15 bench) and is skipped automatically; `materializeInput`
+  * overrides the heuristic in either direction for callers who know
+  * better (e.g. a cached view that LOOKS computed, or an expensive
+  * Project the heuristic can't see through).
+  *
+  * EAGER + ONE-SHOT semantics: the per-group stats that pick the plan run
+  * at CALL time (one job over the input), and when the input is computed
+  * the checkpointed narrow base is pinned as single-replica executor
+  * blocks for the lifetime of the session — re-materializing the RETURNED
+  * DataFrame after an executor loss cannot replay that lineage (rebuild
+  * the plan by calling the method again, as FaultRun does), and repeated
+  * calls in a long-lived session accrue storage until the source
+  * DataFrames are GC'd. Bare-scan inputs skip the checkpoint and have
+  * neither property on the cold path; the `...Windowed` forms never
+  * checkpoint.
   *
   * Definitions: `groupQuantiles` = SQL `percentile_cont` (0-based
   * p = q·(n−1), result v_lo + (v_hi − v_lo)·(p − ⌊p⌋));
@@ -69,23 +83,51 @@ object Quantiles {
 
   /** One row per group: the requested `(name, q)` interpolated quantiles
     * of `valueCol` plus the non-null count `n`.
+    *
+    * EAGER: the plan-picking stats job runs at call time. On computed
+    * inputs the narrow base is localCheckpoint-pinned for the session
+    * (see the object doc); `materializeInput` = Some(false) forces the
+    * non-checkpointing behavior for long-lived sessions, Some(true)
+    * forces materialization of an input the heuristic deems cheap.
     */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
       levels: Int = 2,
-      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame =
+      maxSortedGroup: Long = defaultMaxSortedGroup,
+      materializeInput: Option[Boolean] = None): DataFrame =
     hybrid(df, groupCol, valueCol, quantiles, buckets, levels,
-      maxSortedGroup, disc = false)
+      maxSortedGroup, disc = false, materializeInput)
 
   /** DISCRETE (SQL type-1) group quantiles: the element at 1-based rank
-    * max(⌈q·n⌉, 1) of the sorted non-null values.
+    * max(⌈q·n⌉, 1) of the sorted non-null values. Same eager /
+    * checkpoint semantics as [[groupQuantiles]].
     */
   def groupQuantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)], buckets: Int = B_DEFAULT,
       levels: Int = 2,
-      maxSortedGroup: Long = defaultMaxSortedGroup): DataFrame =
+      maxSortedGroup: Long = defaultMaxSortedGroup,
+      materializeInput: Option[Boolean] = None): DataFrame =
     hybrid(df, groupCol, valueCol, quantiles, buckets, levels,
-      maxSortedGroup, disc = true)
+      maxSortedGroup, disc = true, materializeInput)
+
+  /** Cheap-to-re-scan heuristic: true iff the analyzed plan is only
+    * Project/Filter/alias nodes over a single leaf (file scan, local or
+    * cached relation) — re-running it costs one columnar scan, so the
+    * 2–4 hybrid passes are cheaper than pinning a checkpoint copy.
+    * Anything with a join/aggregate/window/generate (or a multi-child
+    * node) upstream is treated as expensive.
+    */
+  private[graft] def cheapToRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode       => true
+      case p: Project        => narrow(p.child)
+      case f: Filter         => narrow(f.child)
+      case s: SubqueryAlias  => narrow(s.child)
+      case _                 => false
+    }
+    narrow(df.queryExecution.analyzed)
+  }
 
   // ------------------------------------------------------------------
   // PER-GROUP hybrid dispatch. The unit that straggles is the GROUP, so
@@ -100,7 +142,8 @@ object Quantiles {
 
   private def hybrid(df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(String, Double)], buckets: Int, levels: Int,
-      cap: Long, disc: Boolean): DataFrame = {
+      cap: Long, disc: Boolean,
+      materializeInput: Option[Boolean] = None): DataFrame = {
     val names = quantiles.map(_._1)
     def windowAllOn(frame: DataFrame): DataFrame =
       if (disc) discWindowAll(frame, quantiles)
@@ -110,21 +153,34 @@ object Quantiles {
       else contTwoLevel(vs, st, quantiles, buckets, lv)
     // narrow checkpoint: the stats decision plus either plan re-scan this
     // 2-4x, and each re-scan would otherwise replay the caller's whole
-    // upstream pipeline (measured 2-9x on computed inputs)
-    val base = df.select(col(groupCol).as("__g"),
+    // upstream pipeline (measured 2-9x on computed inputs) — UNLESS the
+    // input is a bare scan, where the re-scan is cheap and the checkpoint
+    // is pure loss (r15 bench: ~1.3x uniform overhead on scan inputs)
+    val narrowed = df.select(col(groupCol).as("__g"),
       col(valueCol).cast("double").as("__v"))
-      .localCheckpoint(false)
+    val base =
+      if (materializeInput.getOrElse(!cheapToRescan(df)))
+        narrowed.localCheckpoint(false)
+      else narrowed
     val vals = base.filter(col("__v").isNotNull)
-    val stats = base.groupBy("__g").agg(
+    // full stats (count/min/max per group) feed 3-4 two-level passes, so
+    // they checkpoint — but ONLY once the two-level path is chosen; the
+    // common cold path must pin nothing (its decision job below is a
+    // lighter count-only agg that is consumed once, eagerly)
+    def fullStats(): DataFrame = base.groupBy("__g").agg(
       count(col("__v")).as("__n"), min("__v").as("__mn"),
       max("__v").as("__mx"))
       .localCheckpoint(false)
-    if (cap == 0) // forced two-level on every group (probes, plan tests)
+    if (cap == 0) { // forced two-level on every group (probes, plan tests)
+      val stats = fullStats()
       return assemble(stats, twoLevelOn(vals, stats, levels), groupCol, names)
-    val mrow = stats.agg(max("__n")).first()
+    }
+    val mrow = base.groupBy("__g").agg(count(col("__v")).as("__n"))
+      .agg(max("__n")).first()
     val maxN = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
     if (maxN <= cap)
       return rename(windowAllOn(base), groupCol, names)
+    val stats = fullStats()
     // refinement depth from the KNOWN max group size: enough levels that
     // the final bracket (~maxN/B^L) fits a task's sort — one level covers
     // up to cap·B rows (4G at the defaults), two up to cap·B²

@@ -24,6 +24,7 @@ object Skew {
       salts: Int,
       partials: Seq[Column],
       combine: Seq[Column]): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     salted
@@ -49,6 +50,7 @@ object Skew {
       keys: Seq[String],
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val saltedLarge = large.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
     val replicatedSmall = small
@@ -92,6 +94,7 @@ object Skew {
       hotKeyMinRows: Long = 1000000L,
       maxHotKeys: Int = 1000,
       seed: Long = 42L): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     require(Seq("inner", "left", "left_outer", "left_semi", "left_anti")
       .contains(joinType), s"unsupported joinType $joinType")
     val minSampled = math.max(1L,
@@ -112,26 +115,50 @@ object Skew {
       // uniform data: the plan IS the plain join — the profile is the
       // only cost, and no replication/salting overhead is paid
       return large.join(small, keys, joinType)
-    val isHot: Column =
-      if (keys.size == 1)
-        // single key: an InSet projection — no extra join pass over the
-        // large side at all
-        col(keys.head).isin(hotRows.map(_.get(0)).toIndexedSeq: _*)
-      else
-        // composite key: OR of null-safe conjunctions (≤ maxHotKeys terms)
-        hotRows.map(r => keys.zipWithIndex.map { case (k, i) =>
-          col(k) <=> lit(r.get(i))
-        }.reduce(_ && _)).reduce(_ || _)
-    val saltedLarge = large.withColumn("__salt",
-      when(isHot,
+    // how each side learns whether its row's key is hot:
+    //  * single key — an InSet projection; no extra join pass over either
+    //    side, and the membership test is pure codegen
+    //  * composite key — a literal OR-of-conjunctions would generate a
+    //    boolean tree of up to maxHotKeys·|keys| codegen terms evaluated
+    //    on EVERY row of both sides (at the 1000-key cap that's a 3000-node
+    //    expression for a 3-column key); instead the hot set stays a
+    //    ≤ maxHotKeys-row broadcast table and each side derives a __hotf
+    //    flag via one BroadcastHashJoin — O(1) per row regardless of cap
+    val tagHot: DataFrame => (DataFrame, Column) =
+      if (keys.size == 1) {
+        val isHot = col(keys.head)
+          .isin(hotRows.map(_.get(0)).toIndexedSeq: _*)
+        df => (df, isHot)
+      } else {
+        val spark = large.sparkSession
+        val keyFields = large.select(keys.map(col): _*).schema.fields
+        val hotSchema = org.apache.spark.sql.types.StructType(
+          keyFields.zipWithIndex.map { case (f, i) =>
+            f.copy(name = s"__hk$i", nullable = false) })
+        val hotDf = broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hotSchema)
+          .withColumn("__hotf", lit(true)))
+        // hot keys are non-null (profiled post-isNotNull) and unique
+        // (groupBy output), so plain equality never multiplies rows
+        val cond = keys.zipWithIndex.map { case (k, i) =>
+          col(k) === col(s"__hk$i") }.reduce(_ && _)
+        df => (df.join(hotDf, cond, "left")
+          .drop(keys.indices.map(i => s"__hk$i"): _*),
+          coalesce(col("__hotf"), lit(false)))
+      }
+    val (largeTagged, largeHot) = tagHot(large)
+    val saltedLarge = largeTagged.withColumn("__salt",
+      when(largeHot,
         pmod(spark_partition_id() + monotonically_increasing_id(),
           lit(salts)))
         .otherwise(lit(0)).cast("int"))
-    val replicatedSmall = small
-      .withColumn("__ns", when(isHot, lit(salts - 1)).otherwise(lit(0)))
+      .drop("__hotf")
+    val (smallTagged, smallHot) = tagHot(small)
+    val replicatedSmall = smallTagged
+      .withColumn("__ns", when(smallHot, lit(salts - 1)).otherwise(lit(0)))
       .withColumn("__salt", explode(sequence(lit(0), col("__ns"))))
       .withColumn("__salt", col("__salt").cast("int"))
-      .drop("__ns")
+      .drop("__ns", "__hotf")
     saltedLarge
       .join(replicatedSmall, keys :+ "__salt", joinType)
       .drop("__salt")

@@ -902,6 +902,23 @@ object ExtensionQueries {
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, bands = 16, planesPerBand = 2, dim = 64)),
 
+    // The SCALE path of the same pipeline: per-bucket keep-lowest cap
+    // bounds candidate pairs to buckets·C(cap,2) — linear in the corpus —
+    // where the uncapped query's output is quadratic (17.1× runtime on
+    // 10× data at sf1, r15 verdict). The cap (100) BINDS at the gated
+    // sf0.01 fixture (~125 ids per band bucket), so the hash gate
+    // exercises the truncated path, and the oracle recomputes the same
+    // deterministic row_number cut. Recall vs the uncapped pair set is
+    // measured in KnnSpec and the sf1 scale notes.
+    QueryDef(
+      "q_embed_neardup_capped",
+      Some(Knn.nearDupBandedOracleSql(threshold = 0.4, bands = 16,
+        planesPerBand = 2, dim = 64, maxBucketSize = Some(100))),
+      (s, dir) => Knn.nearDupPairsBanded(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bands = 16, planesPerBand = 2, dim = 64,
+        maxBucketSize = Some(100))),
+
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(
       "q_embed_norm",

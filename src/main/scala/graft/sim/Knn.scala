@@ -176,14 +176,39 @@ object Knn {
     * recall ≈0.9997 there, at candidate volume comparable to all-pairs; the
     * point of the exercised path is the plan shape, which is what changes
     * at 100 TB.
+    *
+    * `maxBucketSize`: skew/volume guard — a band bucket of occupancy B
+    * contributes O(B²) candidate pairs, and with only 2^r patterns per
+    * band a low-selectivity configuration makes EVERY bucket ~n/2^r, so
+    * the self-join's OUTPUT is quadratic in n (r15 verdict: 17.1× runtime
+    * on 10× data at sf1). When set, each band bucket keeps only its `cap`
+    * LOWEST ids before the self-join, bounding total candidates by
+    * buckets·C(cap,2) — constant per bucket, linear in the corpus.
+    * KEEP-LOWEST rather than MinHashLSH's drop-the-bucket semantics
+    * because here degenerate buckets can be ALL buckets (small band
+    * keyspace), where dropping would zero the output; for selective
+    * configurations the two guards coincide (buckets under the cap are
+    * untouched). Deterministic (id order), exactly reproducible by the
+    * oracle SQL, precision untouched (survivors are still exact-verified);
+    * the trade is bounded recall loss biased against high ids. None
+    * (default) = exact banded-LSH semantics. The capping window sorts one
+    * bucket per task — occupancy is ≤ n but only degenerate buckets are
+    * large, and those are exactly the ones the cap truncates.
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int, planesPerBand: Int, dim: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val v = side(df, idCol, vecCol, "id", "v", "n")
-    val keyed = v.withColumn("key",
+    val keyedAll = v.withColumn("key",
       explode(array(bandKeys(col("v"), bands, planesPerBand, dim, seed): _*)))
+    val keyed = maxBucketSize match {
+      case Some(cap) =>
+        keyedAll.withColumn("__bn", row_number().over(
+            Window.partitionBy("key").orderBy("id")))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => keyedAll
+    }
     val cand = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))
@@ -203,7 +228,8 @@ object Knn {
     */
   def nearDupBandedOracleSql(threshold: Double, bands: Int, planesPerBand: Int,
       dim: Int, seed: Long = 42L, table: String = "embeddings",
-      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketSize: Option[Int] = None): String = {
     val ps = planes(bands * planesPerBand, dim, seed)
     val keyExprs = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { j =>
@@ -212,8 +238,17 @@ object Knn {
       }.mkString(" + ")
       s"($bits + ${b.toLong * (1L << planesPerBand)})"
     }.mkString(", ")
+    val keyedCte = maxBucketSize match {
+      case Some(cap) =>
+        s"""keyed0 AS (SELECT id, unnest([$keyExprs]) AS key FROM e),
+           |keyed AS (SELECT id, key FROM (
+           |  SELECT id, key, row_number() OVER (PARTITION BY key ORDER BY id) AS bn
+           |  FROM keyed0) WHERE bn <= $cap)""".stripMargin
+      case None =>
+        s"keyed AS (SELECT id, unnest([$keyExprs]) AS key FROM e)"
+    }
     s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
-       |keyed AS (SELECT id, unnest([$keyExprs]) AS key FROM e),
+       |$keyedCte,
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM keyed x JOIN keyed y ON x.key = y.key AND x.id < y.id)
        |SELECT id_a, id_b, round(cos, 4) AS cos FROM (

@@ -1,33 +1,48 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import scala.sys.process._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Executor-loss fault injection under `local-cluster` (r15, verdict ask):
-  * run a query once undisturbed, then again while SIGKILL-ing one of the
-  * two executor JVMs right after its first stage completes — the job must
-  * finish (stage retry recomputes the dead executor's shuffle output; the
-  * standalone master relaunches the executor) and the result must
-  * canonically equal the undisturbed run.
+/** Executor-loss fault injection under `local-cluster` (r15, widened r16):
+  * run a query once undisturbed, then again while SIGKILL-ing executor
+  * JVM(s), and assert the disturbed result canonically equals the
+  * undisturbed one. Three kill schedules:
+  *
+  *   stage   (r15) one kill, right after the job's first stage COMPLETES —
+  *           exercises lost shuffle blocks → FetchFailed → parent-stage
+  *           resubmission and executor re-registration
+  *   task    one kill, fired mid-stage after the Kth task START (default
+  *           K=8) — the killed executor has tasks IN FLIGHT, exercising
+  *           in-flight task loss + partial-stage retry, not just
+  *           already-committed shuffle output
+  *   double  two sequential kills: after the first stage completes, and
+  *           again after a LATER stage completes once the standalone
+  *           master has relaunched the first casualty (so the job always
+  *           keeps ≥1 live executor) — exercises repeated loss within one
+  *           job, the "rolling AZ blip"
   *
   * What this exercises that local[32] structurally cannot: lost shuffle
-  * blocks → FetchFailed → parent-stage resubmission; lost cached /
-  * localCheckpoint blocks (lineage-truncated RDDs must either recover or
-  * the query must not depend on a single replica); executor re-registration
-  * mid-job. A hash mismatch would mean a retry-visible nondeterminism
-  * (e.g. unstable row ordering feeding a limit) — the class of bug that
-  * only shows up on a real cluster during an AZ blip.
+  * blocks, lost cached / localCheckpoint blocks (lineage-truncated RDDs
+  * must either recover or the query must not depend on a single replica),
+  * executor re-registration mid-job. A hash mismatch would mean a
+  * retry-visible nondeterminism (e.g. unstable row ordering feeding a
+  * limit) — the class of bug that only shows up on a real cluster.
+  *
+  * The kill targets only THIS app's executors: the pgrep pattern includes
+  * the Spark application id (part of every CoarseGrainedExecutorBackend
+  * command line), so a concurrently running unrelated Spark app is never
+  * touched and `killed=true` always means OUR executor died.
   *
   * Canonicalization matches tools/check.py: columns sorted by name, rows
-  * sorted, doubles to 9 significant digits (stage retries legitimately
-  * reorder float partial sums; bit-equality would be asserting an order
-  * the engine never promises).
+  * sorted, doubles to 9 significant digits in Locale.ROOT (stage retries
+  * legitimately reorder float partial sums; bit-equality would be
+  * asserting an order the engine never promises).
   *
-  * Usage: graft.tools.FaultRun <sfDir> <query> [query ...]
+  * Usage: graft.tools.FaultRun [--mode=stage|task|double] <sfDir> <query>...
   *   SPARK_GRAFT_MASTER overrides the default local-cluster[2,16,4096].
   * Prints one line per query: FAULT-OK / FAULT-MISMATCH / FAULT-ERROR;
   * exit 0 only if all OK. Dev/validation tool — not part of the library.
@@ -35,8 +50,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FaultRun {
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.head
-    val names = args.tail.toSeq
+    val (mode, rest) = args.headOption match {
+      case Some(m) if m.startsWith("--mode=") =>
+        (m.stripPrefix("--mode="), args.tail)
+      case _ => ("stage", args)
+    }
+    require(Seq("stage", "task", "double").contains(mode),
+      s"unknown mode $mode")
+    val sfDir = rest.head
+    val names = rest.tail.toSeq
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
       "local-cluster[2,16,4096]")
     val b = SparkSession.builder()
@@ -52,6 +74,7 @@ object FaultRun {
     graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val appId = spark.sparkContext.applicationId
 
     var allOk = true
     for (name <- names) {
@@ -61,50 +84,90 @@ object FaultRun {
         catch { case e: Throwable => Left(s"baseline failed: ${e.getMessage}") }
       undisturbed match {
         case Left(msg) =>
-          println(s"FAULT-ERROR $name $msg"); allOk = false
+          println(s"FAULT-ERROR $name mode=$mode $msg"); allOk = false
         case Right((nA, hA)) =>
-          val killed = new AtomicBoolean(false)
-          val listener = new SparkListener {
-            override def onStageCompleted(
-                ev: SparkListenerStageCompleted): Unit =
-              if (killed.compareAndSet(false, true)) {
-                val pids = try {
-                  Seq("pgrep", "-f",
-                    "CoarseGrainedExecutorBackend").!!.trim
-                    .split("\n").filter(_.nonEmpty)
-                } catch { case _: Throwable => Array.empty[String] }
-                pids.headOption.foreach { pid =>
-                  Seq("kill", "-9", pid).!
-                  System.err.println(
-                    s"[fault] $name: killed executor JVM pid=$pid after " +
-                      s"stage ${ev.stageInfo.stageId}")
-                }
-              }
-          }
+          val kills = new AtomicInteger(0)
+          val listener = mkListener(spark, appId, name, mode, kills)
           spark.sparkContext.addSparkListener(listener)
           val disturbed =
             try Right(canon(fn(spark, sfDir)))
             catch { case e: Throwable =>
               Left(s"disturbed run failed: ${e.getMessage}") }
           spark.sparkContext.removeSparkListener(listener)
-          // wait for the master to relaunch the executor before the next
+          // wait for the master to relaunch the executor(s) before the next
           // query so each query starts from the same 2-executor state
           waitForExecutors(spark, 2)
           disturbed match {
             case Left(msg) =>
-              println(s"FAULT-ERROR $name killed=${killed.get} $msg")
+              println(s"FAULT-ERROR $name mode=$mode kills=${kills.get} $msg")
               allOk = false
             case Right((nB, hB)) if nA == nB && hA == hB =>
-              println(s"FAULT-OK $name rows=$nA hash=$hA killed=${killed.get}")
+              println(s"FAULT-OK $name mode=$mode rows=$nA hash=$hA " +
+                s"kills=${kills.get}")
             case Right((nB, hB)) =>
-              println(s"FAULT-MISMATCH $name undisturbed=($nA,$hA) " +
-                s"disturbed=($nB,$hB)")
+              println(s"FAULT-MISMATCH $name mode=$mode " +
+                s"undisturbed=($nA,$hA) disturbed=($nB,$hB)")
               allOk = false
           }
       }
     }
     spark.stop()
     if (!allOk) sys.exit(1)
+  }
+
+  /** SIGKILL one executor JVM OF THIS APP (appId-scoped pgrep). Returns
+    * true iff a kill was delivered.
+    */
+  private def killOne(appId: String, name: String, where: String): Boolean = {
+    val pids = try {
+      Seq("pgrep", "-f",
+        s"CoarseGrainedExecutorBackend.*$appId").!!.trim
+        .split("\n").filter(_.nonEmpty)
+    } catch { case _: Throwable => Array.empty[String] }
+    pids.headOption.exists { pid =>
+      Seq("kill", "-9", pid).!
+      System.err.println(s"[fault] $name: killed executor JVM pid=$pid $where")
+      true
+    }
+  }
+
+  private def mkListener(spark: SparkSession, appId: String, name: String,
+      mode: String, kills: AtomicInteger): SparkListener = mode match {
+    case "stage" => new SparkListener {
+      val fired = new AtomicBoolean(false)
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+        if (fired.compareAndSet(false, true) &&
+            killOne(appId, name, s"after stage ${ev.stageInfo.stageId}"))
+          kills.incrementAndGet()
+    }
+    case "task" => new SparkListener {
+      val starts = new AtomicInteger(0)
+      val fired = new AtomicBoolean(false)
+      override def onTaskStart(ev: SparkListenerTaskStart): Unit =
+        // fire WHILE the stage is running: the Kth task start means ≥1
+        // task is in flight on each executor of a 2-exec cluster
+        if (starts.incrementAndGet() == 8 &&
+            fired.compareAndSet(false, true) &&
+            killOne(appId, name,
+              s"mid-stage ${ev.stageId} (task start #8)"))
+          kills.incrementAndGet()
+    }
+    case "double" => new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+        kills.get() match {
+          case 0 =>
+            if (killOne(appId, name, s"after stage ${ev.stageInfo.stageId} (kill 1/2)"))
+              kills.incrementAndGet()
+          case 1 =>
+            // second kill only once the master has relaunched the first
+            // casualty (driver block manager +2 executors), so the job
+            // never drops to zero live executors
+            if (spark.sparkContext.getExecutorMemoryStatus.size >= 3 &&
+                killOne(appId, name, s"after stage ${ev.stageInfo.stageId} (kill 2/2)"))
+              kills.incrementAndGet()
+          case _ => ()
+        }
+    }
   }
 
   /** check.py-style canonical (rowCount, md5): columns sorted by name,
@@ -121,7 +184,7 @@ object FaultRun {
           case d: java.math.BigDecimal => fmt(d.doubleValue())
           case x => String.valueOf(x)
         }
-      }.mkString("")
+      }.mkString("")
     }.sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(s => { md.update(s.getBytes("UTF-8")); md.update(10.toByte) })
@@ -131,7 +194,9 @@ object FaultRun {
   private def fmt(d: Double): String =
     if (d.isNaN) "NaN"
     else if (d == 0.0) "0"
-    else "%.9g".format(d)
+    // Locale.ROOT: check.py's canonical uses '.' decimals; the JVM default
+    // locale must not leak into the hash (comma-decimal locales diverge)
+    else String.format(java.util.Locale.ROOT, "%.9g", Double.box(d))
 
   private def waitForExecutors(spark: SparkSession, want: Int): Unit = {
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000

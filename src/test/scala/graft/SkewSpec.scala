@@ -89,6 +89,43 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveSaltedJoin with a 3-column composite key at the maxHotKeys cap") {
+    import spark.implicits._
+    // many distinct hot composite keys so the profile saturates maxHotKeys:
+    // the hot flag must come from the broadcast hot-key join (an OR of
+    // 50·3 literal conjunctions would be the codegen blowup the r15
+    // verdict flagged at the 1000-key cap) and results must still equal
+    // the plain join — including composite keys absent from the small side
+    val large = spark.range(120000)
+      .select((col("id") % 100).as("k1"), (col("id") % 10).as("k2"),
+        lit("t").as("k3"), col("id").as("v"))
+    val small = spark.range(600)
+      .select((col("id") % 120).as("k1"), (col("id") % 10).as("k2"),
+        lit("t").as("k3"), (col("id") * 3).as("w"))
+    for (jt <- Seq("inner", "left", "left_anti")) {
+      val plain = large.join(small, Seq("k1", "k2", "k3"), jt)
+      val ad = Skew.adaptiveSaltedJoin(large, small, Seq("k1", "k2", "k3"),
+        salts = 4, joinType = jt, sampleFraction = 0.5,
+        hotKeyMinRows = 100L, maxHotKeys = 50)
+      assert(ad.exceptAll(plain).isEmpty && plain.exceptAll(ad).isEmpty, jt)
+    }
+  }
+
+  test("salted operators reject salts < 1 instead of silently dropping rows") {
+    import spark.implicits._
+    val df = spark.range(10).select(col("id").as("k"), col("id").as("v"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), salts = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.adaptiveSaltedJoin(df, df, Seq("k"), salts = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(df, Seq("k"), salts = 0,
+        partials = Seq(sum("v").as("s")), combine = Seq(sum("s").as("s")))
+    }
+  }
+
   test("adaptiveSaltedJoin on uniform data leaves the small side unreplicated") {
     import spark.implicits._
     // no key reaches the threshold → every row rides the salt=0 path; the
