@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-tunable materialization barrier for operator-internal
+  * checkpoints.
+  *
+  * Iterative and multi-consumer operators (LSH dedup, connected
+  * components, BPE, PageRank, the adaptive quantile dispatch, …) pin
+  * intermediate results with `localCheckpoint` — one materialization pays
+  * for k downstream passes, and lineage truncation keeps iterative plans
+  * from growing without bound. `localCheckpoint` blocks are SINGLE-REPLICA
+  * by default: losing the executor that holds a block after the lineage
+  * is truncated fails the query permanently
+  * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The r16 double-kill fault run
+  * measured exactly that — q_minhash_neardup survives any SINGLE executor
+  * loss (stage-retry recomputes, r15 fault table) but died when BOTH
+  * executors were killed in sequence.
+  *
+  * `spark.graft.checkpoint.replicas` (session conf, read at plan-build
+  * time) sizes the trade:
+  *   1 (default)  today's behavior — fastest, no replication traffic;
+  *                right for batch jobs where a retry-from-scratch is
+  *                acceptable and executor loss is rare.
+  *   2            each checkpoint block lands on two executors
+  *                (disk+memory, serialized). Any single executor loss is
+  *                then non-fatal WITHOUT recompute, and with
+  *                `spark.storage.replication.proactive=true` the survivor
+  *                re-replicates onto the replacement executor, so
+  *                SEQUENTIAL losses are survivable too (verified by the
+  *                r16 double-kill FaultRun pass). Costs one extra network
+  *                copy per checkpointed partition.
+  *
+  * `replicas = 2` has a measured structural limit (r16 double-kill): a
+  * checkpoint that MATERIALIZES while the cluster is down to one executor
+  * (mid-recovery from a first loss) silently degrades to one replica —
+  * Spark stores what it can and never back-fills — so a second loss in
+  * that window still kills the lineage. For loss windows that can span
+  * recoveries or take every replica at once (rolling restarts, AZ
+  * failure), `spark.graft.checkpoint.reliable=true` routes every
+  * operator-internal checkpoint to reliable `checkpoint()` against
+  * `spark.checkpoint.dir` (shared storage on a real cluster) — executor
+  * state drops out of the failure domain entirely; costs one
+  * write+read-back per materialization. Precedence: reliable > replicas.
+  */
+object Materialize {
+
+  val ReplicasKey = "spark.graft.checkpoint.replicas"
+  val ReliableKey = "spark.graft.checkpoint.reliable"
+
+  implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    /** `localCheckpoint` honoring [[ReliableKey]]/[[ReplicasKey]]; drop-in
+      * for the bare call at every operator-internal materialization point.
+      */
+    def graftCheckpoint(eager: Boolean = true): DataFrame = {
+      val conf = df.sparkSession.conf
+      if (conf.getOption(Materialize.ReliableKey).exists(_.toBoolean))
+        df.checkpoint(eager)
+      else {
+        val replicas = conf.getOption(Materialize.ReplicasKey)
+          .map(_.toInt).getOrElse(1)
+        if (replicas <= 1) df.localCheckpoint(eager)
+        else df.localCheckpoint(eager, StorageLevel(
+          useDisk = true, useMemory = true, deserialized = false,
+          replication = replicas))
+      }
+    }
+  }
+}

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Distributed connected components over a pair table — the step that turns
   * near-duplicate PAIRS (MinHash / SimHash / Jaccard output) into dedup
@@ -99,12 +100,12 @@ object ConnectedComponents {
     var e = canon(edges.select(
         col("src").cast("long").as("u"),
         col("dst").cast("long").as("v")))
-      .localCheckpoint()
+      .graftCheckpoint()
     var sig = signature(e)
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).graftCheckpoint()
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

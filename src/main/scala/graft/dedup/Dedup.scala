@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Corpus deduplication for training-data pipelines. Every stage is a
   * DataFrame→DataFrame transform with bounded shuffles — no driver-side
@@ -174,7 +175,7 @@ object Dedup {
         // unify them (column pruning pushes different projections below
         // each exchange), so without this the upstream shingling re-runs
         // per consumer
-        jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
+        jaccardInvertedIndex(w.graftCheckpoint(), threshold, dfCap)
       case JaccardAuto | JaccardBitmask =>
         // the bitmask path assigns bits via a String-keyed literal map —
         // a non-string feature table (e.g. basket part keys) routes to the
@@ -185,13 +186,13 @@ object Dedup {
         // scanning the corpus; only a small-looking vocab pays more
         val sampleSmall = stringFeatures &&
           w.limit(65536).select("word").distinct().count() <= maskMaxVocab
-        if (!sampleSmall) jaccardInvertedIndex(w.localCheckpoint(), threshold, dfCap)
+        if (!sampleSmall) jaccardInvertedIndex(w.graftCheckpoint(), threshold, dfCap)
         else {
           // materialize ONCE: the exact eligibility pass, the vocab
           // collect and both mask builds all consume the feature table —
           // recomputing the upstream shingling per action dominated the
           // fixture runtime before this
-          val wc = w.localCheckpoint()
+          val wc = w.graftCheckpoint()
           val exactVocab =
             wc.agg(countDistinct(col("word"))).first().getLong(0)
           // doc count no longer disqualifies: the bitmask path dedups to
@@ -258,10 +259,10 @@ object Dedup {
             .as("mm"))
           .select(col("doc_id") +: (0 until nWords).map(i =>
             coalesce(element_at(col("mm"), i), lit(0L)).as(s"m$i")): _*)
-      ).localCheckpoint() // feeds the set dedup AND the membership join
+      ).graftCheckpoint() // feeds the set dedup AND the membership join
     val sets = docMasks.groupBy(mcols.head, mcols.tail: _*)
       .agg(min("doc_id").as("set_id"))
-      .localCheckpoint() // counted for the guard, then joined three ways
+      .graftCheckpoint() // counted for the guard, then joined three ways
     val member = docMasks.join(sets, mcols).select("set_id", "doc_id")
     def pcOf(cols: Seq[String]) =
       cols.map(c => bit_count(col(c))).reduce(_ + _)
@@ -316,7 +317,7 @@ object Dedup {
         // growth alone no longer reaches the candidate join at all.
         val setFeatures = w
           .join(sets.select(col("set_id").as("doc_id")), Seq("doc_id"))
-          .localCheckpoint()
+          .graftCheckpoint()
         jaccardInvertedIndex(setFeatures, threshold, dfCap)
           .select(col("doc_a").as("sa"), col("doc_b").as("sb"),
             col("jaccard"))
@@ -519,13 +520,13 @@ object Dedup {
     // AND every round, and its producer (a near-dup pair pipeline) is
     // typically the most expensive plan in the job — evaluating it per
     // branch per round would dominate runtime
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    val p = pairs.select("doc_a", "doc_b").graftCheckpoint()
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -539,7 +540,7 @@ object Dedup {
         .union(viaNeighbor)
         .groupBy("id")
         .agg(min("label").as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.tables.Warehouse
+import graft.Materialize._
 
 /** Incremental corpus-vs-batch near-dup detection — the daily shape of
   * dedup at 100 TB. Every [[MinHashLSH]] query self-joins the full corpus;
@@ -49,7 +50,7 @@ object IncrementalDedup {
     // the warehouse append — without it the 64-slot aggregation runs twice
     val sigs = minhashSignatures(
       hashedShingles(batch, idCol, textCol, cfg.shingleSize), cfg)
-      .localCheckpoint()
+      .graftCheckpoint()
     (sigs, bandSignatures(sigs, cfg))
   }
 
@@ -104,7 +105,7 @@ object IncrementalDedup {
     if (!wh.exists(table)) { wh.overwrite(table, deduped); deduped }
     else {
       val snapshot = wh.read(table)
-      val fresh = deduped.join(snapshot, keys, "left_anti").localCheckpoint()
+      val fresh = deduped.join(snapshot, keys, "left_anti").graftCheckpoint()
       wh.append(table, fresh)
       snapshot.unionByName(fresh)
     }
@@ -146,7 +147,7 @@ object IncrementalDedup {
     val sigs = minhashSignatures(
       hashedShingles(tagged, idCol, textCol, cfg.shingleSize), cfg)
       .join(tagged.select(col(idCol).as("doc_id"), col("__b")), Seq("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val bands = bandSignatures(sigs.drop("__b"), cfg)
     wh.appendIfAbsent(sigTable(name), sigs.drop("__b"), Seq("doc_id"))
     wh.appendIfAbsent(bandTable(name), bands, Seq("doc_id", "band"))

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** MinHash + banded LSH near-duplicate detection — the scale path for
   * Jaccard dedup. shingle → minhash signature → band buckets → candidate
@@ -143,10 +144,10 @@ object MinHashLSH {
     // showed SIX full scan→shingle recomputations (~9 s at sf0.1; ~2.5 s
     // with the two checkpoints). cache() is still avoided: it leaked
     // across queries in a shared session.
-    val sh = hashedShingles(df, idCol, textCol, cfg.shingleSize).localCheckpoint()
+    val sh = hashedShingles(df, idCol, textCol, cfg.shingleSize).graftCheckpoint()
     // tiny (one row of H longs per doc) but self-joined via the band table
     // on both candidate sides — checkpoint kills the duplicate 64-slot agg
-    val sig = minhashSignatures(sh, cfg).localCheckpoint()
+    val sig = minhashSignatures(sh, cfg).graftCheckpoint()
     val cand = candidates(bandSignatures(sig, cfg), cfg.maxBucketSize)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand

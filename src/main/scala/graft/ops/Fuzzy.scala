@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Fuzzy string matching for entity resolution: all pairs within a
   * Levenshtein distance bound, with EXACT (recall-1.0) candidate blocking.
@@ -41,7 +42,7 @@ object Fuzzy {
     // consumed by the gram index, both join sides and the short fallback —
     // materialize once (the localCheckpoint pattern used across graft)
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      length(col(strCol)).as("len")).localCheckpoint()
+      length(col(strCol)).as("len")).graftCheckpoint()
     val minLen = q * (maxDist + 1) // len − q + 1 ≥ q·d + 1 ⇔ prefix holds
     val long = base.filter(col("len") >= minLen)
     val short = base.filter(col("len") < minLen)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Distributed PageRank by power iteration — the graph-centrality
   * primitive corpus curation uses to rank interlinked documents (Common
@@ -31,7 +32,7 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src").localCheckpoint()
+    val withDeg = e.join(deg, "src").graftCheckpoint()
     val n = withDeg.select("src").distinct().count()
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0 / n))
@@ -42,7 +43,7 @@ object PageRank {
         .agg(sum("__c").as("__s"))
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("__s")).as("rank"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     ranks
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Distributed global prefix sum — running totals over a TOTAL order
   * without `Window.orderBy(...)`'s empty partition spec, which funnels the
@@ -52,7 +53,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .graftCheckpoint()
     val aggExprs = values.map { case (c, a) => sum(c).as(s"__t_$a") }
     val totalsRows = ranged.groupBy("__pid")
       .agg(aggExprs.head, aggExprs.tail: _*)
@@ -105,7 +106,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .graftCheckpoint()
     val mins = ranged.groupBy("__pid")
       .agg(min(valueCol).as("__m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize._
 
 /** Exact group quantiles with a STATISTICS-ADAPTIVE plan.
   *
@@ -160,7 +161,7 @@ object Quantiles {
       col(valueCol).cast("double").as("__v"))
     val base =
       if (materializeInput.getOrElse(!cheapToRescan(df)))
-        narrowed.localCheckpoint(false)
+        narrowed.graftCheckpoint(eager = false)
       else narrowed
     val vals = base.filter(col("__v").isNotNull)
     // full stats (count/min/max per group) feed 3-4 two-level passes, so
@@ -170,7 +171,7 @@ object Quantiles {
     def fullStats(): DataFrame = base.groupBy("__g").agg(
       count(col("__v")).as("__n"), min("__v").as("__mn"),
       max("__v").as("__mx"))
-      .localCheckpoint(false)
+      .graftCheckpoint(eager = false)
     if (cap == 0) { // forced two-level on every group (probes, plan tests)
       val stats = fullStats()
       return assemble(stats, twoLevelOn(vals, stats, levels), groupCol, names)
@@ -194,7 +195,7 @@ object Quantiles {
     // the hot slice feeds 2+ selection passes — materialize it once
     // rather than re-filtering the full base per pass
     val valsHot = vals.join(hotKeys, col("__g") <=> col("__hk"), "left_semi")
-      .localCheckpoint(false)
+      .graftCheckpoint(eager = false)
     val hot = assemble(hotG, twoLevelOn(valsHot, hotG, lv), groupCol, names)
     cold.unionByName(hot)
   }

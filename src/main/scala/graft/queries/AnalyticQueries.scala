@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.ops.Fuzzy
+import graft.Materialize._
 
 /** Analytic / reshaping operators round 3b: unpivot (wide→long melt),
   * ROLLUP subtotals, semi-structured JSON extraction, and fuzzy
@@ -374,7 +375,7 @@ object AnalyticQueries {
           // four consumers (N, supports, both pair sides) — materialize
           // once; column pruning pushes distinct projections below each
           // exchange, so ReuseExchange alone does not unify the scans
-          .localCheckpoint()
+          .graftCheckpoint()
         val nn = b.agg(countDistinct("ok").as("n"))
         val sup = b.groupBy("brand").agg(count(lit(1)).as("n1"))
         val pairs = b.select(col("ok"), col("brand").as("brand_a"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.ops.Temporal
+import graft.Materialize._
 
 /** Behavioral / event analytics (round 3): SCD Type-2 historization,
   * cohort retention, ordered funnels, and exact heavy hitters. These are
@@ -253,7 +254,7 @@ object BehaviorQueries {
           .groupBy("user_id").agg(min("ts_us").as("p_ts"))
         val d = step1.join(step2, Seq("user_id"), "left_outer")
           .join(step3, Seq("user_id"), "left_outer")
-          .localCheckpoint() // three step aggregates read it
+          .graftCheckpoint() // three step aggregates read it
         val r1 = d.agg(count(lit(1)).as("users"))
           .select(lit(1).as("step"), lit("signup").as("stage"),
             col("users"), lit(null).cast("double").as("mean_delay_min"))
@@ -312,7 +313,7 @@ object BehaviorQueries {
           .withColumn("neg", -col("rev"))
         val cum = graft.ops.PrefixSum.runningTotal(
           r, Seq(col("neg"), col("l_partkey")), col("rev"), "cum")
-          .localCheckpoint() // consumed twice: total derivation + carve
+          .graftCheckpoint() // consumed twice: total derivation + carve
         // the grand total IS the last inclusive prefix — no second
         // lineitem scan
         val t = cum.agg(max("cum").as("total"))
@@ -367,7 +368,7 @@ object BehaviorQueries {
         val hhi = cell.join(mkt, "l_partkey")
           .groupBy("l_partkey")
           .agg(first("n_sup").as("n_sup"), sum(share * share).as("h"))
-          .localCheckpoint() // consumed by moments + the exact median
+          .graftCheckpoint() // consumed by moments + the exact median
         val med = graft.ops.Quantiles.groupQuantiles(
             hhi.withColumn("g", lit(1)), "g", "h", Seq("p50" -> 0.5))
           .select(round(col("p50"), 4).as("p50_hhi"))
@@ -427,7 +428,7 @@ object BehaviorQueries {
               .cast("long").as("r_days"),
             count(lit(1)).as("f"),
             sum(round(col("value") * 100, 0).cast("long")).as("m"))
-          .localCheckpoint() // reused by 3 quantile passes + the scoring
+          .graftCheckpoint() // reused by 3 quantile passes + the scoring
         def terciles(c: String) = graft.ops.Quantiles
           .groupQuantiles(u.withColumn("g", lit(1)), "g", c,
             Seq(s"${c}_q1" -> 1.0 / 3, s"${c}_q2" -> 2.0 / 3))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.ops.Skew
 import graft.tables.Warehouse
+import graft.Materialize._
 
 /** Round-4 breadth: warehouse time travel / CDC, bucketed (shuffle-free)
   * joins, native pivot, window-function and grouping-set coverage, set
@@ -725,7 +726,7 @@ object BreadthQueries {
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt")
           .json(out)
-          .localCheckpoint()
+          .graftCheckpoint()
         parsed.agg(
           count(when(col("_corrupt").isNull, lit(1))).as("n_good"),
           count(when(col("_corrupt").isNotNull, lit(1))).as("n_quarantined"))

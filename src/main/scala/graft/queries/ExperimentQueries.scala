@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 
 /** EXPERIMENTATION analytics: the A/B-testing primitives a BI warehouse
   * runs daily — Welch's t, CUPED variance reduction, and the
@@ -140,7 +141,7 @@ object ExperimentQueries {
         val e = Tables.t(s, dir, "events")
           .select(col("event_id"),
             round(col("value") * 100, 0).cast("long").as("cents"))
-          .localCheckpoint() // feeds the replicate fan-out AND the base
+          .graftCheckpoint() // feeds the replicate fan-out AND the base
         val x = e.withColumn("b", explode(sequence(lit(0), lit(99))))
           .withColumn("h", graft.expressions.Hashing.sha60(
             concat(col("event_id").cast("string"), lit(":"),
@@ -229,7 +230,7 @@ object ExperimentQueries {
         val g = e.groupBy("day", "variant")
           .agg(count(lit(1)).as("n"), sum("cents").as("s"),
             sum(col("cents") * col("cents")).as("s2"))
-          .localCheckpoint() // feeds cum, tot
+          .graftCheckpoint() // feeds cum, tot
         val w = Window.partitionBy("variant").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, 0)
         val cum = g.select(col("day"), col("variant"),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 
 /** FEATURE-ENGINEERING primitives for a training-data pipeline: the
   * normalization / encoding / weighting / ordering steps that sit between
@@ -73,7 +74,7 @@ object FeatureQueries {
     // the feature formulas live ONCE in logregFeaturesWith — train and
     // eval gates can never drift
     val f = logregFeaturesWith(s, dir, Nil)
-      .localCheckpoint() // scanned once per GD step + final eval
+      .graftCheckpoint() // scanned once per GD step + final eval
     var w = Array(0.0, 0.0, 0.0, 0.0)
     def pCol = lit(1) / (lit(1) + exp(-(lit(w(0)) + lit(w(1)) * col("x1")
       + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))))
@@ -339,7 +340,7 @@ object FeatureQueries {
         val xc = emb.select(col("vec_id"),
             zip_with(transform(col("embedding"), _.cast("double")), muLit,
               (a, b) => a - b).as("x"))
-          .localCheckpoint()
+          .graftCheckpoint()
         val trace = xc.select(explode(col("x")).as("e"))
           .agg(sum(col("e") * col("e"))).head.getDouble(0)
         var v = Array.fill(64)(0.125)
@@ -682,7 +683,7 @@ object FeatureQueries {
           i <- ms.indices; j <- ms.indices if i < j
         } yield sum(col(ms(i)._1) * col(ms(j)._1))
           .as(s"s${ms(i)._1}${ms(j)._1}"))
-        val st = m.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
+        val st = m.agg(count(lit(1)).as("n"), aggs: _*).graftCheckpoint()
         val pairRows = for {
           i <- ms.indices; j <- ms.indices if i < j
         } yield {
@@ -738,7 +739,7 @@ object FeatureQueries {
           .withColumn("b", when(col("__dow") === 1, 7)
             .otherwise(col("__dow") - 1))
         val jt = e.groupBy("a", "b").agg(count(lit(1)).as("nab"))
-          .localCheckpoint() // feeds marginals, total and the MI sum
+          .graftCheckpoint() // feeds marginals, total and the MI sum
         val ma = jt.groupBy("a").agg(sum("nab").as("na"))
         val mb = jt.groupBy("b").agg(sum("nab").as("nb"))
         val nt = jt.agg(sum("nab").as("n"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 
 /** Corpus-GOVERNANCE operators: the audit reports a data pipeline owner
   * runs before shipping a corpus — filter-funnel attrition, per-source
@@ -543,7 +544,7 @@ object GovernanceQueries {
           .select(col("doc_id"), col("source"), col("lang"),
             graft.dedup.Dedup.normalized(col("text")).as("t"))
           .withColumn("toks", size(split(col("t"), " ")))
-          .localCheckpoint() // five aggregate consumers below
+          .graftCheckpoint() // five aggregate consumers below
         val lm = d.groupBy("lang").agg(count(lit(1)).as("c"))
           .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
           .agg((-sum((col("c") / col("n").cast("double"))

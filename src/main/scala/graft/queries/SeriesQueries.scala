@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 
 /** TIME-SERIES analytics over the events stream's daily domain: the
   * autocorrelation / smoothing / changepoint / decomposition toolkit a
@@ -542,7 +543,7 @@ object SeriesQueries {
         val wT = Window.partitionBy("event_type").orderBy("day")
         val r = daily(s, dir)
           .withColumn("t", row_number().over(wT))
-          .localCheckpoint() // self-joined for pairs, scanned for n_days
+          .graftCheckpoint() // self-joined for pairs, scanned for n_days
         val pr = r.as("a").join(r.as("b"),
             col("b.event_type") === col("a.event_type") &&
               col("b.t") > col("a.t"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.expressions.Hashing
+import graft.Materialize._
 
 /** KMV (k-minimum-values) distinct sketches over per-source character
   * shingles: mergeable cardinality + Jaccard estimation with a FIXED
@@ -106,7 +107,7 @@ object SketchQueries {
       (s, dir) => {
         // one materialization feeds both the sketch and the exact count —
         // the hash relation is the expensive corpus-sized stage
-        val h = hashes(s, dir).localCheckpoint()
+        val h = hashes(s, dir).graftCheckpoint()
         val st = sketchFrom(h).groupBy("source")
           .agg(count(lit(1)).as("sk_size"), max("h").as("hk"))
         val ex = h.groupBy("source")
@@ -151,7 +152,7 @@ object SketchQueries {
              |    AS intersection_est
              |FROM m""".stripMargin),
       (s, dir) => {
-        val sk = sketch(s, dir).localCheckpoint() // reused 3× below
+        val sk = sketch(s, dir).graftCheckpoint() // reused 3× below
         val src = sk.select("source").distinct()
         val pr = src.select(col("source").as("sa"))
           .join(src.select(col("source").as("sb")), col("sa") < col("sb"))
@@ -305,7 +306,7 @@ object SketchQueries {
         val ev = Tables.t(s, dir, "events")
           .select(col("event_type").as("source"),
             round(col("value") * 100, 0).cast("long").as("c"))
-        val sk0 = QuantileSketch.build(ev).drop("rep2x").localCheckpoint()
+        val sk0 = QuantileSketch.build(ev).drop("rep2x").graftCheckpoint()
         val glob = sk0.groupBy("ix").agg(sum("cnt").as("gc"))
         val ns = sk0.groupBy("source").agg(sum("cnt").as("ns"))
         val ng = glob.agg(sum("gc").as("ng"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.expressions.Hashing
+import graft.Materialize._
 
 /** SPATIAL operators: the radius self-join (find-everything-nearby) that
   * naive SQL writes as an O(n²) theta join, re-expressed as the standard
@@ -187,7 +188,7 @@ object SpatialQueries {
              |  round(dist_m, 1) AS dist_m
              |FROM r WHERE rk <= 3""".stripMargin),
       (s, dir) => {
-        val pr = pairs5km(s, dir).localCheckpoint() // symmetrized: 2 reads
+        val pr = pairs5km(s, dir).graftCheckpoint() // symmetrized: 2 reads
         val sym = pr
           .select(col("id_a").as("id"), col("id_b").as("nb"), col("dist_m"))
           .unionByName(pr.select(col("id_b").as("id"),
@@ -239,7 +240,7 @@ object SpatialQueries {
              |FROM p LEFT JOIN corelab cl ON cl.id = p.id
              |LEFT JOIN border b ON b.id = p.id""".stripMargin),
       (s, dir) => {
-        val pr = pairs5km(s, dir).select("id_a", "id_b").localCheckpoint()
+        val pr = pairs5km(s, dir).select("id_a", "id_b").graftCheckpoint()
         val sym = pr.unionByName(
           pr.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         val deg = sym.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("n"))

@@ -5,6 +5,7 @@ import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.ops.Sampling
 import graft.text.{Bpe, Redact, Tfidf}
+import graft.Materialize._
 
 /** Corpus analytics round 3: TF-IDF, n-gram census, char-n-gram Jaccard,
   * deterministic split assignment, PII scrubbing. All row-local or
@@ -538,7 +539,7 @@ object TextQueries {
             .select(col("doc_id"), explode_outer(col("grams")).as("word"))
             .filter(col("word").isNotNull),
           threshold = 0.6, strategy = Dedup.JaccardInverted)
-          .select("doc_a", "doc_b").localCheckpoint()
+          .select("doc_a", "doc_b").graftCheckpoint()
         graft.ops.Triangles.count(e)
       }),
 
@@ -859,7 +860,7 @@ object TextQueries {
         val lp = bg.join(t, "w1")
           .select(col("w1"), col("w2"),
             log(col("c") / col("tw").cast("double")).as("lp"))
-          .localCheckpoint() // probed by all 3 beam steps
+          .graftCheckpoint() // probed by all 3 beam steps
         var beams = t.orderBy(col("tw").desc, col("w1")).limit(1)
           .select(col("w1").as("path"), col("w1").as("tail"),
             lit(0.0).as("score"))
@@ -913,7 +914,7 @@ object TextQueries {
             posexplode(split(graft.dedup.Dedup.normalized(col("text")),
               " ")).as(Seq("pos", "w")))
           .filter(col("w") =!= "")
-          .localCheckpoint() // the postings table, consumed three times
+          .graftCheckpoint() // the postings table, consumed three times
         val bg = tok.as("a")
           .join(tok.as("b"),
             col("b.doc_id") === col("a.doc_id") &&
@@ -983,7 +984,7 @@ object TextQueries {
           .unionByName(bg0.select(col("w2").as("a"), col("w1").as("b"),
             col("c")))
           .groupBy("a", "b").agg(sum("c").as("w"))
-          .localCheckpoint() // probed by deg and all 5 iterations
+          .graftCheckpoint() // probed by deg and all 5 iterations
         val deg = e.groupBy("a").agg(sum("w").as("d"))
         val n = deg.count().toDouble
         var r = deg.select(col("a").as("node"),
@@ -995,7 +996,7 @@ object TextQueries {
             .agg(sum(col("r") * col("w") / col("d")).as("s"))
             .select(col("b").as("node"),
               (lit(0.15) / lit(n) + lit(0.85) * col("s")).as("r"))
-            .localCheckpoint()
+            .graftCheckpoint()
         }
         r.select(col("node").as("word"), round(col("r"), 6).as("rank"))
       }),
@@ -1047,7 +1048,7 @@ object TextQueries {
         val c = t.groupBy("w").agg(
           sum(when(col("sl") === 0, 1).otherwise(0)).as("a"),
           sum(when(col("sl") === 1, 1).otherwise(0)).as("b"))
-          .localCheckpoint() // feeds the totals AND the scored rows
+          .graftCheckpoint() // feeds the totals AND the scored rows
         val nt = c.agg(sum("a").as("na"), sum("b").as("nb"))
         val scored = c.crossJoin(broadcast(nt))
         val g2 = lit(2) * (
@@ -1106,7 +1107,7 @@ object TextQueries {
           .withColumn("w2", try_element_at(col("toks"), col("i") + 2))
           .filter(col("w2").isNotNull && col("w2") =!= "")
         val bg = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-          .localCheckpoint() // feeds t, cb, b and the final projection
+          .graftCheckpoint() // feeds t, cb, b and the final projection
         val t = bg.groupBy("w1")
           .agg(sum("c").as("tw"), count(lit(1)).as("n1f"))
         val cb = bg.groupBy("w2").agg(count(lit(1)).as("n1b"))

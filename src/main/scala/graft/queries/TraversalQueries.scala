@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 
 /** Iterative-traversal and sweep-line operators: BFS shortest path,
   * pointer-doubling hierarchy closure, interval union, global concurrency
@@ -58,7 +59,7 @@ object TraversalQueries {
              |SELECT seed, node, CAST(min(d) AS INT) AS dist
              |FROM bfs GROUP BY seed, node""".stripMargin),
       (s, dir) => {
-        val e = edges(s, dir).localCheckpoint()
+        val e = edges(s, dir).graftCheckpoint()
         val seeds = Seq(0L, 2L, 4L)
         // semi-join the literal seed list against the edge sources: the
         // oracle seeds FROM e WHERE src IN (...), so a seed customer with
@@ -77,7 +78,7 @@ object TraversalQueries {
           dist = dist.unionByName(next)
             .groupBy("seed", "node")
             .agg(min("dist").as("dist"))
-            .localCheckpoint()
+            .graftCheckpoint()
         }
         dist
       }),
@@ -115,7 +116,7 @@ object TraversalQueries {
              |    6) AS assortativity
              |FROM s""".stripMargin),
       (s, dir) => {
-        val e = edges(s, dir).localCheckpoint() // degree agg + 2 probes
+        val e = edges(s, dir).graftCheckpoint() // degree agg + 2 probes
         val deg = e.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("d"))
         val j = e
@@ -172,7 +173,7 @@ object TraversalQueries {
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
           .agg((min("l_quantity").cast("long") % 9 + 1).as("w"))
         val e = fwd.unionByName(fwd.select(col("dst").as("src"),
-          col("src").as("dst"), col("w"))).localCheckpoint()
+          col("src").as("dst"), col("w"))).graftCheckpoint()
         val seeds = Seq(0L, 2L, 4L)
         var best = s.createDataFrame(seeds.map(x => (x, x)))
           .toDF("seed", "node")
@@ -185,7 +186,7 @@ object TraversalQueries {
               (col("cost") + col("w")).as("cost"))
           best = best.unionByName(relaxed)
             .groupBy("seed", "node").agg(min("cost").as("cost"))
-            .localCheckpoint()
+            .graftCheckpoint()
         }
         best
       }),
@@ -374,7 +375,7 @@ object TraversalQueries {
         val e = o.join(l, col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).cast("long").as("src"),
             (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-          .distinct().localCheckpoint()
+          .distinct().graftCheckpoint()
         var h = e.select(col("src").as("node")).distinct()
           .withColumn("s", lit(1L))
         var a: org.apache.spark.sql.DataFrame = null
@@ -438,7 +439,7 @@ object TraversalQueries {
              |FROM e4, kk GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val e0 = edges(s, dir)
-        var cur = e0.localCheckpoint()
+        var cur = e0.graftCheckpoint()
         val dg = cur.groupBy("src").agg(count(lit(1)).as("d"))
         val k = graft.ops.Quantiles
           .groupQuantiles(dg.withColumn("g", lit(1)), "g", "d",
@@ -448,7 +449,7 @@ object TraversalQueries {
         var round = 0
         while (!converged && round < 4) {
           val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
-            .filter(col("d") >= k).select("src").localCheckpoint()
+            .filter(col("d") >= k).select("src").graftCheckpoint()
           val before = cur.select("src").distinct().count()
           if (keep.count() == before) converged = true
           else {
@@ -457,7 +458,7 @@ object TraversalQueries {
                 col("src") === col("ka"))
               .join(keep.withColumnRenamed("src", "kb"),
                 col("dst") === col("kb"))
-              .select("src", "dst").localCheckpoint()
+              .select("src", "dst").graftCheckpoint()
             round += 1
           }
         }
@@ -510,7 +511,7 @@ object TraversalQueries {
       },
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val eu = edges(s, dir).localCheckpoint()
+        val eu = edges(s, dir).graftCheckpoint()
         val e = eu.withColumn("idx",
           row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
         val d = eu.groupBy("src").agg(count(lit(1)).as("deg"))

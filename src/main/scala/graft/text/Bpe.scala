@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.Materialize._
 
 /** Byte-pair-encoding tokenizer: LEARN the top-K merges from corpus word
   * frequencies, APPLY them row-locally — the subword step real training
@@ -71,7 +72,7 @@ object Bpe {
     */
   def learnBatched(words: DataFrame, k: Int,
       probe: Int = 64): (Seq[Merge], Int) = {
-    var cur = words.withColumn("sym", symCol).localCheckpoint()
+    var cur = words.withColumn("sym", symCol).graftCheckpoint()
     val out = ArrayBuffer[Merge]()
     var rounds = 0
     var exhausted = false
@@ -110,7 +111,7 @@ object Bpe {
         cur = safe.foldLeft(cur) { case (d, (pair, _)) =>
           d.withColumn("sym",
             expr(s"replace(sym, '$pair', '${pair.replace("| |", "")}')"))
-        }.localCheckpoint()
+        }.graftCheckpoint()
       }
     }
     (out.toSeq, rounds)
@@ -126,7 +127,7 @@ object Bpe {
     * exactly; kept for the BpeSpec identity assertion.
     */
   private[graft] def learnSequential(words: DataFrame, k: Int): Seq[Merge] = {
-    var cur = words.withColumn("sym", symCol).localCheckpoint()
+    var cur = words.withColumn("sym", symCol).graftCheckpoint()
     val out = ArrayBuffer[Merge]()
     var r = 1
     var exhausted = false
@@ -145,7 +146,7 @@ object Bpe {
         val merged = pair.replace("| |", "")
         out += Merge(r, pair, merged, top(0).getLong(1))
         cur = cur.withColumn("sym",
-          expr(s"replace(sym, '$pair', '$merged')")).localCheckpoint()
+          expr(s"replace(sym, '$pair', '$merged')")).graftCheckpoint()
         r += 1
       }
     }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.Materialize._
 
 /** TF-IDF term scoring over a document corpus — the classic relevance /
   * keyword-extraction primitive. Fully distributed: token explode → two
@@ -78,7 +79,7 @@ object Tfidf {
     // materialize once: feeds the norm aggregate and both join sides
     val w = score(docs, idCol, textCol)
       .select(col("doc_id"), col("term"), col("tfidf").as("w"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
