@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_embed_neardup_capped: no cartesian, and the capping window is per-bucket") {
+    val p = plan("q_embed_neardup_capped")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the keep-lowest cut must rank WITHIN a band bucket, never globally —
+    // a global row_number would funnel the corpus through one task
+    val sp = q("q_embed_neardup_capped").queryExecution.sparkPlan
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+  }
+
   test("q_ann_ivf plans no unpartitioned global window") {
     // a Window with an empty partition spec funnels the corpus through one
     // task; seeding must plan as TakeOrderedAndProject instead
