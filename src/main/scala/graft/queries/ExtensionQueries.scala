@@ -6,7 +6,7 @@ import graft.{QueryDef, Tables}
 import graft.dedup.{Dedup, IncrementalDedup, MinHashLSH}
 import graft.expressions.{Hashing, SimHash64}
 import graft.multimodal.Binary
-import graft.sim.Knn
+import graft.sim.{Knn, SemDedup}
 import graft.text.{Fingerprint, LangId, TextStats}
 
 /** Training-data pipeline operators (the north-star extensions in
@@ -918,6 +918,19 @@ object ExtensionQueries {
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, bands = 16, planesPerBand = 2, dim = 64,
         maxBucketSize = Some(100))),
+
+    // SemDeDup (arXiv:2303.09540): semantic dedup — IVF cells bound the
+    // pairwise stage (equi-join on centroid_id, Σ|cell|² work), lower-id
+    // member wins within a semantic group. iters=0 seeds the cells from
+    // the k lowest-id vectors: deterministic float math both engines
+    // reproduce bit-identically (the q_ann_ivf precedent), so the whole
+    // keep/drop partition is hash-gated, not sampled.
+    QueryDef(
+      "q_semantic_dedup",
+      Some(SemDedup.oracleSql(numCells = 8, threshold = 0.3)),
+      (s, dir) => SemDedup.semanticDedup(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        numCells = 8, threshold = 0.3)),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(

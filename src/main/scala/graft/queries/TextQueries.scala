@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.ops.Sampling
-import graft.text.{Bpe, Redact, Tfidf}
+import graft.text.{Bpe, NgramLm, Redact, Tfidf}
 import graft.Materialize._
 
 /** Corpus analytics round 3: TF-IDF, n-gram census, char-n-gram Jaccard,
@@ -196,6 +196,17 @@ object TextQueries {
           "doc_id", "text", k = 3)
         .drop("tf", "df", "n_docs")
         .select("doc_id", "term", "tfidf", "rnk")),
+
+    // CCNet-style corpus-LM perplexity quality score (arXiv:1911.00359):
+    // add-k bigram LM trained on the corpus, per-doc ppl from a
+    // position-ordered log-prob fold (cross-engine float parity — the
+    // q_embed_pool trick). Two linear count passes + one scoring join;
+    // the full per-document score column is hash-gated.
+    QueryDef(
+      "q_ngram_perplexity",
+      Some(NgramLm.oracleSql()),
+      (s, dir) => NgramLm.bigramPerplexity(
+        Tables.t(s, dir, "documents"), "doc_id", "text")),
 
     // Global top-20 word bigrams (TakeOrdered, no full sort).
     QueryDef(
