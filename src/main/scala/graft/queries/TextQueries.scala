@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
 import graft.ops.Sampling
-import graft.text.{Bpe, NgramLm, Redact, Tfidf}
+import graft.text.{Bpe, Dsir, NgramLm, Redact, Tfidf}
 import graft.Materialize._
 
 /** Corpus analytics round 3: TF-IDF, n-gram census, char-n-gram Jaccard,
@@ -207,6 +207,18 @@ object TextQueries {
       Some(NgramLm.oracleSql()),
       (s, dir) => NgramLm.bigramPerplexity(
         Tables.t(s, dir, "documents"), "doc_id", "text")),
+
+    // DSIR importance weights (arXiv:2302.03169): hashed-token-bucket
+    // log-ratio of a target slice (lang='en') vs the whole corpus —
+    // data SELECTION, where perplexity above is data FILTERING. The two
+    // ≤B-row count tables broadcast; the per-doc sum folds in position
+    // order; the full weight column is hash-gated.
+    QueryDef(
+      "q_dsir_weights",
+      Some(Dsir.oracleSql("lang = 'en'")),
+      (s, dir) => Dsir.importanceWeights(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "en")),
 
     // Global top-20 word bigrams (TakeOrdered, no full sort).
     QueryDef(

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.expressions.Hashing
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw-corpus document by how much it
+  * looks like a TARGET distribution, using hashed n-gram bag features —
+  * the standard cheap way to pull "target-like" pretraining data out of
+  * a web crawl without training a classifier.
+  *
+  * Features are token hash buckets (sha60 % B — the repo's one
+  * cross-engine hash contract); both distributions get add-1 smoothing
+  * over the B buckets; a document's importance weight is the sum of
+  * per-token log-ratios
+  *   logw(doc) = Σ_tokens [ ln p_target(b) − ln p_source(b) ],
+  * where source = the whole corpus. Selection is then a top-k or
+  * threshold over logw, which the caller applies — the weight column is
+  * the deterministic, gateable part (the paper's final resampling step
+  * draws Gumbel noise; anyone wanting it adds noise keyed on doc_id).
+  *
+  * Scale shape: one corpus-linear tokenize/hash pass; the two count
+  * tables are ≤ B rows each (map-side combine collapses everything
+  * before the shuffle), broadcast back onto the token stream; the
+  * per-document Σ folds in POSITION ORDER (sorted collect + left fold —
+  * the q_embed_pool parity trick) so the float sum is reproducible
+  * cross-engine and across retries.
+  */
+object Dsir {
+
+  /** One row per document: (idCol, n_tokens, logw) — logw rounded to 4
+    * decimals. `targetPred` marks the target-distribution documents
+    * (e.g. a curated language or source slice).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024): DataFrame = {
+    val toks = split(Dedup.normalized(col(textCol)), " ")
+    val d = docs.select(col(idCol).as("__doc"), targetPred.as("__tgt"),
+      toks.as("__toks"))
+    val tok = d.select(col("__doc"), col("__tgt"),
+        posexplode(col("__toks")).as(Seq("__pos", "__w")))
+      .select(col("__doc"), col("__tgt"), col("__pos"),
+        pmod(Hashing.sha60(col("__w")), lit(buckets.toLong)).as("__b"))
+    val ct = tok.filter(col("__tgt")).groupBy("__b")
+      .agg(count(lit(1)).as("__ct"))
+    val cs = tok.groupBy("__b").agg(count(lit(1)).as("__cs"))
+    val totals = tok.agg(count(lit(1)).as("__ns"),
+      count(when(col("__tgt"), 1)).as("__nt"))
+    val bD = lit(buckets.toDouble)
+    val lp = tok
+      .join(broadcast(cs), Seq("__b"))
+      .join(broadcast(ct), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__doc"), col("__pos"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+            (col("__nt") + bD))
+          - log((col("__cs") + lit(1.0)) / (col("__ns") + bD))).as("__lp"))
+    lp.groupBy("__doc").agg(
+        sort_array(collect_list(struct(col("__pos"), col("__lp"))))
+          .as("__ls"))
+      .select(col("__doc").as(idCol),
+        size(col("__ls")).cast("long").as("n_tokens"),
+        round(aggregate(col("__ls"), lit(0.0d),
+          (acc, s) => acc + s.getField("__lp")), 4).as("logw"))
+  }
+
+  /** DuckDB SQL computing exactly [[importanceWeights]] — same sha60
+    * buckets, same smoothing, same position-ordered fold. `targetSql` is
+    * the boolean SQL for the target slice (e.g. "lang = 'en'").
+    */
+  def oracleSql(targetSql: String, buckets: Int = 1024,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH d AS (SELECT $idCol AS doc, ($targetSql) AS tgt,
+       |    regexp_split_to_array(
+       |      lower(trim(regexp_replace($textCol, '\\s+', ' ', 'g'))), ' ') AS toks
+       |  FROM $table),
+       |t0 AS (SELECT doc, tgt, toks, unnest(range(1, len(toks) + 1)) AS pos
+       |  FROM d),
+       |tok AS (SELECT doc, tgt, pos,
+       |    ${Hashing.sha60Sql("toks[pos]")} % $buckets AS b FROM t0),
+       |ct AS (SELECT b, count(*) AS ct FROM tok WHERE tgt GROUP BY 1),
+       |cs AS (SELECT b, count(*) AS cs FROM tok GROUP BY 1),
+       |tot AS (SELECT count(*) AS ns, count(*) FILTER (WHERE tgt) AS nt
+       |  FROM tok),
+       |lp AS (SELECT tok.doc, tok.pos,
+       |    ln((coalesce(ct.ct, 0) + 1.0) / (tot.nt + $buckets))
+       |      - ln((cs.cs + 1.0) / (tot.ns + $buckets)) AS lp
+       |  FROM tok JOIN cs USING (b) LEFT JOIN ct USING (b) CROSS JOIN tot),
+       |per AS (SELECT doc, list(lp ORDER BY pos) AS ls FROM lp GROUP BY 1)
+       |SELECT doc AS $idCol, CAST(len(ls) AS BIGINT) AS n_tokens,
+       |  round(list_reduce(ls, (a, b) -> a + b), 4) AS logw
+       |FROM per""".stripMargin
+}
