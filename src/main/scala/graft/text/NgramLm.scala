@@ -42,12 +42,19 @@ object NgramLm {
       k: Double = 0.5): DataFrame = {
     val toks = split(Dedup.normalized(col(textCol)), " ")
     val d = docs.select(col(idCol).as("__doc"), toks.as("__toks"))
-    // (doc, pos, w1, w2): pos is the 0-based index of w1
-    val bg = d.select(col("__doc"), col("__toks"),
-        posexplode(col("__toks")).as(Seq("__pos", "__w1")))
-      .filter(col("__pos") < size(col("__toks")) - 1)
-      .select(col("__doc"), col("__pos"), col("__w1"),
-        element_at(col("__toks"), col("__pos") + 2).as("__w2"))
+    // (doc, pos, w1, w2): pos is the 0-based index of w1. The bigram
+    // structs are zipped ROW-LOCALLY before the explode — an
+    // element_at(toks, pos)-after-explode formulation would carry the
+    // whole token array on every exploded row (O(len²) bytes per
+    // document through the Generate), which is the kind of quiet
+    // amplification that only shows up on 10k-token documents at scale.
+    val nBi = greatest(size(col("__toks")) - 1, lit(0))
+    val bgArr = zip_with(
+      slice(col("__toks"), lit(1), nBi), slice(col("__toks"), lit(2), nBi),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = d.select(col("__doc"), posexplode(bgArr).as(Seq("__pos", "__bg")))
+      .select(col("__doc"), col("__pos"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
     val c1 = bg.groupBy("__w1").agg(count(lit(1)).as("__c1"))
       .withColumnRenamed("__w1", "__u1")
