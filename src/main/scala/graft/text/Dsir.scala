@@ -22,9 +22,10 @@ import graft.expressions.Hashing
   * the deterministic, gateable part (the paper's final resampling step
   * draws Gumbel noise; anyone wanting it adds noise keyed on doc_id).
   *
-  * Scale shape: one corpus-linear tokenize/hash pass; the two count
-  * tables are ≤ B rows each (map-side combine collapses everything
-  * before the shuffle), broadcast back onto the token stream; the
+  * Scale shape: TWO corpus-linear passes — one aggregation building both
+  * distributions at once (≤ B rows out, map-side combine collapses
+  * everything before the shuffle; totals fold from that table for free)
+  * and one scoring pass joining the broadcast counts back on; the
   * per-document Σ folds in POSITION ORDER (sorted collect + left fold —
   * the q_embed_pool parity trick) so the float sum is reproducible
   * cross-engine and across retries.
@@ -44,19 +45,20 @@ object Dsir {
         posexplode(col("__toks")).as(Seq("__pos", "__w")))
       .select(col("__doc"), col("__tgt"), col("__pos"),
         pmod(Hashing.sha60(col("__w")), lit(buckets.toLong)).as("__b"))
-    val ct = tok.filter(col("__tgt")).groupBy("__b")
-      .agg(count(lit(1)).as("__ct"))
-    val cs = tok.groupBy("__b").agg(count(lit(1)).as("__cs"))
-    val totals = tok.agg(count(lit(1)).as("__ns"),
-      count(when(col("__tgt"), 1)).as("__nt"))
+    // ONE aggregation pass builds both distributions (conditional count
+    // for the target); totals then come from the ≤B-row table for free —
+    // the plan audit showed the separate ct/cs/totals formulation
+    // re-generated the token stream once per consumer (4 corpus scans;
+    // this is 2: counts + scoring)
+    val counts = tok.groupBy("__b").agg(count(lit(1)).as("__cs"),
+      count(when(col("__tgt"), 1)).as("__ct"))
+    val totals = counts.agg(sum("__cs").as("__ns"), sum("__ct").as("__nt"))
     val bD = lit(buckets.toDouble)
     val lp = tok
-      .join(broadcast(cs), Seq("__b"))
-      .join(broadcast(ct), Seq("__b"), "left")
+      .join(broadcast(counts), Seq("__b"))
       .crossJoin(broadcast(totals))
       .select(col("__doc"), col("__pos"),
-        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
-            (col("__nt") + bD))
+        (log((col("__ct") + lit(1.0)) / (col("__nt") + bD))
           - log((col("__cs") + lit(1.0)) / (col("__ns") + bD))).as("__lp"))
     lp.groupBy("__doc").agg(
         sort_array(collect_list(struct(col("__pos"), col("__lp"))))

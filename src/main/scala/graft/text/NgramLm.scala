@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.Materialize._
 
 /** Corpus-trained bigram language-model perplexity — the CCNet-style
   * quality signal (Wenzek et al. 2020, arXiv:1911.00359): score every
@@ -55,10 +56,16 @@ object NgramLm {
     val bg = d.select(col("__doc"), posexplode(bgArr).as(Seq("__pos", "__bg")))
       .select(col("__doc"), col("__pos"),
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    // ONE corpus aggregation (the bigram counts); the leading-token
+    // marginal and the continuation vocabulary both fold from that
+    // vocab²-bounded table instead of re-scanning the corpus — the plan
+    // audit showed the three-aggregation formulation re-generated the
+    // token stream once per count table (4 corpus scans; this is 2)
     val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
-    val c1 = bg.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+      .graftCheckpoint(eager = false)
+    val c1 = c12.groupBy("__w1").agg(sum("__c12").as("__c1"))
       .withColumnRenamed("__w1", "__u1")
-    val v = bg.agg(countDistinct(col("__w2")).as("__v"))
+    val v = c12.agg(countDistinct(col("__w2")).as("__v"))
     val scored = bg
       .join(c12, Seq("__w1", "__w2"))
       .join(c1, col("__w1") === col("__u1"))
