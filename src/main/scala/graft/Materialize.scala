@@ -55,11 +55,25 @@ object Materialize {
       */
     def graftCheckpoint(eager: Boolean = true): DataFrame = {
       val conf = df.sparkSession.conf
-      if (conf.getOption(Materialize.ReliableKey).exists(_.toBoolean))
+      // Validate conf values HERE with the key named: a typo like
+      // `replicas=two` would otherwise surface as a bare
+      // NumberFormatException from deep inside an operator.
+      val reliable = conf.getOption(Materialize.ReliableKey).map { v =>
+        require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+          s"${Materialize.ReliableKey} must be 'true' or 'false', got '$v'")
+        v.toBoolean
+      }.getOrElse(false)
+      if (reliable)
         df.checkpoint(eager)
       else {
-        val replicas = conf.getOption(Materialize.ReplicasKey)
-          .map(_.toInt).getOrElse(1)
+        val replicas = conf.getOption(Materialize.ReplicasKey).map { v =>
+          val n = scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"${Materialize.ReplicasKey} must be a positive integer, got '$v'"))
+          require(n >= 1,
+            s"${Materialize.ReplicasKey} must be >= 1, got $n")
+          n
+        }.getOrElse(1)
         if (replicas <= 1) df.localCheckpoint(eager)
         else df.localCheckpoint(eager, StorageLevel(
           useDisk = true, useMemory = true, deserialized = false,

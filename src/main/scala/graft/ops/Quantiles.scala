@@ -116,14 +116,20 @@ object Quantiles {
     * cached relation) — re-running it costs one columnar scan, so the
     * 2–4 hybrid passes are cheaper than pinning a checkpoint copy.
     * Anything with a join/aggregate/window/generate (or a multi-child
-    * node) upstream is treated as expensive.
+    * node) upstream is treated as expensive. Nondeterministic expressions
+    * (rand(), uuid(), monotonically_increasing_id()) also force the
+    * checkpoint: the hybrid re-scans the input for the dispatch count, the
+    * window pass and the two-level stats, and a projection that evaluates
+    * to DIFFERENT values per scan would silently drop rows outside the
+    * pinned min/max brackets — cheapness is only safe when every re-scan
+    * sees the same values.
     */
   private[graft] def cheapToRescan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def narrow(p: LogicalPlan): Boolean = p match {
       case _: LeafNode       => true
-      case p: Project        => narrow(p.child)
-      case f: Filter         => narrow(f.child)
+      case p: Project        => p.projectList.forall(_.deterministic) && narrow(p.child)
+      case f: Filter         => f.condition.deterministic && narrow(f.child)
       case s: SubqueryAlias  => narrow(s.child)
       case _                 => false
     }

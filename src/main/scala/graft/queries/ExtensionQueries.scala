@@ -186,6 +186,20 @@ object ExtensionQueries {
       (s, dir) => Dedup.exact(
         Tables.t(s, dir, "documents"), "doc_id", "text")),
 
+    // Exact PARAGRAPH dedup (the C4/Gopher step): lowest-(doc, idx)
+    // occurrence of each normalized paragraph survives, every later
+    // repetition is dropped. The fixture text is single-line (no blank
+    // lines), so the GATE splits on the corpus's most frequent stopword
+    // (' the ') to produce a genuinely multi-paragraph, heavily-repeating
+    // corpus — the operator's default separator stays '\n\n'. One shuffle
+    // on the 256-bit digest + one join back, corpus-linear.
+    QueryDef(
+      "q_paragraph_dedup",
+      Some(graft.dedup.ParagraphDedup.oracleSql(sepRegex = " the ")),
+      (s, dir) => graft.dedup.ParagraphDedup.paragraphDedup(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        sepRegex = " the ")),
+
     // Exact word-set Jaccard pairs — ground truth for the MinHash path.
     // Strategy pinned to BITMASK with an explicit doc cap: the fixture
     // corpus is a 31-word template vocabulary where every word appears in
@@ -925,12 +939,22 @@ object ExtensionQueries {
     // the k lowest-id vectors: deterministic float math both engines
     // reproduce bit-identically (the q_ann_ivf precedent), so the whole
     // keep/drop partition is hash-gated, not sampled.
+    //
+    // Gated at the SCALE configuration (r16 verdict: the r16 fixture
+    // pinned numCells=8, making the in-cell square n²/8 — quadratic at
+    // 100× data): cells = ⌈√n⌉ computed from the corpus by BOTH engines,
+    // and maxCellSize=16 caps the drop-candidate side at each cell's 16
+    // lowest ids (Σ|cell|·cap ≤ 16n pairwise work — linear even under an
+    // embedding collapse). The cap BINDS at sf0.01 (500 vectors / 23
+    // cells ≈ 22 avg members), so the hash gate exercises the truncated
+    // path; the oracle recomputes the same keep-lowest representative cut.
     QueryDef(
       "q_semantic_dedup",
-      Some(SemDedup.oracleSql(numCells = 8, threshold = 0.3)),
-      (s, dir) => SemDedup.semanticDedup(
+      Some(SemDedup.oracleSqlScaled(threshold = 0.3,
+        maxCellSize = Some(16))),
+      (s, dir) => SemDedup.semanticDedupScaled(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
-        numCells = 8, threshold = 0.3)),
+        threshold = 0.3, maxCellSize = Some(16))),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(

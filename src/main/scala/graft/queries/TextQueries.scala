@@ -220,6 +220,18 @@ object TextQueries {
         Tables.t(s, dir, "documents"), "doc_id", "text",
         targetPred = col("lang") === "en")),
 
+    // DSIR selection — the paper's Gumbel top-k resampling step,
+    // completed (r16 verdict #3): noise keyed on sha60(doc_id) makes the
+    // "random" draw deterministic, so the SELECTED SET hash-gates. k=100
+    // binds on the 500-doc sf0.01 fixture (and harder at sf1); the top-k
+    // plans as TakeOrderedAndProject, never a global sort.
+    QueryDef(
+      "q_dsir_select",
+      Some(Dsir.selectOracleSql("lang = 'en'", k = 100)),
+      (s, dir) => Dsir.select(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "en", k = 100)),
+
     // Global top-20 word bigrams (TakeOrdered, no full sort).
     QueryDef(
       "q_top_ngrams",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.DotProduct
+import graft.expressions.{BottomKLongs, DotProduct}
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine is the correctness baseline; the
@@ -191,9 +191,12 @@ object Knn {
     * untouched). Deterministic (id order), exactly reproducible by the
     * oracle SQL, precision untouched (survivors are still exact-verified);
     * the trade is bounded recall loss biased against high ids. None
-    * (default) = exact banded-LSH semantics. The capping window sorts one
-    * bucket per task — occupancy is ≤ n but only degenerate buckets are
-    * large, and those are exactly the ones the cap truncates.
+    * (default) = exact banded-LSH semantics. Integral ids truncate via the
+    * bounded [[graft.expressions.BottomKLongs]] aggregate — map-side
+    * buffers hold ≤ cap ids per bucket, so even a fully-degenerate bucket
+    * (every vector in one band key) never funnels n rows through a single
+    * task (the r16 row_number window did exactly that); non-integral ids
+    * fall back to the per-bucket window.
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int, planesPerBand: Int, dim: Int,
@@ -202,12 +205,26 @@ object Knn {
     val v = side(df, idCol, vecCol, "id", "v", "n")
     val keyedAll = v.withColumn("key",
       explode(array(bandKeys(col("v"), bands, planesPerBand, dim, seed): _*)))
+    // (key, id) pairs feeding candidate generation — only these two
+    // columns flow into the self-join, so the cap path can aggregate
+    // instead of windowing.
     val keyed = maxBucketSize match {
       case Some(cap) =>
-        keyedAll.withColumn("__bn", row_number().over(
-            Window.partitionBy("key").orderBy("id")))
-          .filter(col("__bn") <= cap).drop("__bn")
-      case None => keyedAll
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        v.schema("id").dataType match {
+          case idT @ (LongType | IntegerType | ShortType | ByteType) =>
+            keyedAll.select(col("key"), col("id").cast("long").as("id"))
+              .groupBy("key")
+              .agg(BottomKLongs.bottomK(spark, col("id"), cap).as("__ids"))
+              .select(col("key"), explode(col("__ids")).as("id"))
+              .select(col("key"), col("id").cast(idT).as("id"))
+          case _ =>
+            keyedAll.withColumn("__bn", row_number().over(
+                Window.partitionBy("key").orderBy("id")))
+              .filter(col("__bn") <= cap).drop("__bn")
+              .select("key", "id")
+        }
+      case None => keyedAll.select("key", "id")
     }
     val cand = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))

@@ -1,9 +1,10 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.DotProduct
+import graft.expressions.{BottomKLongs, DotProduct}
 
 /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
   * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
@@ -21,11 +22,28 @@ import graft.expressions.DotProduct
   * dropped iff a LOWER-ID member of its cell matches it at ≥ threshold,
   * so the minimum id of every semantic group survives — same canonical
   * rule as [[graft.dedup.Dedup.exact]], and order-independent under
-  * retries. `numCells` is the scale lever: the paper runs ~50k clusters
-  * on web corpora, keeping cells small enough that the in-cell square is
-  * the cheap part; a degenerate-cell cap (keep-lowest, as in
-  * `Knn.nearDupPairsBanded`) composes on top if an embedding collapse
-  * ever concentrates a cell.
+  * retries.
+  *
+  * The two scale levers (r16 verdict — a fixed cell count makes the
+  * in-cell square n²/numCells, quadratic at 100× data):
+  *
+  *   - `numCells` must GROW with the corpus. [[semanticDedupScaled]]
+  *     defaults it to ⌈√n⌉ (cells of ~√n expected members → Σ|cell|² ≈
+  *     n·√n on near-uniform cells); the paper runs ~50k cells on web
+  *     corpora for the same reason. Measured on the sf1 fixture
+  *     (tools.SemProbe, 20k vectors): 6.15 s at 8 cells vs 1.08 s at
+  *     √n cells, with only 5% fewer drops.
+  *   - `maxCellSize` caps the DROP-CANDIDATE side: with a cap, only each
+  *     cell's `cap` LOWEST-ID members can justify a drop, so the pairwise
+  *     stage is Σ|cell|·cap ≤ n·cap — LINEAR in the corpus even when an
+  *     embedding collapse concentrates one cell (the case √n cells alone
+  *     cannot save). Every vector still receives a keep verdict; the
+  *     trade is bounded recall loss biased against high-id duplicates
+  *     whose lowest-id twin ranks past the cap. Keep-lowest (not
+  *     drop-the-bucket) and deterministic in id order — the
+  *     [[graft.expressions.BottomKLongs]] map-side-bounded aggregate for
+  *     integral ids, the per-cell window otherwise — so the oracle SQL
+  *     reproduces the exact same representative set.
   *
   * `iters = 0` keeps the centroids at the k lowest-id seed vectors —
   * fully deterministic float math both engines reproduce bit-identically
@@ -34,9 +52,17 @@ import graft.expressions.DotProduct
   */
 object SemDedup {
 
+  /** numCells for a corpus of n vectors: ⌈√n⌉ (≥ 1). IEEE sqrt is
+    * correctly rounded, so DuckDB's ceil(sqrt(n)) lands on the same
+    * integer — the value is oracle-reproducible.
+    */
+  def scaledCells(n: Long): Int =
+    math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** One row per input vector: (idCol, cell, keep). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, threshold: Double, iters: Int = 0): DataFrame = {
+      numCells: Int, threshold: Double, iters: Int = 0,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val cents = Ivf.buildCentroids(df, idCol, vecCol, numCells, iters)
     // (neighbor_id, cv, centroid_id), partitioned by cell
@@ -44,7 +70,28 @@ object SemDedup {
       .withColumn("nrm", Knn.norm(col("cv")))
     val a = idx.select(col("centroid_id"), col("neighbor_id").as("__ida"),
       col("cv").as("__va"), col("nrm").as("__na"))
-    val b = idx.select(col("centroid_id"), col("neighbor_id").as("__idb"),
+    // Drop-candidate side: uncapped = the whole cell; capped = each
+    // cell's `cap` lowest ids only (Σ|cell|·cap ≤ n·cap pairwise work).
+    val reps = maxCellSize match {
+      case Some(cap) =>
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        idx.schema("neighbor_id").dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            val repIds = idx
+              .select(col("centroid_id"), col("neighbor_id").cast("long").as("__rid"))
+              .groupBy("centroid_id")
+              .agg(BottomKLongs.bottomK(spark, col("__rid"), cap).as("__ids"))
+              .select(explode(col("__ids")).as("__rid"))
+            idx.join(repIds,
+              col("neighbor_id").cast("long") === col("__rid"), "left_semi")
+          case _ =>
+            idx.withColumn("__cr", row_number().over(
+                Window.partitionBy("centroid_id").orderBy("neighbor_id")))
+              .filter(col("__cr") <= cap).drop("__cr")
+        }
+      case None => idx
+    }
+    val b = reps.select(col("centroid_id"), col("neighbor_id").as("__idb"),
       col("cv").as("__vb"), col("nrm").as("__nb"))
     val drops = a.join(b, Seq("centroid_id"))
       .filter(col("__idb") < col("__ida"))
@@ -57,23 +104,45 @@ object SemDedup {
         col("__drop").isNull.as("keep"))
   }
 
+  /** [[semanticDedup]] at corpus-scaled cells: numCells = ⌈√n⌉ from one
+    * cheap count (parquet count-star is metadata-bound). This is the
+    * production shape — the fixed-cell overload exists for callers who
+    * know their corpus.
+    */
+  def semanticDedupScaled(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, iters: Int = 0,
+      maxCellSize: Option[Int] = None): DataFrame =
+    semanticDedup(df, idCol, vecCol, scaledCells(df.count()), threshold,
+      iters, maxCellSize)
+
   /** DuckDB SQL computing exactly [[semanticDedup]] at iters = 0 — same
     * lowest-id seeds, same argmax-dot/lowest-centroid tie rule, same
-    * lower-id-wins keep rule.
+    * lower-id-wins keep rule, same keep-lowest representative cap.
+    * `cellsSql` is either a literal count or the ⌈√n⌉ expression.
     */
-  def oracleSql(numCells: Int, threshold: Double,
-      table: String = "embeddings", idCol: String = "vec_id",
-      vecCol: String = "embedding"): String =
+  private def oracleSqlWith(cellsSql: String, threshold: Double,
+      maxCellSize: Option[Int], table: String, idCol: String,
+      vecCol: String): String = {
+    val repsSql = maxCellSize match {
+      case Some(cap) =>
+        s"""reps AS (SELECT id, v, centroid_id FROM (
+           |    SELECT id, v, centroid_id,
+           |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
+           |    FROM asn) WHERE cr <= $cap),""".stripMargin
+      case None => "reps AS (SELECT * FROM asn),"
+    }
     s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
        |cent AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS centroid_id,
        |    v AS cvec
-       |  FROM (SELECT id, v FROM e ORDER BY id LIMIT $numCells)),
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM e)
+       |  WHERE rn <= ($cellsSql)),
        |asn AS (SELECT id, v, centroid_id FROM (
        |    SELECT e.id, e.v, c.centroid_id,
        |      row_number() OVER (PARTITION BY e.id
        |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-       |drops AS (SELECT DISTINCT a.id FROM asn a JOIN asn b
+       |$repsSql
+       |drops AS (SELECT DISTINCT a.id FROM asn a JOIN reps b
        |  ON a.centroid_id = b.centroid_id AND b.id < a.id
        |  WHERE list_dot_product(a.v, b.v)
        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -81,4 +150,24 @@ object SemDedup {
        |SELECT asn.id AS $idCol, asn.centroid_id AS cell,
        |  (drops.id IS NULL) AS keep
        |FROM asn LEFT JOIN drops ON drops.id = asn.id""".stripMargin
+  }
+
+  /** Oracle for the fixed-cell [[semanticDedup]]. */
+  def oracleSql(numCells: Int, threshold: Double,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCellSize: Option[Int] = None): String =
+    oracleSqlWith(numCells.toString, threshold, maxCellSize, table, idCol,
+      vecCol)
+
+  /** Oracle for [[semanticDedupScaled]]: cells = ⌈√n⌉ computed inside the
+    * query, so the same SQL gates every scale factor.
+    */
+  def oracleSqlScaled(threshold: Double,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCellSize: Option[Int] = None): String =
+    oracleSqlWith(
+      "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM e", threshold,
+      maxCellSize, table, idCol, vecCol)
 }

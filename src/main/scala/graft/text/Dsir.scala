@@ -69,6 +69,50 @@ object Dsir {
           (acc, s) => acc + s.getField("__lp")), 4).as("logw"))
   }
 
+  /** 2^60 as an exact double — the sha60 range, a power of two, so the
+    * u = (h + 0.5) / 2^60 division is exact IEEE arithmetic both engines
+    * reproduce bit-identically.
+    */
+  private val TwoPow60: Double = 1152921504606846976.0d
+
+  /** The paper's final resampling step, completed (r16 verdict #3):
+    * Gumbel top-k selection with noise KEYED ON THE DOCUMENT ID, so the
+    * "random" draw is deterministic and the selected set hash-gates like
+    * everything else. u = (sha60(id) + 0.5) / 2^60 ∈ (0, 1),
+    * g = −ln(−ln u) is a standard Gumbel variable, and the k largest
+    * (logw + g) are exactly a without-replacement sample with
+    * P(doc) ∝ exp(logw) — the Gumbel-top-k trick. Keyed noise also means
+    * the selection is stable across retries and engines; re-keying (a
+    * fresh "draw") is one salt concatenated into the hashed id by the
+    * caller.
+    *
+    * Plan shape: [[importanceWeights]]'s two corpus-linear passes, then a
+    * global top-k that plans as TakeOrderedAndProject (per-partition
+    * partial top-k, k-bounded merge on the driver) — never a global sort
+    * or window. gkey is rounded to 4 decimals (the repo's ln-parity
+    * contract) with ties broken by id.
+    */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, k: Int, buckets: Int = 1024): DataFrame = {
+    val w = importanceWeights(docs, idCol, textCol, targetPred, buckets)
+    val u = (Hashing.sha60(col(idCol)) + lit(0.5d)) / lit(TwoPow60)
+    w.withColumn("gkey", round(col("logw") - log(-log(u)), 4))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB SQL computing exactly [[select]] — same keyed Gumbel noise,
+    * same rounding, same tie rule. DuckDB nests the weight query as a CTE.
+    */
+  def selectOracleSql(targetSql: String, k: Int, buckets: Int = 1024,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH w AS (${oracleSql(targetSql, buckets, table, idCol, textCol)})
+       |SELECT $idCol, n_tokens, logw,
+       |  round(logw - ln(-ln((${Hashing.sha60Sql(s"CAST($idCol AS VARCHAR)")} + 0.5)
+       |    / ${TwoPow60.toLong}.0)), 4) AS gkey
+       |FROM w ORDER BY gkey DESC, $idCol LIMIT $k""".stripMargin
+
   /** DuckDB SQL computing exactly [[importanceWeights]] — same sha60
     * buckets, same smoothing, same position-ordered fold. `targetSql` is
     * the boolean SQL for the target slice (e.g. "lang = 'en'").

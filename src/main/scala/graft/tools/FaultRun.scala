@@ -42,21 +42,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * legitimately reorder float partial sums; bit-equality would be
   * asserting an order the engine never promises).
   *
-  * Usage: graft.tools.FaultRun [--mode=stage|task|double] <sfDir> <query>...
+  * Usage: graft.tools.FaultRun [--mode=stage|task|double] [--kill-at=K]
+  *          <sfDir> <query>...
   *   SPARK_GRAFT_MASTER overrides the default local-cluster[2,16,4096].
-  * Prints one line per query: FAULT-OK / FAULT-MISMATCH / FAULT-ERROR;
-  * exit 0 only if all OK. Dev/validation tool — not part of the library.
+  *   --kill-at=K (task mode) fires the kill at the Kth task START
+  *   (default 8); queries whose jobs start fewer tasks need a smaller K.
+  * Prints one line per query: FAULT-OK / FAULT-SKIP / FAULT-MISMATCH /
+  * FAULT-ERROR; exit 0 only if all OK. FAULT-SKIP means the disturbed
+  * run matched but FEWER kills landed than the mode promises (stage/task
+  * 1, double 2) — it is NOT fault evidence and fails the run, so coverage
+  * docs can never miscount an undisturbed pass as an injected-fault pass.
+  * Dev/validation tool — not part of the library.
   */
 object FaultRun {
 
   def main(args: Array[String]): Unit = {
-    val (mode, rest) = args.headOption match {
-      case Some(m) if m.startsWith("--mode=") =>
-        (m.stripPrefix("--mode="), args.tail)
-      case _ => ("stage", args)
+    var mode = "stage"
+    var killAt = 8
+    val rest = args.dropWhile { a =>
+      if (a.startsWith("--mode=")) { mode = a.stripPrefix("--mode="); true }
+      else if (a.startsWith("--kill-at=")) {
+        killAt = a.stripPrefix("--kill-at=").toInt; true
+      } else false
     }
     require(Seq("stage", "task", "double").contains(mode),
       s"unknown mode $mode")
+    require(killAt >= 1, s"--kill-at must be >= 1, got $killAt")
+    val expectedKills = if (mode == "double") 2 else 1
     val sfDir = rest.head
     val names = rest.tail.toSeq
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
@@ -87,7 +99,7 @@ object FaultRun {
           println(s"FAULT-ERROR $name mode=$mode $msg"); allOk = false
         case Right((nA, hA)) =>
           val kills = new AtomicInteger(0)
-          val listener = mkListener(spark, appId, name, mode, kills)
+          val listener = mkListener(spark, appId, name, mode, kills, killAt)
           spark.sparkContext.addSparkListener(listener)
           val disturbed =
             try Right(canon(fn(spark, sfDir)))
@@ -102,8 +114,18 @@ object FaultRun {
               println(s"FAULT-ERROR $name mode=$mode kills=${kills.get} $msg")
               allOk = false
             case Right((nB, hB)) if nA == nB && hA == hB =>
-              println(s"FAULT-OK $name mode=$mode rows=$nA hash=$hA " +
-                s"kills=${kills.get}")
+              if (kills.get >= expectedKills)
+                println(s"FAULT-OK $name mode=$mode rows=$nA hash=$hA " +
+                  s"kills=${kills.get}")
+              else {
+                // matched, but no/too-few faults were injected — this run
+                // proves nothing about fault tolerance and must not be
+                // counted as evidence (e.g. a job with < killAt task starts)
+                println(s"FAULT-SKIP $name mode=$mode rows=$nA " +
+                  s"kills=${kills.get} expected=$expectedKills " +
+                  "(fault not delivered; not fault evidence)")
+                allOk = false
+              }
             case Right((nB, hB)) =>
               println(s"FAULT-MISMATCH $name mode=$mode " +
                 s"undisturbed=($nA,$hA) disturbed=($nB,$hB)")
@@ -132,7 +154,8 @@ object FaultRun {
   }
 
   private def mkListener(spark: SparkSession, appId: String, name: String,
-      mode: String, kills: AtomicInteger): SparkListener = mode match {
+      mode: String, kills: AtomicInteger, killAt: Int): SparkListener =
+    mode match {
     case "stage" => new SparkListener {
       val fired = new AtomicBoolean(false)
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
@@ -146,23 +169,28 @@ object FaultRun {
       override def onTaskStart(ev: SparkListenerTaskStart): Unit =
         // fire WHILE the stage is running: the Kth task start means ≥1
         // task is in flight on each executor of a 2-exec cluster
-        if (starts.incrementAndGet() == 8 &&
+        if (starts.incrementAndGet() == killAt &&
             fired.compareAndSet(false, true) &&
             killOne(appId, name,
-              s"mid-stage ${ev.stageId} (task start #8)"))
+              s"mid-stage ${ev.stageId} (task start #$killAt)"))
           kills.incrementAndGet()
     }
     case "double" => new SparkListener {
+      // block-manager entries present BEFORE kill 1: the killed executor's
+      // entry can linger until the driver processes the loss, so a raw
+      // size check could fire kill 2 at the ONLY live executor. Kill 2
+      // waits for a NEW entry (the relaunch), which guarantees a survivor.
+      @volatile var beforeKill1: Set[String] = Set.empty
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
         kills.get() match {
           case 0 =>
+            beforeKill1 =
+              spark.sparkContext.getExecutorMemoryStatus.keySet.toSet
             if (killOne(appId, name, s"after stage ${ev.stageInfo.stageId} (kill 1/2)"))
               kills.incrementAndGet()
           case 1 =>
-            // second kill only once the master has relaunched the first
-            // casualty (driver block manager +2 executors), so the job
-            // never drops to zero live executors
-            if (spark.sparkContext.getExecutorMemoryStatus.size >= 3 &&
+            val nowIds = spark.sparkContext.getExecutorMemoryStatus.keySet
+            if (nowIds.exists(id => !beforeKill1.contains(id)) &&
                 killOne(appId, name, s"after stage ${ev.stageInfo.stageId} (kill 2/2)"))
               kills.incrementAndGet()
           case _ => ()

@@ -43,6 +43,54 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("Gumbel top-k select: exactly the k largest keyed scores, reproducibly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 50
+    val sel = Dsir.select(docs, "doc_id", "text", col("lang") === "en", k)
+      .collect()
+    assert(sel.length == k)
+    // driver-side reference: recompute gkey for EVERY doc from the
+    // weights and assert the selected set is the top-k by (gkey, id)
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    def sha60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val keyed = w.map { case (id, lw) =>
+      val u = (sha60(id.toString) + 0.5) / 1152921504606846976.0d
+      val gk = BigDecimal(lw - math.log(-math.log(u)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, gk)
+    }
+    val expectTop = keyed.sortBy { case (id, gk) => (-gk, id) }.take(k)
+      .map(_._1).toSet
+    assert(sel.map(_.getLong(0)).toSet == expectTop)
+    // selection is deterministic: a second run picks the identical set
+    val again = Dsir.select(docs, "doc_id", "text", col("lang") === "en", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == expectTop)
+    // gkey column matches the driver formula
+    val gkMap = keyed.toMap
+    sel.foreach { r =>
+      assert(math.abs(r.getDouble(3) - gkMap(r.getLong(0))) < 1e-9)
+    }
+  }
+
+  test("select plans a TakeOrdered top-k, not a global sort or window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sp = Dsir.select(docs, "doc_id", "text", col("lang") === "en", 10)
+      .queryExecution.sparkPlan
+    assert(sp.toString.contains("TakeOrderedAndProject"), sp.toString)
+    val globalWindows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, sp.toString)
+  }
+
   test("target-slice documents score higher than off-distribution ones on the fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val w = Dsir.importanceWeights(docs, "doc_id", "text",

@@ -41,18 +41,33 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_embed_neardup_capped: no cartesian, and the capping window is per-bucket") {
+  test("q_embed_neardup_capped: no cartesian; cap is a bounded aggregate, not a window") {
     val p = plan("q_embed_neardup_capped")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    // the keep-lowest cut must rank WITHIN a band bucket, never globally —
-    // a global row_number would funnel the corpus through one task
+    // r17: the keep-lowest cut is the BottomKLongs aggregate — map-side
+    // buffers hold ≤ cap ids per bucket, so even a fully-degenerate band
+    // bucket never funnels n rows through one task. The r16 row_number
+    // window did exactly that; no WindowExec may remain in this plan.
     val sp = q("q_embed_neardup_capped").queryExecution.sparkPlan
-    val globalWindows = sp.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(globalWindows.isEmpty, sp.toString)
+    assert(windows.isEmpty, sp.toString)
+    assert(sp.toString.contains("bottom_k_longs"), sp.toString)
+  }
+
+  test("q_semantic_dedup: cell-bounded pairwise stage, bounded rep cap, no windows") {
+    // the pairwise stage must be an equi-join on centroid_id (never the
+    // corpus square) and the maxCellSize cut must be the bounded
+    // aggregate — a collapse-degenerate cell can't funnel one task
+    val sp = q("q_semantic_dedup").queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, sp.toString)
+    assert(sp.toString.contains("bottom_k_longs"), sp.toString)
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 
   test("q_ann_ivf plans no unpartitioned global window") {

@@ -49,6 +49,58 @@ class SemDedupSpec extends SparkSpec {
     assert(dropped.join(justified, Seq("ida"), "left_anti").count() == 0)
   }
 
+  test("maxCellSize cap: drops shrink to a justified subset, every row still verdicted") {
+    // capped = only each cell's `cap` lowest ids can justify a drop, so
+    // the capped drop set must be a subset of the uncapped one, and every
+    // capped drop must have a lower-id justifier WITHIN the cap window.
+    val cap = 3
+    val capped = SemDedup.semanticDedup(
+      e, "vec_id", "embedding", numCells = 8, threshold = 0.3,
+      maxCellSize = Some(cap)).localCheckpoint()
+    assert(capped.count() == e.count(), "every vector gets a verdict")
+    val cappedDrops = capped.filter(!col("keep")).select("vec_id")
+    val uncappedDrops = out.filter(!col("keep")).select("vec_id")
+    assert(cappedDrops.exceptAll(uncappedDrops).isEmpty,
+      "a cap can only REMOVE drop justifications, never add drops")
+    // the cap must BIND on the fixture (some cell larger than cap) or the
+    // test is vacuous
+    val maxCell = out.groupBy("cell").count().agg(max("count")).first().getLong(0)
+    assert(maxCell > cap, s"fixture max cell $maxCell must exceed cap $cap")
+    // justification within the window: every capped drop matches a rep
+    // (one of its cell's `cap` lowest ids) at >= threshold
+    import graft.expressions.DotProduct
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val j = capped.join(v, Seq("vec_id"))
+    val reps = j.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rn") <= cap)
+      .select(col("cell"), col("vec_id").as("idb"), col("v").as("vb"))
+    val justified = j.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
+      .join(reps, Seq("cell")).filter(col("idb") < col("ida"))
+      .withColumn("cos", DotProduct.dot(spark, col("va"), col("vb")) /
+        (graft.sim.Knn.norm(col("va")) * graft.sim.Knn.norm(col("vb"))))
+      .filter(col("cos") >= 0.3).select(col("ida").as("vec_id")).distinct()
+    assert(cappedDrops.exceptAll(justified).isEmpty)
+    assert(justified.exceptAll(cappedDrops).isEmpty,
+      "exactly the within-window-justified set is dropped")
+  }
+
+  test("semanticDedupScaled = semanticDedup at ceil(sqrt(n)) cells") {
+    val n = e.count()
+    val k = SemDedup.scaledCells(n)
+    assert(k == math.ceil(math.sqrt(n.toDouble)).toInt && k >= 1)
+    val scaled = SemDedup.semanticDedupScaled(
+      e, "vec_id", "embedding", threshold = 0.3, maxCellSize = Some(16))
+    val explicit = SemDedup.semanticDedup(
+      e, "vec_id", "embedding", numCells = k, threshold = 0.3,
+      maxCellSize = Some(16))
+    assert(scaled.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(scaled).isEmpty)
+  }
+
   test("threshold monotonicity: a stricter threshold on the same cells drops a subset") {
     val strict = SemDedup.semanticDedup(
       e, "vec_id", "embedding", numCells = 8, threshold = 0.4)
