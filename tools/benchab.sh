@@ -80,6 +80,11 @@ only_head, only_ref = sorted(set(head) - set(ref)), sorted(set(ref) - set(head))
 ht, rt = sum(head[q] for q in common), sum(ref[q] for q in common)
 diffs = sorted(((head[q] - ref[q], q) for q in common), reverse=True)
 report = {
+    # per-side min-merged per-query seconds ride IN the artifact: the
+    # work tree is deleted on exit, and a later bench_last refresh wants
+    # these minima without re-running 6 invocations
+    "head_queries": {q: round(t, 4) for q, t in sorted(head.items())},
+    "ref_queries": {q: round(t, 4) for q, t in sorted(ref.items())},
     "head_commit": head_sha, "ref_commit": ref_sha, "sf_dir": sf,
     "rounds": int(rounds), "host": socket.gethostname(),
     "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
