@@ -956,6 +956,22 @@ object ExtensionQueries {
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, maxCellSize = Some(16))),
 
+    // The 100 TB assignment shape of the same pipeline: with the pairwise
+    // stage cap-bounded, the flat argmax's n·√n dot products become the
+    // dominant FLOP term (measured 31.5× FLOPs on the r17 third decade).
+    // The two-level coarse quantizer (FAISS-IMI shape) assigns in n·2√k —
+    // ~10× fewer dots per decade — at a pure-recall cost near coarse-cell
+    // boundaries. Three deterministic argmax chains, all replayed by the
+    // oracle; flat q_semantic_dedup stays as the exact-assignment
+    // baseline (the uncapped/capped near-dup twin precedent).
+    QueryDef(
+      "q_semantic_dedup_coarse",
+      Some(SemDedup.oracleSqlCoarse(threshold = 0.3,
+        maxCellSize = Some(16))),
+      (s, dir) => SemDedup.semanticDedupCoarse(
+        Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, maxCellSize = Some(16))),
+
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(
       "q_embed_norm",

@@ -102,6 +102,62 @@ object Ivf {
         col("centroid_id"))
       .repartition(col("centroid_id"))
 
+  /** TWO-LEVEL (coarse-quantized) index — same output shape as [[index]],
+    * different assignment cost. Flat argmax is n·k dot products; with
+    * k = ⌈√n⌉ cells that is n^1.5 — embarrassingly parallel scan work,
+    * but the dominant FLOP term of the whole pipeline once the pairwise
+    * stage is capped. The FAISS IMI/coarse-quantizer answer: argmax over
+    * `coarseCount` ≈ √k coarse centroids first (n·√k), then argmax only
+    * among the fine seeds OF that coarse cell (n·k/√k expected) —
+    * n·2√k total, a ~√k/2 reduction (~10× per decade at k = √n).
+    *
+    * Determinism: coarse centroids are the first `coarseCount` fine
+    * seeds; each fine seed joins its argmax coarse cell EXCEPT a seed
+    * that is itself a coarse centroid, which anchors its own cell (so no
+    * coarse cell can be empty and every vector finds fine candidates —
+    * without the anchor, non-normalized seeds could leave a cell
+    * fine-seed-free and its vectors would silently vanish from the
+    * index). All argmaxes tie toward the lower id — the same rule the
+    * oracle SQL replays. The trade vs flat: a vector near a coarse-cell
+    * boundary may land in a different fine cell (recall, never
+    * precision — identical to nprobe semantics).
+    */
+  def indexHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, coarseCount: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val coarse = centroids.filter(col("centroid_id") < coarseCount)
+      .select(col("centroid_id").as("coarse_id"), col("cvec").as("wvec"))
+    // fine seed -> coarse cell (k·coarseCount pairs, map-side collapsed)
+    val sa = centroids.crossJoin(broadcast(coarse))
+      .withColumn("__cs", DotProduct.dot(spark, col("cvec"), col("wvec")))
+      .groupBy("centroid_id")
+      .agg(max_by(col("coarse_id"),
+        struct(col("__cs"), (-col("coarse_id")).as("__nc"))).as("__bc"))
+      .select(col("centroid_id"),
+        when(col("centroid_id") < coarseCount, col("centroid_id"))
+          .otherwise(col("__bc")).as("coarse_id"))
+    val vecs = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    // corpus -> coarse cell (n·coarseCount)
+    val vc = vecs.crossJoin(broadcast(coarse))
+      .withColumn("__cs", DotProduct.dot(spark, col("__v"), col("wvec")))
+      .groupBy("__id")
+      .agg(max_by(struct(col("coarse_id"), col("__v")),
+        struct(col("__cs"), (-col("coarse_id")).as("__nc"))).as("__b"))
+      .select(col("__id"), col("__b.__v").as("__v"),
+        col("__b.coarse_id").as("coarse_id"))
+    // corpus -> fine cell among the coarse cell's seeds (n·k/√k expected);
+    // the (fine seed, coarse) map rides inside the same k-row broadcast
+    val fineByCoarse = sa.join(centroids, Seq("centroid_id"))
+    vc.join(broadcast(fineByCoarse), Seq("coarse_id"))
+      .withColumn("__fs", DotProduct.dot(spark, col("__v"), col("cvec")))
+      .groupBy("__id")
+      .agg(max_by(struct(col("centroid_id"), col("__v")),
+        struct(col("__fs"), (-col("centroid_id")).as("__nf"))).as("__b"))
+      .select(col("__id").as("neighbor_id"), col("__b.__v").as("cv"),
+        col("__b.centroid_id").as("centroid_id"))
+      .repartition(col("centroid_id"))
+  }
+
   /** Search: route each query to its `nprobe` nearest cells, score only
     * those cells' vectors, return top-k per query (ties by neighbor id).
     */

@@ -63,11 +63,18 @@ object SemDedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       numCells: Int, threshold: Double, iters: Int = 0,
       maxCellSize: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
     val cents = Ivf.buildCentroids(df, idCol, vecCol, numCells, iters)
-    // (neighbor_id, cv, centroid_id), partitioned by cell
-    val idx = Ivf.index(df, idCol, vecCol, cents)
-      .withColumn("nrm", Knn.norm(col("cv")))
+    keepDrop(Ivf.index(df, idCol, vecCol, cents), idCol, threshold,
+      maxCellSize)
+  }
+
+  /** The keep/drop stage over an (neighbor_id, cv, centroid_id) index —
+    * shared by the flat and coarse-quantized assignments.
+    */
+  private def keepDrop(indexed: DataFrame, idCol: String,
+      threshold: Double, maxCellSize: Option[Int]): DataFrame = {
+    val spark = indexed.sparkSession
+    val idx = indexed.withColumn("nrm", Knn.norm(col("cv")))
     val a = idx.select(col("centroid_id"), col("neighbor_id").as("__ida"),
       col("cv").as("__va"), col("nrm").as("__na"))
     // Drop-candidate side: uncapped = the whole cell; capped = each
@@ -115,14 +122,39 @@ object SemDedup {
     semanticDedup(df, idCol, vecCol, scaledCells(df.count()), threshold,
       iters, maxCellSize)
 
+  /** [[semanticDedupScaled]] with the TWO-LEVEL assignment
+    * ([[Ivf.indexHierarchical]]): k = ⌈√n⌉ cells behind ⌈√k⌉ coarse
+    * centroids, so assignment costs n·2√k dots instead of flat n·k —
+    * the dominant FLOP term once `maxCellSize` has bounded the pairwise
+    * stage. This is the 100 TB shape; the flat variant is the
+    * exact-assignment baseline (a vector near a coarse boundary may land
+    * in a different cell here — recall, never precision). iters = 0
+    * seeds throughout: the whole three-argmax chain is deterministic and
+    * the oracle SQL replays it.
+    */
+  def semanticDedupCoarse(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCellSize: Option[Int] = None): DataFrame = {
+    val k = scaledCells(df.count())
+    val cents = Ivf.buildCentroids(df, idCol, vecCol, k, iters = 0)
+    keepDrop(Ivf.indexHierarchical(df, idCol, vecCol, cents, scaledCells(k)),
+      idCol, threshold, maxCellSize)
+  }
+
   /** DuckDB SQL computing exactly [[semanticDedup]] at iters = 0 — same
     * lowest-id seeds, same argmax-dot/lowest-centroid tie rule, same
     * lower-id-wins keep rule, same keep-lowest representative cap.
     * `cellsSql` is either a literal count or the ⌈√n⌉ expression.
     */
-  private def oracleSqlWith(cellsSql: String, threshold: Double,
-      maxCellSize: Option[Int], table: String, idCol: String,
-      vecCol: String): String = {
+  private def oracleHead(cellsSql: String, table: String, idCol: String,
+      vecCol: String): String =
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS centroid_id,
+       |    v AS cvec
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM e)
+       |  WHERE rn <= ($cellsSql)),""".stripMargin
+
+  private def oracleTail(threshold: Double, maxCellSize: Option[Int],
+      idCol: String): String = {
     val repsSql = maxCellSize match {
       case Some(cap) =>
         s"""reps AS (SELECT id, v, centroid_id FROM (
@@ -131,17 +163,7 @@ object SemDedup {
            |    FROM asn) WHERE cr <= $cap),""".stripMargin
       case None => "reps AS (SELECT * FROM asn),"
     }
-    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
-       |cent AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS centroid_id,
-       |    v AS cvec
-       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM e)
-       |  WHERE rn <= ($cellsSql)),
-       |asn AS (SELECT id, v, centroid_id FROM (
-       |    SELECT e.id, e.v, c.centroid_id,
-       |      row_number() OVER (PARTITION BY e.id
-       |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
-       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-       |$repsSql
+    s"""$repsSql
        |drops AS (SELECT DISTINCT a.id FROM asn a JOIN reps b
        |  ON a.centroid_id = b.centroid_id AND b.id < a.id
        |  WHERE list_dot_product(a.v, b.v)
@@ -151,6 +173,17 @@ object SemDedup {
        |  (drops.id IS NULL) AS keep
        |FROM asn LEFT JOIN drops ON drops.id = asn.id""".stripMargin
   }
+
+  private def oracleSqlWith(cellsSql: String, threshold: Double,
+      maxCellSize: Option[Int], table: String, idCol: String,
+      vecCol: String): String =
+    s"""${oracleHead(cellsSql, table, idCol, vecCol)}
+       |asn AS (SELECT id, v, centroid_id FROM (
+       |    SELECT e.id, e.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |${oracleTail(threshold, maxCellSize, idCol)}""".stripMargin
 
   /** Oracle for the fixed-cell [[semanticDedup]]. */
   def oracleSql(numCells: Int, threshold: Double,
@@ -170,4 +203,38 @@ object SemDedup {
     oracleSqlWith(
       "SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM e", threshold,
       maxCellSize, table, idCol, vecCol)
+
+  /** Oracle for [[semanticDedupCoarse]]: the two-level assignment's
+    * three argmax chains (fine-seed→coarse with self-anchor,
+    * vector→coarse, vector→fine-within-coarse) replayed with the same
+    * lower-id tie rule; cells = ⌈√n⌉, coarse = ⌈√cells⌉, both computed
+    * in-query so one SQL string gates every scale factor.
+    */
+  def oracleSqlCoarse(threshold: Double,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCellSize: Option[Int] = None): String =
+    s"""${oracleHead("SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM e", table, idCol, vecCol)}
+       |cc AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM cent),
+       |coarse AS (SELECT centroid_id AS coarse_id, cvec AS wvec FROM cent
+       |  WHERE centroid_id < (SELECT c FROM cc)),
+       |sa AS (SELECT centroid_id,
+       |    CASE WHEN centroid_id < (SELECT c FROM cc) THEN centroid_id
+       |         ELSE coarse_id END AS coarse_id
+       |  FROM (SELECT s.centroid_id, w.coarse_id,
+       |      row_number() OVER (PARTITION BY s.centroid_id
+       |        ORDER BY list_dot_product(s.cvec, w.wvec) DESC, w.coarse_id) AS rn
+       |    FROM cent s CROSS JOIN coarse w) WHERE rn = 1),
+       |vc AS (SELECT id, v, coarse_id FROM (
+       |    SELECT e.id, e.v, w.coarse_id,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_dot_product(e.v, w.wvec) DESC, w.coarse_id) AS rn
+       |    FROM e CROSS JOIN coarse w) WHERE rn = 1),
+       |asn AS (SELECT id, v, centroid_id FROM (
+       |    SELECT vc.id, vc.v, cent.centroid_id,
+       |      row_number() OVER (PARTITION BY vc.id
+       |        ORDER BY list_dot_product(vc.v, cent.cvec) DESC, cent.centroid_id) AS rn
+       |    FROM vc JOIN sa ON sa.coarse_id = vc.coarse_id
+       |    JOIN cent ON cent.centroid_id = sa.centroid_id) WHERE rn = 1),
+       |${oracleTail(threshold, maxCellSize, idCol)}""".stripMargin
 }

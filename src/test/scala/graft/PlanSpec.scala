@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 
+  test("q_semantic_dedup_coarse: two-level routing stays window-free and cartesian-free") {
+    // the three argmax chains are all broadcast joins + max_by partial
+    // aggregates; a row_number formulation would expand n·k rows through
+    // the shuffle (the Ivf.assign lesson)
+    val sp = q("q_semantic_dedup_coarse").queryExecution.sparkPlan
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, sp.toString)
+    assert(sp.toString.contains("bottom_k_longs"), sp.toString)
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
+  }
+
   test("q_ann_ivf plans no unpartitioned global window") {
     // a Window with an empty partition spec funnels the corpus through one
     // task; seeding must plan as TakeOrderedAndProject instead

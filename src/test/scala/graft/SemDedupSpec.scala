@@ -101,6 +101,39 @@ class SemDedupSpec extends SparkSpec {
       explicit.exceptAll(scaled).isEmpty)
   }
 
+  test("coarse two-level assignment: every vector verdicted, drops justified in-cell") {
+    val cap = 16
+    val out = SemDedup.semanticDedupCoarse(e, "vec_id", "embedding",
+      threshold = 0.3, maxCellSize = Some(cap)).localCheckpoint()
+    assert(out.count() == e.count())
+    assert(out.select("vec_id").distinct().count() == e.count(),
+      "coarse routing must never lose or duplicate a vector (empty-coarse-cell guard)")
+    // lowest id of every (coarse-assigned) cell is kept
+    val firstPerCell = out.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(firstPerCell.join(out, Seq("cell", "vec_id"))
+      .filter(!col("keep")).count() == 0)
+    // every drop is justified by one of ITS cell's `cap` lowest ids at
+    // >= threshold — exactly, using the cells the coarse router produced
+    import graft.expressions.DotProduct
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val j = out.join(v, Seq("vec_id"))
+    val reps = j.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rn") <= cap)
+      .select(col("cell"), col("vec_id").as("idb"), col("v").as("vb"))
+    val justified = j.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
+      .join(reps, Seq("cell")).filter(col("idb") < col("ida"))
+      .withColumn("cos", DotProduct.dot(spark, col("va"), col("vb")) /
+        (graft.sim.Knn.norm(col("va")) * graft.sim.Knn.norm(col("vb"))))
+      .filter(col("cos") >= 0.3).select(col("ida").as("vec_id")).distinct()
+    val drops = out.filter(!col("keep")).select("vec_id")
+    assert(drops.exceptAll(justified).isEmpty &&
+      justified.exceptAll(drops).isEmpty)
+  }
+
   test("threshold monotonicity: a stricter threshold on the same cells drops a subset") {
     val strict = SemDedup.semanticDedup(
       e, "vec_id", "embedding", numCells = 8, threshold = 0.4)
