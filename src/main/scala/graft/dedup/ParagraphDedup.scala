@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object ParagraphDedup {
 
+  /** `sepRegex` is evaluated by TWO regex dialects — Java regex in
+    * Spark's `split`, RE2 in DuckDB's `regexp_split_to_array` — so it
+    * must stay within their shared subset (no lookbehind, no
+    * backreferences, no possessive quantifiers: Java-only constructs
+    * would make the operator and its oracle silently diverge). Literal
+    * separators and simple classes/quantifiers are safe.
+    */
+  private[dedup] def sqlStringLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
   /** One row per non-empty paragraph: (idCol, para_idx, keep). para_idx
     * is the 0-based position in the ORIGINAL split (empty paragraphs
     * still consume an index, so kept indices address the raw document).
@@ -48,12 +58,14 @@ object ParagraphDedup {
   /** DuckDB SQL computing exactly [[paragraphDedup]] — same split, same
     * normalization, same lowest-(doc, idx)-wins rule (DuckDB ranks the
     * normalized text directly; Spark groups its sha256, a collision-free
-    * relabeling of the same partition).
+    * relabeling of the same partition). The separator is quoted as a SQL
+    * string literal; it must stay within the Java-regex ∩ RE2 subset
+    * (see [[sqlStringLit]]).
     */
   def oracleSql(sepRegex: String = "\n\n", table: String = "documents",
       idCol: String = "doc_id", textCol: String = "text"): String =
     s"""WITH d AS (SELECT $idCol AS doc,
-       |    regexp_split_to_array($textCol, '$sepRegex') AS ps FROM $table),
+       |    regexp_split_to_array($textCol, ${sqlStringLit(sepRegex)}) AS ps FROM $table),
        |t0 AS (SELECT doc, ps, unnest(range(1, len(ps) + 1)) AS pos1 FROM d),
        |t1 AS (SELECT doc, CAST(pos1 - 1 AS INT) AS para_idx,
        |    lower(trim(regexp_replace(ps[pos1], '\\s+', ' ', 'g'))) AS np

@@ -196,7 +196,9 @@ object Knn {
     * buffers hold ≤ cap ids per bucket, so even a fully-degenerate bucket
     * (every vector in one band key) never funnels n rows through a single
     * task (the r16 row_number window did exactly that); non-integral ids
-    * fall back to the per-bucket window.
+    * take the bounded two-phase [[graft.ops.BottomK]] — same cut, same
+    * bound. Both paths exclude NULL ids (a NULL id can never occupy a
+    * cap slot).
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int, planesPerBand: Int, dim: Int,
@@ -219,10 +221,10 @@ object Knn {
               .select(col("key"), explode(col("__ids")).as("id"))
               .select(col("key"), col("id").cast(idT).as("id"))
           case _ =>
-            keyedAll.withColumn("__bn", row_number().over(
-                Window.partitionBy("key").orderBy("id")))
-              .filter(col("__bn") <= cap).drop("__bn")
-              .select("key", "id")
+            // non-integral ids: the bounded generic two-phase bottom-k —
+            // identical keep-lowest cut, no per-bucket window funnel
+            graft.ops.BottomK.perKey(
+              keyedAll.select("key", "id"), Seq("key"), "id", cap)
         }
       case None => keyedAll.select("key", "id")
     }

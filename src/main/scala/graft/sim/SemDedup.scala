@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.{BottomKLongs, DotProduct}
@@ -42,8 +41,10 @@ import graft.expressions.{BottomKLongs, DotProduct}
   *     whose lowest-id twin ranks past the cap. Keep-lowest (not
   *     drop-the-bucket) and deterministic in id order — the
   *     [[graft.expressions.BottomKLongs]] map-side-bounded aggregate for
-  *     integral ids, the per-cell window otherwise — so the oracle SQL
-  *     reproduces the exact same representative set.
+  *     integral ids, the bounded two-phase [[graft.ops.BottomK]] for
+  *     everything else (both exclude NULL ids) — so the oracle SQL
+  *     reproduces the exact same representative set and no id type ever
+  *     takes an unbounded per-cell window.
   *
   * `iters = 0` keeps the centroids at the k lowest-id seed vectors —
   * fully deterministic float math both engines reproduce bit-identically
@@ -92,9 +93,14 @@ object SemDedup {
             idx.join(repIds,
               col("neighbor_id").cast("long") === col("__rid"), "left_semi")
           case _ =>
-            idx.withColumn("__cr", row_number().over(
-                Window.partitionBy("centroid_id").orderBy("neighbor_id")))
-              .filter(col("__cr") <= cap).drop("__cr")
+            // non-integral ids (e.g. string doc-ids): the bounded generic
+            // two-phase bottom-k — same keep-lowest cut, no per-cell
+            // window funnel (r17 verdict #2)
+            val repIds = graft.ops.BottomK.perKey(
+                idx.select("centroid_id", "neighbor_id"),
+                Seq("centroid_id"), "neighbor_id", cap)
+              .select(col("neighbor_id").as("__rid"))
+            idx.join(repIds, col("neighbor_id") === col("__rid"), "left_semi")
         }
       case None => idx
     }

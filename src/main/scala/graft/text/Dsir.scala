@@ -69,16 +69,24 @@ object Dsir {
           (acc, s) => acc + s.getField("__lp")), 4).as("logw"))
   }
 
-  /** 2^60 as an exact double — the sha60 range, a power of two, so the
-    * u = (h + 0.5) / 2^60 division is exact IEEE arithmetic both engines
-    * reproduce bit-identically.
+  /** 2^52 — the noise key keeps only sha60's LOW 52 bits before the
+    * (h + 0.5) / 2^52 mapping, so every step is exact IEEE arithmetic:
+    * h < 2^52 is exactly representable, h + 0.5 fits the 53-bit mantissa,
+    * and the divisor is a power of two. The previous 2^60 form was NOT
+    * exact near the top of the range (ulp at 2^60 is 256 — sha60 values
+    * in [2^60−128, 2^60−1] rounded to exactly 2^60, giving u = 1.0, where
+    * Spark's log(0) is NULL but DuckDB's ln(0) is −inf: a ~1e-16/doc
+    * cross-engine divergence). With the mask u ∈ [0.5/2^52, 1 − 0.5/2^52]
+    * strictly — never 0, never 1 — in both engines (the Sampling.scala
+    * mod-a-power-of-two precedent).
     */
-  private val TwoPow60: Double = 1152921504606846976.0d
+  private val TwoPow52: Double = 4503599627370496.0d
 
   /** The paper's final resampling step, completed (r16 verdict #3):
     * Gumbel top-k selection with noise KEYED ON THE DOCUMENT ID, so the
     * "random" draw is deterministic and the selected set hash-gates like
-    * everything else. u = (sha60(id) + 0.5) / 2^60 ∈ (0, 1),
+    * everything else. u = (sha60(id) mod 2^52 + 0.5) / 2^52 ∈ (0, 1)
+    * exactly (see [[TwoPow52]]),
     * g = −ln(−ln u) is a standard Gumbel variable, and the k largest
     * (logw + g) are exactly a without-replacement sample with
     * P(doc) ∝ exp(logw) — the Gumbel-top-k trick. Keyed noise also means
@@ -95,7 +103,8 @@ object Dsir {
   def select(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, k: Int, buckets: Int = 1024): DataFrame = {
     val w = importanceWeights(docs, idCol, textCol, targetPred, buckets)
-    val u = (Hashing.sha60(col(idCol)) + lit(0.5d)) / lit(TwoPow60)
+    val u = (Hashing.sha60(col(idCol)) % lit(TwoPow52.toLong) + lit(0.5d)) /
+      lit(TwoPow52)
     w.withColumn("gkey", round(col("logw") - log(-log(u)), 4))
       .orderBy(col("gkey").desc, col(idCol))
       .limit(k)
@@ -109,8 +118,8 @@ object Dsir {
       textCol: String = "text"): String =
     s"""WITH w AS (${oracleSql(targetSql, buckets, table, idCol, textCol)})
        |SELECT $idCol, n_tokens, logw,
-       |  round(logw - ln(-ln((${Hashing.sha60Sql(s"CAST($idCol AS VARCHAR)")} + 0.5)
-       |    / ${TwoPow60.toLong}.0)), 4) AS gkey
+       |  round(logw - ln(-ln((${Hashing.sha60Sql(s"CAST($idCol AS VARCHAR)")} % ${TwoPow52.toLong} + 0.5)
+       |    / ${TwoPow52.toLong}.0)), 4) AS gkey
        |FROM w ORDER BY gkey DESC, $idCol LIMIT $k""".stripMargin
 
   /** DuckDB SQL computing exactly [[importanceWeights]] — same sha60

@@ -57,17 +57,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FaultRun {
 
   def main(args: Array[String]): Unit = {
+    val usage = "usage: graft.tools.FaultRun [--mode=stage|task|double] " +
+      "[--kill-at=K] <sfDir> <query>..."
     var mode = "stage"
     var killAt = 8
     val rest = args.dropWhile { a =>
       if (a.startsWith("--mode=")) { mode = a.stripPrefix("--mode="); true }
       else if (a.startsWith("--kill-at=")) {
-        killAt = a.stripPrefix("--kill-at=").toInt; true
+        val v = a.stripPrefix("--kill-at=")
+        require(v.nonEmpty && v.length <= 9 && v.forall(_.isDigit),
+          s"--kill-at expects a positive integer, got '$v'\n$usage")
+        killAt = v.toInt; true
       } else false
     }
     require(Seq("stage", "task", "double").contains(mode),
-      s"unknown mode $mode")
-    require(killAt >= 1, s"--kill-at must be >= 1, got $killAt")
+      s"unknown mode $mode\n$usage")
+    require(killAt >= 1, s"--kill-at must be >= 1, got $killAt\n$usage")
+    require(rest.nonEmpty, s"missing <sfDir> and query names\n$usage")
     val expectedKills = if (mode == "double") 2 else 1
     val sfDir = rest.head
     val names = rest.tail.toSeq

@@ -48,6 +48,29 @@ class BottomKSpec extends SparkSpec {
     assert(got(2L) == Seq(7L))
   }
 
+  test("generic BottomK.perKey: agrees with BottomKLongs on longs; strings bounded, nulls skipped") {
+    import spark.implicits._
+    val rows = (0L until 400L).map { i =>
+      (if (i % 2 == 0) 0L else 1L + (i % 7), i)
+    }
+    val df = rows.toDF("key", "id").repartition(8)
+    val k = 5
+    val viaAgg = df.groupBy("key")
+      .agg(BottomKLongs.bottomK(spark, col("id"), k).as("ids"))
+      .select(col("key"), explode(col("ids")).as("id"))
+    val generic = graft.ops.BottomK.perKey(df, Seq("key"), "id", k)
+    assert(generic.exceptAll(viaAgg).isEmpty &&
+      viaAgg.exceptAll(generic).isEmpty,
+      "generic two-phase bottom-k must equal the typed aggregate's cut")
+    // strings: native binary order, NULL ids never occupy a cap slot
+    val sdf = Seq(("a", Some("x09")), ("a", Some("x03")), ("a", None),
+      ("a", Some("x11")), ("b", Some("z"))).toDF("key", "id")
+      .repartition(3)
+    val got = graft.ops.BottomK.perKey(sdf, Seq("key"), "id", 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "x03"), ("a", "x09"), ("b", "z")))
+  }
+
   test("partial-aggregation bound: merge of serialized buffers keeps k smallest") {
     val agg = BottomKLongs(org.apache.spark.sql.catalyst.expressions.Literal(0L), 3)
     val b1 = agg.createAggregationBuffer()

@@ -60,7 +60,9 @@ class DsirSpec extends SparkSpec {
       java.lang.Long.parseLong(d.take(15), 16)
     }
     val keyed = w.map { case (id, lw) =>
-      val u = (sha60(id.toString) + 0.5) / 1152921504606846976.0d
+      // low 52 bits only — the exact-IEEE keying (see Dsir.TwoPow52)
+      val u = (sha60(id.toString) % 4503599627370496L + 0.5) /
+        4503599627370496.0d
       val gk = BigDecimal(lw - math.log(-math.log(u)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, gk)
