@@ -97,19 +97,13 @@ object IncrementalDedup {
   }
 
   /** appendIfAbsent with a single table read, returning the post-append
-    * relation (snapshot ∪ appended) without re-reading it.
+    * relation (snapshot ∪ appended) without re-reading it — now the
+    * generic [[Warehouse.appendIfAbsentReturning]] (the same pattern the
+    * paragraph and semantic incremental indexes use).
     */
   private def appendOnce(wh: Warehouse, table: String, batch: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val deduped = batch.dropDuplicates(keys)
-    if (!wh.exists(table)) { wh.overwrite(table, deduped); deduped }
-    else {
-      val snapshot = wh.read(table)
-      val fresh = deduped.join(snapshot, keys, "left_anti").graftCheckpoint()
-      wh.append(table, fresh)
-      snapshot.unionByName(fresh)
-    }
-  }
+      keys: Seq[String]): DataFrame =
+    wh.appendIfAbsentReturning(table, batch, keys)
 
   private def emitPairs(idxBands: DataFrame, batchBands: DataFrame,
       sig: DataFrame, cfg: Config): DataFrame = {

@@ -200,6 +200,44 @@ object ExtensionQueries {
         Tables.t(s, dir, "documents"), "doc_id", "text",
         sepRegex = " the ")),
 
+    // Paragraph REASSEMBLY — the half of the C4 pipeline that ships:
+    // kept paragraphs concatenated back (in paragraph order) into the
+    // cleaned document. Gated as (n_kept, clean_len, clean_hash) per doc
+    // so the full reconstructed text is hash-verified without putting
+    // megabytes of text in the gated result. Same fixture separator as
+    // q_paragraph_dedup; ' | ' as the visible rejoin separator.
+    QueryDef(
+      "q_paragraph_reassemble",
+      Some(graft.dedup.ParagraphDedup.reassembleOracleSql(
+        sepRegex = " the ", joinSep = " | ")),
+      (s, dir) => graft.dedup.ParagraphDedup.reassemble(
+        Tables.t(s, dir, "documents"), "doc_id", "text",
+        sepRegex = " the ", joinSep = " | ")),
+
+    // INCREMENTAL paragraph dedup — the daily 100 TB shape of
+    // q_paragraph_dedup: the corpus (doc_id % 10 <> 0) seeds a persistent
+    // paragraph-digest→owner index; the day's batch (doc_id % 10 = 0)
+    // joins the index and appends only its NEW digests. No corpus
+    // re-split, per-batch cost O(batch paragraphs + matched index rows);
+    // IncrementalSpec proves a batch re-run is idempotent. The oracle
+    // replays the same corpus-first-then-lowest-(doc,idx) owner rule in
+    // one rank.
+    QueryDef(
+      "q_paragraph_dedup_incr",
+      Some(graft.dedup.ParagraphDedup.incrOracleSql(
+        batchPred = "% 10 = 0", sepRegex = " the ")),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-pincr").toString)
+        graft.dedup.ParagraphDedup.seedIndex(wh, "pd",
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          sepRegex = " the ")
+        graft.dedup.ParagraphDedup.processBatch(wh, "pd",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          sepRegex = " the ")
+      }),
+
     // Exact word-set Jaccard pairs — ground truth for the MinHash path.
     // Strategy pinned to BITMASK with an explicit doc cap: the fixture
     // corpus is a 31-word template vocabulary where every word appears in
@@ -971,6 +1009,32 @@ object ExtensionQueries {
       (s, dir) => SemDedup.semanticDedupCoarse(
         Tables.t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, maxCellSize = Some(16))),
+
+    // INCREMENTAL semantic dedup — the daily shape of q_semantic_dedup:
+    // the corpus (vec_id % 10 <> 0) freezes ⌈√n_corpus⌉ centroids and a
+    // cap-lowest representative index in the warehouse; the batch
+    // (vec_id % 10 = 0) assigns against the frozen centroids (broadcast
+    // argmax) and is verdicted only within its own touched cells against
+    // the indexed representatives ∪ itself. Per-batch work is
+    // |batch|·√n assignment dots + ≤ |batch|·cap pairwise — no corpus
+    // re-assignment, no corpus pairwise. The cap (16) binds at sf0.01
+    // (~450 corpus vectors / 22 cells), so the gate exercises the
+    // truncated candidate cut; IncrementalSpec proves batch re-runs are
+    // idempotent. Frozen centroids trade boundary recall (the
+    // q_ann_incremental precedent), never precision.
+    QueryDef(
+      "q_semantic_dedup_incr",
+      Some(SemDedup.incrOracleSql(threshold = 0.3, cap = 16,
+        batchPred = "% 10 = 0")),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-semincr").toString)
+        SemDedup.seedIndex(wh, "sd", e.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", cap = 16)
+        SemDedup.processBatch(wh, "sd", e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.3, cap = 16)
+      }),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).
     QueryDef(

@@ -60,6 +60,34 @@ object SemDedup {
   def scaledCells(n: Long): Int =
     math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** The cap-lowest member cut of an (neighbor_id, …, centroid_id)
+    * relation: each cell's `cap` lowest non-null ids, all columns kept
+    * (left-semi on the id, which is unique corpus-wide). Integral ids
+    * take the map-side-bounded [[BottomKLongs]] aggregate; everything
+    * else the bounded generic two-phase [[graft.ops.BottomK]] (r17
+    * verdict #2 — no id type ever takes an unbounded per-cell window).
+    */
+  private def capLowest(idx: DataFrame, cap: Int): DataFrame = {
+    val spark = idx.sparkSession
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    idx.schema("neighbor_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val repIds = idx
+          .select(col("centroid_id"), col("neighbor_id").cast("long").as("__rid"))
+          .groupBy("centroid_id")
+          .agg(BottomKLongs.bottomK(spark, col("__rid"), cap).as("__ids"))
+          .select(explode(col("__ids")).as("__rid"))
+        idx.join(repIds,
+          col("neighbor_id").cast("long") === col("__rid"), "left_semi")
+      case _ =>
+        val repIds = graft.ops.BottomK.perKey(
+            idx.select("centroid_id", "neighbor_id"),
+            Seq("centroid_id"), "neighbor_id", cap)
+          .select(col("neighbor_id").as("__rid"))
+        idx.join(repIds, col("neighbor_id") === col("__rid"), "left_semi")
+    }
+  }
+
   /** One row per input vector: (idCol, cell, keep). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       numCells: Int, threshold: Double, iters: Int = 0,
@@ -81,27 +109,7 @@ object SemDedup {
     // Drop-candidate side: uncapped = the whole cell; capped = each
     // cell's `cap` lowest ids only (Σ|cell|·cap ≤ n·cap pairwise work).
     val reps = maxCellSize match {
-      case Some(cap) =>
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        idx.schema("neighbor_id").dataType match {
-          case LongType | IntegerType | ShortType | ByteType =>
-            val repIds = idx
-              .select(col("centroid_id"), col("neighbor_id").cast("long").as("__rid"))
-              .groupBy("centroid_id")
-              .agg(BottomKLongs.bottomK(spark, col("__rid"), cap).as("__ids"))
-              .select(explode(col("__ids")).as("__rid"))
-            idx.join(repIds,
-              col("neighbor_id").cast("long") === col("__rid"), "left_semi")
-          case _ =>
-            // non-integral ids (e.g. string doc-ids): the bounded generic
-            // two-phase bottom-k — same keep-lowest cut, no per-cell
-            // window funnel (r17 verdict #2)
-            val repIds = graft.ops.BottomK.perKey(
-                idx.select("centroid_id", "neighbor_id"),
-                Seq("centroid_id"), "neighbor_id", cap)
-              .select(col("neighbor_id").as("__rid"))
-            idx.join(repIds, col("neighbor_id") === col("__rid"), "left_semi")
-        }
+      case Some(cap) => capLowest(idx, cap)
       case None => idx
     }
     val b = reps.select(col("centroid_id"), col("neighbor_id").as("__idb"),
@@ -145,6 +153,125 @@ object SemDedup {
     keepDrop(Ivf.indexHierarchical(df, idCol, vecCol, cents, scaledCells(k)),
       idCol, threshold, maxCellSize)
   }
+
+  // ---- Incremental (frozen centroids + persistent representative index)
+
+  /** Seed the PERSISTENT semantic-dedup index — the daily-pipeline shape
+    * (r17 verdict #1): `<name>_centroids` holds the FROZEN cell centroids
+    * (⌈√n_corpus⌉ lowest-id seed vectors, iters = 0 — deterministic and
+    * oracle-replayable like every gated assignment) and `<name>_reps`
+    * holds each cell's `cap` lowest-id members with their vectors — the
+    * only rows that can ever justify a drop under the capped keep-lowest
+    * rule, cap·cells rows total, NOT the corpus. A daily batch then
+    * assigns against the frozen centroids and compares only within its
+    * own touched cells — no corpus re-assignment, no corpus pairwise.
+    * The full-corpus [[semanticDedupScaled]] is the bootstrap; this is
+    * the steady state. The frozen-centroid trade is recall near cell
+    * boundaries as the corpus drifts (identical to the q_ann_incremental
+    * precedent), never precision — verdicts stay exact within cells.
+    */
+  def seedIndex(wh: graft.tables.Warehouse, name: String, corpus: DataFrame,
+      idCol: String, vecCol: String, cap: Int): Unit = {
+    val k = scaledCells(corpus.count())
+    val cents = Ivf.buildCentroids(corpus, idCol, vecCol, k, iters = 0)
+    wh.overwrite(s"${name}_centroids", cents)
+    wh.overwrite(s"${name}_reps",
+      capLowest(Ivf.index(corpus, idCol, vecCol, cents), cap)
+        .select("neighbor_id", "cv", "centroid_id"))
+  }
+
+  /** Process one batch: assign against the frozen centroids (broadcast
+    * argmax — |batch|·k dots), verdict each batch vector against the
+    * cap-lowest candidate set of its cell over (persisted reps ∪ this
+    * batch), and append the new candidate rows to the index. Output:
+    * (idCol, cell, keep) for the batch.
+    *
+    * Candidate algebra that makes this idempotent AND equal to the
+    * bootstrap cut: bottomCap(bottomCap(T) ∪ B) = bottomCap(T ∪ B), so
+    * re-capping the (append-only, possibly superset) rep table with the
+    * batch reproduces exactly the cap-lowest representatives of
+    * everything ever seen; a re-delivered batch adds no new ids (the
+    * appendIfAbsent no-ops) and recomputes the identical verdict set
+    * (IncrementalSpec). Work per batch: |batch|·k assignment dots +
+    * ≤ |batch|·cap pairwise dots + one cap·cells index read — O(batch)
+    * at fixed corpus, the shape a daily 100 TB pipeline actually runs.
+    */
+  def processBatch(wh: graft.tables.Warehouse, name: String,
+      batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      cap: Int): DataFrame = {
+    import graft.Materialize._
+    val spark = batch.sparkSession
+    val cents = wh.read(s"${name}_centroids")
+    val repsT = wh.read(s"${name}_reps")
+    val assigned = Ivf.index(batch, idCol, vecCol, cents).graftCheckpoint()
+    // set semantics before the cap: a re-delivered row already persisted
+    // must not occupy two cap slots
+    val cand = capLowest(
+      repsT.unionByName(assigned.select("neighbor_id", "cv", "centroid_id"))
+        .dropDuplicates("neighbor_id"), cap).graftCheckpoint()
+    val a = assigned.withColumn("nrm", Knn.norm(col("cv")))
+      .select(col("centroid_id"), col("neighbor_id").as("__ida"),
+        col("cv").as("__va"), col("nrm").as("__na"))
+    val b = cand.withColumn("nrm", Knn.norm(col("cv")))
+      .select(col("centroid_id"), col("neighbor_id").as("__idb"),
+        col("cv").as("__vb"), col("nrm").as("__nb"))
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("__idb") < col("__ida"))
+      .filter(DotProduct.dot(spark, col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")) >= threshold)
+      .select(col("__ida").as("__drop")).distinct()
+    wh.appendIfAbsent(s"${name}_reps", cand, Seq("neighbor_id"))
+    assigned
+      .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"))
+      .join(drops, col(idCol) === col("__drop"), "left")
+      .select(col(idCol), col("cell"), col("__drop").isNull.as("keep"))
+  }
+
+  /** DuckDB SQL computing exactly seedIndex(NOT batchPred) then
+    * [[processBatch]](batchPred): centroids = ⌈√n_corpus⌉ lowest-id
+    * CORPUS vectors, corpus and batch assigned by the same argmax/tie
+    * rule, candidates = per-cell cap-lowest of (corpus reps ∪ batch),
+    * drop iff a lower-id candidate matches at ≥ threshold. Cells are
+    * computed in-query from the corpus slice, so one SQL string gates
+    * every scale factor.
+    */
+  def incrOracleSql(threshold: Double, cap: Int, batchPred: String,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |    ($idCol $batchPred) AS b FROM $table),
+       |corp AS (SELECT id, v FROM e WHERE NOT b),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS centroid_id,
+       |    v AS cvec
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM corp)
+       |  WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM corp)),
+       |asnc AS (SELECT id, v, centroid_id FROM (
+       |    SELECT c.id, c.v, t.centroid_id,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY list_dot_product(c.v, t.cvec) DESC, t.centroid_id) AS rn
+       |    FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+       |reps AS (SELECT id, v, centroid_id FROM (
+       |    SELECT id, v, centroid_id,
+       |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
+       |    FROM asnc) WHERE cr <= $cap),
+       |asnb AS (SELECT id, v, centroid_id FROM (
+       |    SELECT e.id, e.v, t.centroid_id,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY list_dot_product(e.v, t.cvec) DESC, t.centroid_id) AS rn
+       |    FROM e CROSS JOIN cent t WHERE e.b) WHERE rn = 1),
+       |cand AS (SELECT id, v, centroid_id FROM (
+       |    SELECT id, v, centroid_id,
+       |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
+       |    FROM (SELECT * FROM reps UNION ALL SELECT * FROM asnb))
+       |  WHERE cr <= $cap),
+       |drops AS (SELECT DISTINCT a.id FROM asnb a JOIN cand c
+       |  ON a.centroid_id = c.centroid_id AND c.id < a.id
+       |  WHERE list_dot_product(a.v, c.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+       |    >= $threshold)
+       |SELECT asnb.id AS $idCol, asnb.centroid_id AS cell,
+       |  (drops.id IS NULL) AS keep
+       |FROM asnb LEFT JOIN drops ON drops.id = asnb.id""".stripMargin
 
   /** DuckDB SQL computing exactly [[semanticDedup]] at iters = 0 — same
     * lowest-id seeds, same argmax-dot/lowest-centroid tie rule, same

@@ -453,4 +453,26 @@ final class Warehouse(spark: SparkSession, root: String) {
   def appendIfAbsent(table: String, batch: DataFrame, keys: Seq[String]): Unit =
     if (!exists(table)) overwrite(table, batch.dropDuplicates(keys))
     else append(table, batch.dropDuplicates(keys).join(read(table), keys, "left_anti"))
+
+  /** [[appendIfAbsent]] with a SINGLE table read, returning the
+    * post-append relation (pre-append snapshot ∪ appended rows) without
+    * re-reading the table — the incremental-operator pattern (r9
+    * verdict: appendIfAbsent plus a post-append re-read paid four table
+    * reads per batch; this pays one). The returned relation is identical
+    * to a re-read by construction when append is the only writer. The
+    * fresh rows are checkpointed so the anti-join does not recompute
+    * when both the append and the returned relation evaluate.
+    */
+  def appendIfAbsentReturning(table: String, batch: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import graft.Materialize._
+    val deduped = batch.dropDuplicates(keys)
+    if (!exists(table)) { overwrite(table, deduped); read(table) }
+    else {
+      val snapshot = read(table)
+      val fresh = deduped.join(snapshot, keys, "left_anti").graftCheckpoint()
+      append(table, fresh)
+      snapshot.unionByName(fresh)
+    }
+  }
 }

@@ -10,9 +10,20 @@ import org.apache.spark.sql.functions.col
   * the measured version of that sentence.
   *
   * Usage: graft.tools.SemProbe <sfDir> [cells ...]
+  *        graft.tools.SemProbe --train <sfDir> [cap]
+  *
+  * `--train` (r17 verdict #6): cell QUALITY evidence — the gated
+  * configurations all run iters=0 (lowest-id seeds: deterministic float
+  * math both engines replay); the paper's cells are Lloyd-trained.
+  * Training changes only WHICH pairs share a cell — recall, never
+  * precision — so the honest measurement is the drop-set delta at equal
+  * threshold/cells/cap: drops at iters=0 vs iters=2, their overlap, and
+  * walls. Not hash-gateable (float k-means means diverge across engines);
+  * this probe + a SemDedupSpec assertion are the evidence instead.
   */
 object SemProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--train")) { trainProbe(args.tail); return }
     val sfDir = args.head
     val cellCounts =
       if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(8, 64, 141)
@@ -34,6 +45,40 @@ object SemProbe {
       println(f"[semprobe] cells=$cells%5d drops=$drops%7d " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    spark.stop()
+  }
+
+  private def trainProbe(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cap = args.lift(1).map(_.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-semprobe-train")
+      .getOrCreate()
+    graft.Tables.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+    val cells = graft.sim.SemDedup.scaledCells(e.count())
+    def drops(iters: Int): (Set[Long], Double) = {
+      val t0 = System.nanoTime()
+      val d = graft.sim.SemDedup
+        .semanticDedup(e, "vec_id", "embedding", cells, 0.3, iters, cap)
+        .filter(!col("keep")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      (d, (System.nanoTime() - t0) / 1e9)
+    }
+    val (d0, w0) = drops(0)
+    val (d2, w2) = drops(2)
+    val inter = (d0 intersect d2).size
+    println(f"[semprobe-train] cells=$cells cap=${cap.getOrElse(-1)} " +
+      f"drops(iters=0)=${d0.size} wall=$w0%.2f s | " +
+      f"drops(iters=2)=${d2.size} wall=$w2%.2f s | " +
+      f"overlap=$inter jaccard=${
+        inter.toDouble / math.max(1, (d0 union d2).size)}%.4f " +
+      f"delta=${(d2.size - d0.size).toDouble / math.max(1, d0.size) * 100}%.1f%%")
     spark.stop()
   }
 }

@@ -33,6 +33,65 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out == Map(0 -> true, 2 -> false))
   }
 
+  test("reassemble: kept paragraphs rejoin in order; fully-dropped docs emit empty text") {
+    val docs = Seq(
+      (1L, "alpha one\n\nbeta two\n\nalpha one"),
+      (2L, "beta two"),
+      (3L, "gamma three\n\nalpha one")).toDF("doc_id", "text")
+    val out = ParagraphDedup.reassemble(docs, "doc_id", "text",
+        joinSep = " | ")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 keeps both firsts; its trailing dup of "alpha one" is dropped
+    assert(out(1L) == ((2L, "alpha one | beta two".length,
+      h("alpha one | beta two"))))
+    // doc 2's only paragraph is a cross-doc dup → empty clean text
+    assert(out(2L) == ((0L, 0, h(""))))
+    // doc 3 keeps only its unique paragraph
+    assert(out(3L) == ((1L, "gamma three".length, h("gamma three"))))
+  }
+
+  test("incremental index: corpus owners win, batch re-run is idempotent") {
+    import graft.tables.Warehouse
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pincr").toString)
+    ParagraphDedup.seedIndex(wh, "pd",
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", " the ")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def verdictSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val run1 = verdictSet(
+      ParagraphDedup.processBatch(wh, "pd", batch, "doc_id", "text", " the "))
+    val idxN = wh.read("pd_paras").count()
+    val run2 = verdictSet(
+      ParagraphDedup.processBatch(wh, "pd", batch, "doc_id", "text", " the "))
+    assert(wh.read("pd_paras").count() == idxN, "re-run grew the index")
+    assert(run1 == run2, "re-run changed the verdict set")
+    assert(run1.exists(!_._3) && run1.exists(_._3),
+      "fixture must exercise both keep and drop verdicts")
+    // independent corpus-FIRST reference (arrival order beats global id
+    // order: an already-indexed corpus owner wins even against a
+    // lower-(doc,idx) batch occurrence — the defining incremental rule,
+    // and exactly what the oracle SQL ranks)
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " the ")).as(Seq("para_idx", "p")))
+      .withColumn("np", graft.dedup.Dedup.normalized(col("p")))
+      .filter(length(col("np")) > 0)
+    val w = Window.partitionBy("np")
+      .orderBy((col("doc_id") % 10 === 0).asc, col("doc_id"), col("para_idx"))
+    val expected = verdictSet(paras
+      .withColumn("rn", row_number().over(w))
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("para_idx"), (col("rn") === 1).as("keep")))
+    assert(run1 == expected,
+      "incremental verdicts must equal the corpus-first rank")
+  }
+
   test("dedup is corpus-linear in plan shape: one hash aggregate, no window, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sp = ParagraphDedup.paragraphDedup(docs, "doc_id", "text", " the ")

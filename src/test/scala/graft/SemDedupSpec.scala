@@ -152,6 +152,66 @@ class SemDedupSpec extends SparkSpec {
       justified.exceptAll(drops).isEmpty)
   }
 
+  test("incremental index: batch verdicts idempotent, bounded, drops justified") {
+    import spark.implicits._
+    import graft.tables.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-semincr").toString)
+    val corpus = e.filter(col("vec_id") % 2 =!= 0)
+    val batch = e.filter(col("vec_id") % 2 === 0)
+    val cap = 4
+    SemDedup.seedIndex(wh, "sd", corpus, "vec_id", "embedding", cap)
+    val cells = SemDedup.scaledCells(corpus.count())
+    assert(wh.read("sd_centroids").count() == cells)
+    assert(wh.read("sd_reps").count() <= cap.toLong * cells,
+      "seed reps must be the cap-lowest cut, never the corpus")
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val run1 = vs(SemDedup.processBatch(wh, "sd", batch,
+      "vec_id", "embedding", threshold = 0.3, cap = cap))
+    val repsN = wh.read("sd_reps").count()
+    assert(repsN <= 2L * cap * cells,
+      "post-batch reps stay bounded by the cap algebra")
+    val run2 = vs(SemDedup.processBatch(wh, "sd", batch,
+      "vec_id", "embedding", threshold = 0.3, cap = cap))
+    assert(wh.read("sd_reps").count() == repsN, "re-run grew the reps index")
+    assert(run1 == run2, "re-run changed the verdict set")
+    assert(run1.size == batch.count(), "every batch vector gets one verdict")
+    assert(run1.exists(!_._3) && run1.exists(_._3),
+      "fixture must exercise both keep and drop verdicts")
+    // every drop is justified by a LOWER-ID candidate of its cell —
+    // candidate = cap-lowest of (seed reps ∪ batch) per cell — at >= t
+    import graft.expressions.DotProduct
+    val out = run1.toSeq.toDF("vec_id", "cell", "keep")
+    val cents = wh.read("sd_centroids")
+    val assignedB = graft.sim.Ivf.index(batch, "vec_id", "embedding", cents)
+    val assignedC = graft.sim.Ivf.index(corpus, "vec_id", "embedding", cents)
+    val seedReps = assignedC.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("centroid_id").orderBy("neighbor_id")))
+      .filter(col("rn") <= cap).drop("rn")
+    val cand = seedReps.unionByName(assignedB)
+      .withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("centroid_id").orderBy("neighbor_id")))
+      .filter(col("rn") <= cap)
+      .select(col("centroid_id").as("cell"), col("neighbor_id").as("idb"),
+        col("cv").as("vb"))
+    val justified = assignedB
+      .select(col("centroid_id").as("cell"), col("neighbor_id").as("ida"),
+        col("cv").as("va"))
+      .join(cand, Seq("cell")).filter(col("idb") < col("ida"))
+      .withColumn("cos", DotProduct.dot(spark, col("va"), col("vb")) /
+        (graft.sim.Knn.norm(col("va")) * graft.sim.Knn.norm(col("vb"))))
+      .filter(col("cos") >= 0.3).select(col("ida").as("vec_id")).distinct()
+    val drops = out.filter(!col("keep")).select("vec_id")
+    assert(drops.exceptAll(justified).isEmpty &&
+      justified.exceptAll(drops).isEmpty,
+      "exactly the candidate-justified batch vectors are dropped")
+  }
+
   test("threshold monotonicity: a stricter threshold on the same cells drops a subset") {
     val strict = SemDedup.semanticDedup(
       e, "vec_id", "embedding", numCells = 8, threshold = 0.4)
