@@ -233,7 +233,13 @@ object SemDedup {
     * rule, candidates = per-cell cap-lowest of (corpus reps ∪ batch),
     * drop iff a lower-id candidate matches at ≥ threshold. Cells are
     * computed in-query from the corpus slice, so one SQL string gates
-    * every scale factor.
+    * every scale factor. The two assignment chains replay as STREAMING
+    * hash aggregates — max dot per vector, then min centroid id among
+    * the achievers (exactly the argmax/lower-id-tie rule; the float
+    * equality compares two evaluations of the identical expression) —
+    * because the row_number-window form materializes and sorts the n·k
+    * candidate relation, which OOM'd the sf10 replay at a 93 GiB cap.
+    * Only max/min/scalar ops: no version-sensitive constructs.
     */
   def incrOracleSql(threshold: Double, cap: Int, batchPred: String,
       table: String = "embeddings", idCol: String = "vec_id",
@@ -245,20 +251,24 @@ object SemDedup {
        |    v AS cvec
        |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM corp)
        |  WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM corp)),
-       |asnc AS (SELECT id, v, centroid_id FROM (
-       |    SELECT c.id, c.v, t.centroid_id,
-       |      row_number() OVER (PARTITION BY c.id
-       |        ORDER BY list_dot_product(c.v, t.cvec) DESC, t.centroid_id) AS rn
-       |    FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+       |bc AS (SELECT c.id, max(list_dot_product(c.v, t.cvec)) AS bd
+       |  FROM corp c CROSS JOIN cent t GROUP BY c.id),
+       |asnc AS (SELECT c.id, c.v, a.centroid_id FROM corp c JOIN (
+       |    SELECT c2.id, min(t.centroid_id) AS centroid_id
+       |    FROM corp c2 CROSS JOIN cent t JOIN bc ON bc.id = c2.id
+       |    WHERE list_dot_product(c2.v, t.cvec) = bc.bd
+       |    GROUP BY c2.id) a ON a.id = c.id),
        |reps AS (SELECT id, v, centroid_id FROM (
        |    SELECT id, v, centroid_id,
        |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
        |    FROM asnc) WHERE cr <= $cap),
-       |asnb AS (SELECT id, v, centroid_id FROM (
-       |    SELECT e.id, e.v, t.centroid_id,
-       |      row_number() OVER (PARTITION BY e.id
-       |        ORDER BY list_dot_product(e.v, t.cvec) DESC, t.centroid_id) AS rn
-       |    FROM e CROSS JOIN cent t WHERE e.b) WHERE rn = 1),
+       |bb AS (SELECT e.id, max(list_dot_product(e.v, t.cvec)) AS bd
+       |  FROM e CROSS JOIN cent t WHERE e.b GROUP BY e.id),
+       |asnb AS (SELECT e.id, e.v, a.centroid_id FROM e JOIN (
+       |    SELECT e2.id, min(t.centroid_id) AS centroid_id
+       |    FROM e e2 CROSS JOIN cent t JOIN bb ON bb.id = e2.id
+       |    WHERE e2.b AND list_dot_product(e2.v, t.cvec) = bb.bd
+       |    GROUP BY e2.id) a ON a.id = e.id WHERE e.b),
        |cand AS (SELECT id, v, centroid_id FROM (
        |    SELECT id, v, centroid_id,
        |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr

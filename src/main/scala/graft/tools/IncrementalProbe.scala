@@ -94,6 +94,41 @@ object IncrementalProbe {
       s""""batch_n":$vBatchN,"seed_s":${annTimes.map(_._1).min},""" +
       s""""batch_s":${annTimes.map(_._2).min}}""")
 
+    // --- incremental paragraph dedup (r18): fixed batch vs growing
+    // digest index — the O(batch) claim is exactly the dedup one
+    val paraTimes = (1 to trials).map { _ =>
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory("graft-probe-para").toString)
+      val seedS = timed(graft.dedup.ParagraphDedup.seedIndex(
+        wh, "pd", seed, "doc_id", "text", " the "))
+      val batchS = timed(graft.dedup.ParagraphDedup.processBatch(
+          wh, "pd", batch, "doc_id", "text", " the ")
+        .write.format("noop").mode("overwrite").save())
+      (seedS, batchS)
+    }
+    println(s"""{"probe":"incr_paragraph","dir":"$sfDir","seed_n":$seedN,""" +
+      s""""batch_n":$batchN,"seed_s":${paraTimes.map(_._1).min},""" +
+      s""""batch_s":${paraTimes.map(_._2).min}}""")
+
+    // --- incremental semantic dedup (r18): fixed vector batch vs frozen
+    // ⌈√n⌉-centroid index. Expected batch growth per seed decade is √10
+    // (assignment is |batch|·√n_corpus dots), NOT flat — the probe
+    // verifies the sub-linear exponent, the design's actual claim
+    val semTimes = (1 to trials).map { _ =>
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory("graft-probe-sem").toString)
+      val seedS = timed(graft.sim.SemDedup.seedIndex(
+        wh, "sd", vecSeed, "vec_id", "embedding", cap = 16))
+      val batchS = timed(graft.sim.SemDedup.processBatch(
+          wh, "sd", vecBatch, "vec_id", "embedding",
+          threshold = 0.3, cap = 16)
+        .write.format("noop").mode("overwrite").save())
+      (seedS, batchS)
+    }
+    println(s"""{"probe":"incr_semantic","dir":"$sfDir","seed_n":$vSeedN,""" +
+      s""""batch_n":$vBatchN,"seed_s":${semTimes.map(_._1).min},""" +
+      s""""batch_s":${semTimes.map(_._2).min}}""")
+
     spark.stop()
   }
 }

@@ -152,6 +152,46 @@ class SemDedupSpec extends SparkSpec {
       justified.exceptAll(drops).isEmpty)
   }
 
+  test("Lloyd-trained cells (iters=2): partition invariants hold, recall comparable") {
+    // Cell quality changes RECALL (which pairs share a cell), never
+    // precision — so the invariants must hold for ANY assignment, and the
+    // trained/seed drop counts must be comparable. Measured (SemProbe
+    // --train): sf0.001 uncapped +9.9% drops with training, sf1 uncapped
+    // +0.4%, sf1 capped −1.7% (balanced cells trade a sliver of capped
+    // recall for 1.7× less pairwise wall). Not hash-gateable: float
+    // k-means means diverge across engines.
+    val cells = SemDedup.scaledCells(e.count())
+    val trained = SemDedup.semanticDedup(
+      e, "vec_id", "embedding", cells, threshold = 0.3, iters = 2)
+      .localCheckpoint()
+    assert(trained.count() == e.count())
+    val firstPerCell = trained.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(firstPerCell.join(trained, Seq("cell", "vec_id"))
+      .filter(!col("keep")).count() == 0,
+      "lowest id of every trained cell must be kept")
+    // exact drop-justification within the trained cells
+    import graft.expressions.DotProduct
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val j = trained.join(v, Seq("vec_id"))
+    val pairs = j.select(col("cell"), col("vec_id").as("ida"), col("v").as("va"))
+      .join(j.select(col("cell"), col("vec_id").as("idb"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("idb") < col("ida"))
+      .withColumn("cos", DotProduct.dot(spark, col("va"), col("vb")) /
+        (graft.sim.Knn.norm(col("va")) * graft.sim.Knn.norm(col("vb"))))
+      .filter(col("cos") >= 0.3)
+      .select(col("ida").as("vec_id")).distinct()
+    val drops = trained.filter(!col("keep")).select("vec_id")
+    assert(drops.exceptAll(pairs).isEmpty && pairs.exceptAll(drops).isEmpty,
+      "exactly the in-cell-justified set is dropped under trained cells")
+    val seedDrops = SemDedup.semanticDedup(
+        e, "vec_id", "embedding", cells, threshold = 0.3, iters = 0)
+      .filter(!col("keep")).count()
+    assert(drops.count() >= (seedDrops * 9) / 10,
+      s"trained-cell recall collapsed: ${drops.count()} vs seed $seedDrops")
+  }
+
   test("incremental index: batch verdicts idempotent, bounded, drops justified") {
     import spark.implicits._
     import graft.tables.Warehouse
