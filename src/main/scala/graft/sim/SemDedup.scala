@@ -317,15 +317,25 @@ object SemDedup {
        |FROM asn LEFT JOIN drops ON drops.id = asn.id""".stripMargin
   }
 
+  /** The flat argmax replayed as STREAMING aggregates — max dot per
+    * vector, then min centroid id among the achievers (identical
+    * argmax/lower-id-tie rule; the float equality compares two
+    * evaluations of the same expression). The row_number-window form
+    * materializes and sorts the n·k candidate relation, which OOM'd the
+    * sf10 replay (200k×448 ≈ 90M rows spilled >74 GB at r17); the
+    * aggregate form gates it — r17 "missing #3" closed.
+    */
   private def oracleSqlWith(cellsSql: String, threshold: Double,
       maxCellSize: Option[Int], table: String, idCol: String,
       vecCol: String): String =
     s"""${oracleHead(cellsSql, table, idCol, vecCol)}
-       |asn AS (SELECT id, v, centroid_id FROM (
-       |    SELECT e.id, e.v, c.centroid_id,
-       |      row_number() OVER (PARTITION BY e.id
-       |        ORDER BY list_dot_product(e.v, c.cvec) DESC, c.centroid_id) AS rn
-       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |bd AS (SELECT e.id, max(list_dot_product(e.v, c.cvec)) AS bd
+       |  FROM e CROSS JOIN cent c GROUP BY e.id),
+       |asn AS (SELECT e.id, e.v, a.centroid_id FROM e JOIN (
+       |    SELECT e2.id, min(c.centroid_id) AS centroid_id
+       |    FROM e e2 CROSS JOIN cent c JOIN bd ON bd.id = e2.id
+       |    WHERE list_dot_product(e2.v, c.cvec) = bd.bd
+       |    GROUP BY e2.id) a ON a.id = e.id),
        |${oracleTail(threshold, maxCellSize, idCol)}""".stripMargin
 
   /** Oracle for the fixed-cell [[semanticDedup]]. */
@@ -351,7 +361,10 @@ object SemDedup {
     * three argmax chains (fine-seed→coarse with self-anchor,
     * vector→coarse, vector→fine-within-coarse) replayed with the same
     * lower-id tie rule; cells = ⌈√n⌉, coarse = ⌈√cells⌉, both computed
-    * in-query so one SQL string gates every scale factor.
+    * in-query so one SQL string gates every scale factor. The two
+    * corpus-wide argmax chains replay as streaming aggregates (see
+    * [[oracleSqlWith]]) — the window form's n·√k materialization is what
+    * bounded the replay's reachable decade.
     */
   def oracleSqlCoarse(threshold: Double,
       table: String = "embeddings", idCol: String = "vec_id",
@@ -368,16 +381,21 @@ object SemDedup {
        |      row_number() OVER (PARTITION BY s.centroid_id
        |        ORDER BY list_dot_product(s.cvec, w.wvec) DESC, w.coarse_id) AS rn
        |    FROM cent s CROSS JOIN coarse w) WHERE rn = 1),
-       |vc AS (SELECT id, v, coarse_id FROM (
-       |    SELECT e.id, e.v, w.coarse_id,
-       |      row_number() OVER (PARTITION BY e.id
-       |        ORDER BY list_dot_product(e.v, w.wvec) DESC, w.coarse_id) AS rn
-       |    FROM e CROSS JOIN coarse w) WHERE rn = 1),
-       |asn AS (SELECT id, v, centroid_id FROM (
-       |    SELECT vc.id, vc.v, cent.centroid_id,
-       |      row_number() OVER (PARTITION BY vc.id
-       |        ORDER BY list_dot_product(vc.v, cent.cvec) DESC, cent.centroid_id) AS rn
-       |    FROM vc JOIN sa ON sa.coarse_id = vc.coarse_id
-       |    JOIN cent ON cent.centroid_id = sa.centroid_id) WHERE rn = 1),
+       |bvc AS (SELECT e.id, max(list_dot_product(e.v, w.wvec)) AS bd
+       |  FROM e CROSS JOIN coarse w GROUP BY e.id),
+       |vc AS (SELECT e.id, e.v, a.coarse_id FROM e JOIN (
+       |    SELECT e2.id, min(w.coarse_id) AS coarse_id
+       |    FROM e e2 CROSS JOIN coarse w JOIN bvc ON bvc.id = e2.id
+       |    WHERE list_dot_product(e2.v, w.wvec) = bvc.bd
+       |    GROUP BY e2.id) a ON a.id = e.id),
+       |cd AS (SELECT vc.id, cent.centroid_id,
+       |    list_dot_product(vc.v, cent.cvec) AS d
+       |  FROM vc JOIN sa ON sa.coarse_id = vc.coarse_id
+       |  JOIN cent ON cent.centroid_id = sa.centroid_id),
+       |ba AS (SELECT id, max(d) AS bd FROM cd GROUP BY id),
+       |asn AS (SELECT e.id, e.v, a.centroid_id FROM e JOIN (
+       |    SELECT cd.id, min(cd.centroid_id) AS centroid_id
+       |    FROM cd JOIN ba ON ba.id = cd.id WHERE cd.d = ba.bd
+       |    GROUP BY cd.id) a ON a.id = e.id),
        |${oracleTail(threshold, maxCellSize, idCol)}""".stripMargin
 }
