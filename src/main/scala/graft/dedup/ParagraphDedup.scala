@@ -32,7 +32,7 @@ object ParagraphDedup {
     * would make the operator and its oracle silently diverge). Literal
     * separators and simple classes/quantifiers are safe.
     */
-  private[dedup] def sqlStringLit(s: String): String =
+  private[graft] def sqlStringLit(s: String): String =
     "'" + s.replace("'", "''") + "'"
 
   /** One row per non-empty paragraph: (idCol, para_idx, __h) — the
@@ -110,12 +110,27 @@ object ParagraphDedup {
     * instead of the text so the gated result stays small and scalar.
     */
   def reassemble(df: DataFrame, idCol: String, textCol: String,
-      sepRegex: String = "\n\n", joinSep: String = "\n\n"): DataFrame = {
+      sepRegex: String = "\n\n", joinSep: String = "\n\n"): DataFrame =
+    reassembleWith(df, paragraphDedup(df, idCol, textCol, sepRegex),
+      idCol, textCol, sepRegex, joinSep)
+
+  /** [[reassemble]] against CALLER-SUPPLIED verdicts — the incremental
+    * composition point (r18 verdict #6): a daily pipeline verdicts its
+    * batch with [[processBatch]] (against the persistent index, not a
+    * batch-local dedup) and reassembles the batch documents from those
+    * verdicts. `verdicts` must be (idCol, para_idx, keep) rows covering
+    * df's non-empty paragraphs — exactly what [[paragraphDedup]] and
+    * [[processBatch]] emit. Same plan shape as the full-corpus form: one
+    * (doc, idx) equi-join + a row-local sort_array fold, no window.
+    */
+  def reassembleWith(df: DataFrame, verdicts: DataFrame, idCol: String,
+      textCol: String, sepRegex: String = "\n\n",
+      joinSep: String = "\n\n"): DataFrame = {
     val kept = df
       .select(col(idCol),
         posexplode(split(col(textCol), sepRegex)).as(Seq("para_idx", "__p")))
-      .join(paragraphDedup(df, idCol, textCol, sepRegex)
-        .filter(col("keep")).drop("keep"), Seq(idCol, "para_idx"))
+      .join(verdicts.filter(col("keep")).drop("keep"),
+        Seq(idCol, "para_idx"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -196,6 +211,41 @@ object ParagraphDedup {
     * corpus occurrence of its digest exists AND it is the batch's
     * lowest-(doc, idx) occurrence — one rank with corpus-first ordering.
     */
+  /** DuckDB SQL computing exactly the SEQUENCED daily pipeline (r18
+    * verdict #1): seedIndex(rows matching no predicate) then
+    * processBatch(epochPreds(0)) then processBatch(epochPreds(1)) …, each
+    * batch's verdicts gated under its 1-based epoch number. Because
+    * paragraph ownership is PERMANENT once written (the index appends
+    * owners and never displaces them), the whole sequence replays as ONE
+    * rank with epoch-major ordering: a batch paragraph keeps iff no
+    * earlier-epoch occurrence of its digest exists (corpus = epoch 0) and
+    * it is its own epoch's lowest (doc, idx). Epoch ORDER is observable —
+    * a digest appearing in both B1 and B2 is owned by B1's occurrence,
+    * and swapping the epochs moves the ownership (the sensitivity spec) —
+    * which is what makes this a composition gate.
+    */
+  def incrOracleSqlEpochs(epochPreds: Seq[String],
+      sepRegex: String = "\n\n", table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    require(epochPreds.nonEmpty, "need at least one batch epoch")
+    val epCase = "CASE " + epochPreds.zipWithIndex.map { case (p, i) =>
+      s"WHEN doc $p THEN ${i + 1}" }.mkString(" ") + " ELSE 0 END"
+    s"""WITH d AS (SELECT $idCol AS doc,
+       |    regexp_split_to_array($textCol, ${sqlStringLit(sepRegex)}) AS ps FROM $table),
+       |t0 AS (SELECT doc, ps, unnest(range(1, len(ps) + 1)) AS pos1 FROM d),
+       |t1 AS (SELECT doc, CAST(pos1 - 1 AS INT) AS para_idx,
+       |    lower(trim(regexp_replace(ps[pos1], '\\s+', ' ', 'g'))) AS np
+       |  FROM t0),
+       |t2 AS (SELECT doc, para_idx, np, ($epCase) AS ep FROM t1
+       |  WHERE len(np) > 0),
+       |k AS (SELECT doc, para_idx, ep, row_number() OVER (PARTITION BY np
+       |    ORDER BY ep, doc, para_idx) AS rn
+       |  FROM t2)
+       |SELECT doc AS $idCol, para_idx, CAST(ep AS INT) AS epoch,
+       |  (rn = 1) AS keep
+       |FROM k WHERE ep > 0""".stripMargin
+  }
+
   def incrOracleSql(batchPred: String, sepRegex: String = "\n\n",
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text"): String =

@@ -3,35 +3,32 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.expressions.BottomKAny
+
 /** Bounded per-key bottom-k for ANY orderable id type — the generic
   * companion to [[graft.expressions.BottomKLongs]] (which stays the fast
-  * path for integral ids: primitive heap, no array churn).
+  * path for integral ids: primitive heap, no boxing).
   *
-  * The r17 verdict's latent funnel: the non-integral-id cap paths in
-  * SemDedup/Knn fell back to `row_number().over(Window.partitionBy(key))`,
-  * which materializes and sorts EVERY row of a key inside one task before
-  * truncating — a fully-degenerate key (all n rows in one LSH bucket or
-  * one collapsed embedding cell) funnels the whole corpus through a
-  * single task. This formulation never does: it is the classic two-phase
-  * top-k over built-in aggregates —
+  * History of the bound (r17 → r19): the non-integral-id cap paths in
+  * SemDedup/Knn originally fell back to
+  * `row_number().over(Window.partitionBy(key))`, which funnels every row
+  * of a degenerate key through one task. r18 replaced that with a
+  * two-phase collect_list/array_sort/slice formulation — no global
+  * funnel, but phase-1 aggregation state was still O(rows of the key in
+  * one map partition) on a degenerate key (the r18 verdict's named
+  * residual). r19 routes through [[BottomKAny]], a
+  * TypedImperativeAggregate holding a size-≤k heap over Spark's
+  * interpreted ordering for the id type — per-group state is O(k) on the
+  * map AND reduce side, merges are O(k), and the shuffle carries ≤ k ids
+  * per key per map partition, exactly the BottomKLongs bound.
   *
-  *   phase 1: group by (key, map partition), keep each partition's k
-  *            smallest ids — per-group state is bounded by the rows one
-  *            map partition already holds, and the partial aggregation
-  *            completes map-side (rows of a (key, pid) group are by
-  *            construction all in partition pid);
-  *   phase 2: group by key over the per-partition arrays — each key now
-  *            receives ≤ k ids per contributing map partition, so the
-  *            reduce-side group is ≤ k·P values, never the raw group.
-  *
-  * Correctness does not depend on HOW rows are split across partitions
-  * (bottom-k of a union of per-partition bottom-ks is the global
-  * bottom-k), so task retries that re-partition differently still produce
-  * the identical result. NULL ids are excluded, matching BottomKLongs —
-  * the r17-advice asymmetry where the window fallback let NULLs occupy
-  * cap slots is gone. Ordering is Spark's native ordering for the id
-  * type (binary/UTF8 for strings — the same order the window's
-  * `orderBy(id)` used).
+  * Semantics are unchanged from both prior forms (keep the k smallest
+  * non-null ids per key, Spark-native ordering — binary/UTF8 for
+  * strings), so gated hashes do not move. Correctness does not depend on
+  * how rows split across partitions (bottom-k of a merge of partial
+  * bottom-ks is the global bottom-k), so task retries that re-partition
+  * differently still produce the identical result. NULL ids never occupy
+  * a cap slot, matching BottomKLongs.
   */
 object BottomK {
 
@@ -39,16 +36,9 @@ object BottomK {
   def perKey(df: DataFrame, keys: Seq[String], idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"bottom-k requires k >= 1, got $k")
-    val grouped = df
-      .filter(col(idCol).isNotNull)
-      .select((keys :+ idCol).map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .groupBy((keys :+ "__pid").map(col): _*)
-      .agg(slice(array_sort(collect_list(col(idCol))), 1, k).as("__bk"))
-    grouped
+    df.filter(col(idCol).isNotNull)
       .groupBy(keys.map(col): _*)
-      .agg(slice(array_sort(flatten(collect_list(col("__bk")))), 1, k)
-        .as("__bk"))
+      .agg(BottomKAny.bottomK(df.sparkSession, col(idCol), k).as("__bk"))
       .select((keys.map(col) :+ explode(col("__bk")).as(idCol)): _*)
   }
 }

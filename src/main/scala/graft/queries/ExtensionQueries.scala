@@ -238,6 +238,67 @@ object ExtensionQueries {
           sepRegex = " the ")
       }),
 
+    // SEQUENCED incremental paragraph dedup — the COMPOSITION gate (r18
+    // verdict #1): the steady state is a sequence of daily batches, and a
+    // single-epoch gate cannot see ownership created by an earlier batch.
+    // seedIndex(corpus = doc_id % 10 ∉ {0, 5}) → processBatch(B1 =
+    // doc_id % 10 = 5) → processBatch(B2 = doc_id % 10 = 0); B2's
+    // verdicts must respect owners B1 created minutes earlier. The oracle
+    // replays the whole sequence as one epoch-major rank (ownership is
+    // permanent, so corpus < B1 < B2 ordering is exact); the
+    // epoch-order-SENSITIVITY half (swapping B1/B2 moves owners) is
+    // ParagraphDedupSpec's.
+    QueryDef(
+      "q_paragraph_dedup_incr2",
+      Some(graft.dedup.ParagraphDedup.incrOracleSqlEpochs(
+        epochPreds = Seq("% 10 = 5", "% 10 = 0"), sepRegex = " the ")),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-pincr2").toString)
+        graft.dedup.ParagraphDedup.seedIndex(wh, "pd",
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text", sepRegex = " the ")
+        val v1 = graft.dedup.ParagraphDedup.processBatch(wh, "pd",
+          docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
+          sepRegex = " the ").withColumn("epoch", lit(1))
+        val v2 = graft.dedup.ParagraphDedup.processBatch(wh, "pd",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          sepRegex = " the ").withColumn("epoch", lit(2))
+        v1.unionByName(v2)
+      }),
+
+    // The composed DAILY CURATION PIPELINE (r18 verdict #6): cursor →
+    // batch → paragraph-incr → reassemble → idempotent append → cursor
+    // advance, run for a bootstrap plus TWO sequenced days (watermarks
+    // ⌊max·3/5⌋ and ⌊max·4/5⌋, computed identically in both engines).
+    // The gated result is the CLEAN TABLE the pipeline shipped — both
+    // days' documents reassembled from index-verdicted paragraphs — so
+    // the gate proves the operators compose (day 2 respects owners day 1
+    // wrote, the cursor carves exactly the arrivals, the appends land
+    // once). The semantic stage needs an embedding column the documents
+    // fixture lacks; PipelineSpec runs the full doc+vector composition
+    // with hash assertions against the direct operators.
+    QueryDef(
+      "q_curation_pipeline",
+      Some(graft.pipelines.Curation.oracleSql(
+        sepRegex = " the ", joinSep = " | ")),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val (w0, w1) = (maxId * 3 / 5, maxId * 4 / 5)
+        val root =
+          java.nio.file.Files.createTempDirectory("graft-q-curation").toString
+        val wh = new graft.tables.Warehouse(s, root)
+        val cur = new graft.state.Cursor(s, s"$root/curation.cursor")
+        val c = new graft.pipelines.Curation(s, wh, cur, "cur",
+          "doc_id", "text", sepRegex = " the ", joinSep = " | ")
+        c.bootstrap(docs.filter(col("doc_id") <= w0))
+        c.runDay(docs.filter(col("doc_id") <= w1))
+        c.runDay(docs)
+        c.clean
+      }),
+
     // Exact word-set Jaccard pairs — ground truth for the MinHash path.
     // Strategy pinned to BITMASK with an explicit doc cap: the fixture
     // corpus is a 31-word template vocabulary where every word appears in
@@ -1034,6 +1095,35 @@ object ExtensionQueries {
           "vec_id", "embedding", cap = 16)
         SemDedup.processBatch(wh, "sd", e.filter(col("vec_id") % 10 === 0),
           "vec_id", "embedding", threshold = 0.3, cap = 16)
+      }),
+
+    // SEQUENCED incremental semantic dedup — the COMPOSITION gate (r18
+    // verdict #1): seedIndex(corpus = vec_id % 10 ∉ {0, 5}) →
+    // processBatch(B1 = % 10 = 5) → processBatch(B2 = % 10 = 0). B2's
+    // candidate set must include representatives B1's append created; the
+    // cap algebra collapses the replay to one per-epoch cap-lowest cut
+    // over the epoch-tagged assignment (cand_j = bottom-cap of
+    // corpus ∪ B_1..j per cell). Epoch-order sensitivity (swapping B1/B2
+    // flips verdicts exactly where a lower-id rep changes) is
+    // SemDedupSpec's half.
+    QueryDef(
+      "q_semantic_dedup_incr2",
+      Some(SemDedup.incrOracleSqlEpochs(threshold = 0.3, cap = 16,
+        epochPreds = Seq("% 10 = 5", "% 10 = 0"))),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-semincr2").toString)
+        SemDedup.seedIndex(wh, "sd",
+          e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
+          "vec_id", "embedding", cap = 16)
+        val v1 = SemDedup.processBatch(wh, "sd",
+          e.filter(col("vec_id") % 10 === 5), "vec_id", "embedding",
+          threshold = 0.3, cap = 16).withColumn("epoch", lit(1))
+        val v2 = SemDedup.processBatch(wh, "sd",
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.3, cap = 16).withColumn("epoch", lit(2))
+        v1.unionByName(v2)
       }),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions.col
 object SemProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--train")) { trainProbe(args.tail); return }
+    if (args.headOption.contains("--drift")) { driftProbe(args.tail); return }
     val sfDir = args.head
     val cellCounts =
       if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(8, 64, 141)
@@ -45,6 +46,83 @@ object SemProbe {
       println(f"[semprobe] cells=$cells%5d drops=$drops%7d " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
+    spark.stop()
+  }
+
+  /** `--drift` (r18 verdict missing #4): quantify the ONE trade
+    * [[graft.sim.SemDedup.seedIndex]] makes — frozen corpus-seeded
+    * centroids — on a batch whose embedding distribution has DRIFTED
+    * from the seed corpus. The drifted batch is the fixture batch slice
+    * rotated one coordinate (ScaleUp's embedding perturbation: norms and
+    * coordinate distributions unchanged, cosine against the corpus
+    * decorrelated — the worst realistic drift at fixed geometry). Two
+    * verdict paths at equal threshold/cap:
+    *
+    *   frozen — seedIndex(corpus) then processBatch(driftedBatch): the
+    *            daily shape, assignment against seed-corpus centroids;
+    *   fresh  — reseedIndex over (corpus ∪ driftedBatch) — ⌈√(n+batch)⌉
+    *            centroids seeing the drifted data — restricted to the
+    *            batch ids: the cutover's verdicts.
+    *
+    * Prints both drop sets' sizes, overlap, jaccard, the frozen path's
+    * recall of the fresh path's drops (the honest "what drift costs"
+    * number), and walls. When recall decays past the operator's
+    * tolerance, [[graft.sim.SemDedup.reseedIndex]] is the cutover; this
+    * probe is how the cadence gets chosen. Not hash-gateable (the two
+    * paths legitimately differ — that difference IS the measurement).
+    *
+    * Usage: SemProbe --drift <sfDir> [cap]
+    */
+  private def driftProbe(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cap = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-semprobe-drift")
+      .getOrCreate()
+    graft.Tables.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0).localCheckpoint()
+    // drift: rotate each batch vector one position (norm-preserving,
+    // decorrelates cosine vs the seed cells — ScaleUp's perturbation)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), 2, 10000),
+          slice(col("embedding"), 1, 1)))
+      .localCheckpoint()
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val whF = new graft.tables.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-drift-frozen").toString)
+    graft.sim.SemDedup.seedIndex(whF, "d", corpus, "vec_id", "embedding", cap)
+    val (frozen, wF) = timed(graft.sim.SemDedup
+      .processBatch(whF, "d", batch, "vec_id", "embedding", 0.3, cap)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet)
+    val whR = new graft.tables.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-drift-fresh").toString)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (fresh, wR) = timed(graft.sim.SemDedup
+      .reseedIndex(whR, "d", corpus.unionByName(batch), "vec_id",
+        "embedding", 0.3, cap)
+      .filter(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+      .intersect(batchIds))
+    val inter = (frozen intersect fresh).size
+    println(f"[semprobe-drift] cap=$cap corpus=${corpus.count()} " +
+      f"batch=${batchIds.size} | frozen_drops=${frozen.size} wall=$wF%.2f s " +
+      f"| fresh_drops=${fresh.size} wall=$wR%.2f s | overlap=$inter " +
+      f"jaccard=${inter.toDouble / math.max(1, (frozen union fresh).size)}%.4f " +
+      f"recall_of_fresh=${inter.toDouble / math.max(1, fresh.size)}%.4f")
     spark.stop()
   }
 

@@ -71,6 +71,51 @@ class BottomKSpec extends SparkSpec {
     assert(got == Set(("a", "x03"), ("a", "x09"), ("b", "z")))
   }
 
+  test("BottomKAny: window parity on skewed STRING keys; buffers bounded at k") {
+    import spark.implicits._
+    // deterministic skew: key "hot" holds half the ids; ids are strings
+    // whose binary order differs from numeric order (x10 < x9)
+    val rows = (0 until 400).map { i =>
+      val key = if (i % 2 == 0) "hot" else s"k${i % 7}"
+      (key, s"x$i")
+    }
+    val df = rows.toDF("key", "id").repartition(8)
+    val k = 5
+    val viaAgg = graft.ops.BottomK.perKey(df, Seq("key"), "id", k)
+    val viaWindow = df.withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("id")))
+      .filter(col("rn") <= k).select("key", "id")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty,
+      "bounded generic aggregate must equal the window's keep-lowest cut")
+  }
+
+  test("BottomKAny: serialize/merge round-trip keeps k smallest, copies values") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.expressions.BottomKAny(
+      BoundReference(0, StringType, nullable = true), 3)
+    val b1 = agg.createAggregationBuffer()
+    // shared mutable buffer: the same UTF8String instance is rewritten
+    // between updates — the aggregate must copy on insert
+    Seq("x9", "x1", "x7", "x5", null).foreach { s =>
+      agg.update(b1, InternalRow(
+        if (s == null) null else UTF8String.fromString(s)))
+    }
+    assert(b1.size <= 3, "buffer never exceeds k")
+    val b2 = agg.createAggregationBuffer()
+    Seq("x2", "x8", "x0").foreach { s =>
+      agg.update(b2, InternalRow(UTF8String.fromString(s)))
+    }
+    val merged = agg.merge(b1, agg.deserialize(agg.serialize(b2)))
+    val got = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.toString).toSeq
+    assert(got == Seq("x0", "x1", "x2"))
+  }
+
   test("partial-aggregation bound: merge of serialized buffers keeps k smallest") {
     val agg = BottomKLongs(org.apache.spark.sql.catalyst.expressions.Literal(0L), 3)
     val b1 = agg.createAggregationBuffer()

@@ -92,6 +92,35 @@ class ParagraphDedupSpec extends SparkSpec {
       "incremental verdicts must equal the corpus-first rank")
   }
 
+  test("sequenced batches compose: day 2 respects day-1 owners; epoch order is observable") {
+    import graft.tables.Warehouse
+    // "shared" appears in BOTH batches; "b1only"/"b2only" in one each;
+    // "corp" is pre-owned by the corpus
+    val corpus = Seq((1L, "corp")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "b1only\n\nshared\n\ncorp")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "shared\n\nb2only")).toDF("doc_id", "text")
+    def runSeq(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame) = {
+      val wh = new Warehouse(spark,
+        java.nio.file.Files.createTempDirectory("graft-pseq").toString)
+      ParagraphDedup.seedIndex(wh, "pd", corpus, "doc_id", "text")
+      def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+      (vs(ParagraphDedup.processBatch(wh, "pd", first, "doc_id", "text")),
+        vs(ParagraphDedup.processBatch(wh, "pd", second, "doc_id", "text")))
+    }
+    val (v1, v2) = runSeq(b1, b2)
+    // day 1: owns its new digests, loses to the corpus on "corp"
+    assert(v1 == Map((5L, 0) -> true, (5L, 1) -> true, (5L, 2) -> false))
+    // day 2: "shared" was claimed by B1 YESTERDAY — the composition rule
+    assert(v2 == Map((10L, 0) -> false, (10L, 1) -> true))
+    // swapped epochs: ownership of "shared" moves to B2's occurrence and
+    // nothing else changes — epoch order is observable exactly there
+    val (w1, w2) = runSeq(b2, b1)
+    assert(w1 == Map((10L, 0) -> true, (10L, 1) -> true))
+    assert(w2 == Map((5L, 0) -> true, (5L, 1) -> false, (5L, 2) -> false))
+  }
+
   test("dedup is corpus-linear in plan shape: one hash aggregate, no window, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sp = ParagraphDedup.paragraphDedup(docs, "doc_id", "text", " the ")

@@ -54,6 +54,71 @@ class PipelineSpec extends SparkSpec {
     assert(uidsAfter == keptUids)
   }
 
+  test("daily curation composes: cursor → paragraph-incr → semantic-incr → reassemble → idempotent append") {
+    import graft.dedup.ParagraphDedup
+    import graft.pipelines.Curation
+    import graft.sim.SemDedup
+    import graft.state.Cursor
+    // documents with a deterministic embedding per doc (doc_id % nVec →
+    // fixture vector, so docs sharing a vector are exact semantic dups —
+    // both stages get exercised)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nv = emb.count()
+    val src = docs.join(
+        emb.select(col("vec_id").as("k"), col("embedding")),
+        docs("doc_id") % nv === col("k"))
+      .select("doc_id", "text", "embedding").localCheckpoint()
+    val maxId = src.agg(max("doc_id")).first().getLong(0)
+    val (w0, w1) = (maxId * 3 / 5, maxId * 4 / 5)
+    val root = Files.createTempDirectory("graft-cure2e").toString
+    val wh = new Warehouse(spark, root)
+    val cur = new Cursor(spark, s"$root/c.cursor")
+    val c = new Curation(spark, wh, cur, "cur", "doc_id", "text",
+      sepRegex = " the ", joinSep = " | ",
+      vecCol = Some("embedding"), semThreshold = 0.3, semCap = 8)
+    assert(c.bootstrap(src.filter(col("doc_id") <= w0)) == cur.value())
+    val n1 = c.runDay(src.filter(col("doc_id") <= w1))
+    val n2 = c.runDay(src)
+    assert(n1 > 0 && n2 > 0 && cur.value() == maxId)
+    // a third run after success is a no-op (empty batch, nothing written)
+    val cleanBefore = c.clean.count()
+    assert(c.runDay(src) == 0 && c.clean.count() == cleanBefore)
+    // hash assertions vs the DIRECT operators, replayed day by day
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val wh2 = new Warehouse(spark, Files.createTempDirectory("cure2d").toString)
+    val corpus = src.filter(col("doc_id") <= w0)
+    ParagraphDedup.seedIndex(wh2, "d", corpus, "doc_id", "text", " the ")
+    SemDedup.seedIndex(wh2, "d", corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cap = 8)
+    def day(batch: org.apache.spark.sql.DataFrame) = {
+      val v = ParagraphDedup.processBatch(wh2, "d", batch, "doc_id",
+        "text", " the ")
+      val clean = ParagraphDedup.reassembleWith(batch, v, "doc_id",
+        "text", " the ", " | ")
+      val keep = SemDedup.processBatch(wh2, "d",
+          batch.select("doc_id", "embedding"), "doc_id", "embedding",
+          threshold = 0.3, cap = 8)
+        .filter(col("keep")).select("doc_id")
+      clean.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+    }
+    val d1 = day(src.filter(col("doc_id") > w0 && col("doc_id") <= w1))
+    val d2 = day(src.filter(col("doc_id") > w1))
+    val expected = vs(d1.unionByName(d2))
+    assert(vs(c.clean) == expected,
+      "pipeline clean table must equal the direct per-day operator replay")
+    assert(expected.size < n1 + n2,
+      "semantic stage must drop at least one duplicate document")
+    // crash replay: cursor rolled back to the day-1 watermark (crash
+    // between append and advance) — the batch reprocesses, the
+    // idempotent-by-key writes leave every table unchanged
+    cur.advance(w1)
+    assert(c.runDay(src) == n2)
+    assert(vs(c.clean) == expected, "crash replay must be a no-op by key")
+  }
+
   test("§3.3 reverse ETL: sql → property maps → batches") {
     Tables.t(spark, sf, "events").createOrReplaceTempView("events")
     val posted = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -188,8 +188,16 @@ class SemDedupSpec extends SparkSpec {
     val seedDrops = SemDedup.semanticDedup(
         e, "vec_id", "embedding", cells, threshold = 0.3, iters = 0)
       .filter(!col("keep")).count()
-    assert(drops.count() >= (seedDrops * 9) / 10,
-      s"trained-cell recall collapsed: ${drops.count()} vs seed $seedDrops")
+    // The recall RATIO is a fixture-coupled float-k-means metric, not an
+    // invariant (r18 advice #3): Lloyd means fold through avg() whose
+    // reduction order can shift across Spark versions/platforms. Log it
+    // (SemProbe --train is the committed evidence) and keep only a wide
+    // collapse canary; the structural asserts above are the contract.
+    val trainedDrops = drops.count()
+    info(f"trained-cell drops=$trainedDrops seed=$seedDrops " +
+      f"ratio=${trainedDrops.toDouble / math.max(1, seedDrops)}%.3f")
+    assert(trainedDrops * 2 >= seedDrops,
+      s"trained-cell recall collapsed >2x: $trainedDrops vs seed $seedDrops")
   }
 
   test("incremental index: batch verdicts idempotent, bounded, drops justified") {
@@ -250,6 +258,115 @@ class SemDedupSpec extends SparkSpec {
     assert(drops.exceptAll(justified).isEmpty &&
       justified.exceptAll(drops).isEmpty,
       "exactly the candidate-justified batch vectors are dropped")
+  }
+
+  test("sequenced batches compose by the cap algebra; compaction is verdict-invariant and bounded") {
+    import graft.tables.Warehouse
+    def tmp(p: String) = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory(p).toString)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5)
+    val b1 = e.filter(col("vec_id") % 10 === 5)
+    val b2 = e.filter(col("vec_id") % 10 === 0)
+    val cap = 4
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    def run(df: org.apache.spark.sql.DataFrame, wh: Warehouse) =
+      vs(SemDedup.processBatch(wh, "sd", df, "vec_id", "embedding",
+        threshold = 0.3, cap = cap))
+    // A: the sequenced pipeline (seed → B1 → B2)
+    val whA = tmp("graft-semseqA")
+    SemDedup.seedIndex(whA, "sd", corpus, "vec_id", "embedding", cap)
+    val vA1 = run(b1, whA)
+    val vA2 = run(b2, whA)
+    // B: single-shot B1 ∪ B2 — the cap algebra says B2's sequential
+    // candidate set (bottomCap(reps-after-B1 ∪ B2)) IS
+    // bottomCap(corpus ∪ B1 ∪ B2), i.e. the single-shot candidate set,
+    // so the B2 verdicts must be identical row for row
+    val whB = tmp("graft-semseqB")
+    SemDedup.seedIndex(whB, "sd", corpus, "vec_id", "embedding", cap)
+    val vB = run(b1.unionByName(b2), whB)
+    val b2ids = b2.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vA2 == vB.filter(t => b2ids.contains(t._1)),
+      "sequenced day-2 verdicts must equal the single-shot union cut")
+    assert(vA1.exists(!_._3) || vA2.exists(!_._3),
+      "fixture must exercise drops across the sequence")
+    // C: compaction between the days is VERDICT-INVARIANT (the algebra's
+    // operational half) and restores the cap·cells bound
+    val whC = tmp("graft-semseqC")
+    SemDedup.seedIndex(whC, "sd", corpus, "vec_id", "embedding", cap)
+    run(b1, whC)
+    val grown = whC.read("sd_reps").count()
+    SemDedup.compactIndex(whC, "sd", cap)
+    val compacted = whC.read("sd_reps").count()
+    val cells = whC.read("sd_centroids").count()
+    assert(compacted <= cap * cells,
+      s"compaction must restore the cap*cells bound: $compacted > $cap*$cells")
+    assert(compacted <= grown)
+    assert(run(b2, whC) == vA2,
+      "compaction changed a subsequent batch's verdicts")
+  }
+
+  test("epoch order is observable: the kept representative follows arrival order") {
+    import spark.implicits._
+    import graft.tables.Warehouse
+    // v5 ≈ v10 (cosine 1), both < 0.95 to every corpus vector — whoever
+    // arrives first is kept, the other dropped; swapping epochs swaps it
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((5L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val b2 = Seq((10L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    def keeps(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame) = {
+      val wh = new Warehouse(spark,
+        java.nio.file.Files.createTempDirectory("graft-semord").toString)
+      SemDedup.seedIndex(wh, "sd", corpus, "vec_id", "embedding", cap = 4)
+      def k(df: org.apache.spark.sql.DataFrame) =
+        SemDedup.processBatch(wh, "sd", df, "vec_id", "embedding",
+          threshold = 0.95, cap = 4)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      (k(first), k(second))
+    }
+    val (k1, k2) = keeps(b1, b2)
+    assert(k1 == Map(5L -> true) && k2 == Map(10L -> false),
+      "a later-epoch duplicate must drop against the earlier-epoch rep")
+    // Swapped: id 10 arrives first and keeps (nothing lower matches);
+    // id 5 arrives second and ALSO keeps — the keep-lowest rule never
+    // drops a vector for a HIGHER-id candidate, so the observable
+    // order-sensitivity is exactly id 10's verdict flip.
+    val (s1, s2) = keeps(b2, b1)
+    assert(s1 == Map(10L -> true) && s2 == Map(5L -> true),
+      "swapping the epochs must flip the higher id's verdict only")
+  }
+
+  test("reseedIndex: emitted cut equals the full-corpus scaled dedup; index is fresh") {
+    import graft.tables.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-semreseed").toString)
+    // stale index from a corpus PREFIX, then reseed over everything
+    SemDedup.seedIndex(wh, "sd", e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", cap = 4)
+    val cut = SemDedup.reseedIndex(wh, "sd", e, "vec_id", "embedding",
+      threshold = 0.3, cap = 4)
+    val direct = SemDedup.semanticDedupScaled(e, "vec_id", "embedding",
+      threshold = 0.3, maxCellSize = Some(4))
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(vs(cut) == vs(direct),
+      "post-reseed cut must equal the full-corpus semanticDedupScaled cut")
+    val cells = SemDedup.scaledCells(e.count())
+    assert(wh.read("sd_centroids").count() == cells,
+      "reseed must re-scale the cell count to the grown corpus")
+    assert(wh.read("sd_reps").count() <= 4L * cells)
+    // the pipeline keeps running: a later batch verdicts against the
+    // fresh index, idempotently
+    import spark.implicits._
+    val batch = e.limit(20).select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val r1 = vs(SemDedup.processBatch(wh, "sd", batch, "vec_id",
+      "embedding", threshold = 0.3, cap = 4))
+    val r2 = vs(SemDedup.processBatch(wh, "sd", batch, "vec_id",
+      "embedding", threshold = 0.3, cap = 4))
+    assert(r1 == r2 && r1.size == 20)
   }
 
   test("threshold monotonicity: a stricter threshold on the same cells drops a subset") {
