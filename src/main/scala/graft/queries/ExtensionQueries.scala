@@ -1097,6 +1097,29 @@ object ExtensionQueries {
           "vec_id", "embedding", threshold = 0.3, cap = 16)
       }),
 
+    // The FOURTH-DECADE bootstrap of the incremental semantic index:
+    // seedIndexCoarse replaces the flat n·√n corpus seed pass (measured
+    // 45-minute-class at sf100's 2M vectors — the r18 flat-DNF wall)
+    // with the two-level n·2·n^(1/4) assignment (the 33.97 s
+    // q_semantic_dedup_coarse shape). Daily batches run the UNCHANGED
+    // processBatch — small batches keep the exact flat argmax against
+    // the same frozen centroids. The trade is recall near coarse
+    // boundaries for corpus representatives, never precision.
+    QueryDef(
+      "q_semantic_dedup_incr_coarse",
+      Some(SemDedup.incrOracleSqlCoarse(threshold = 0.3, cap = 16,
+        batchPred = "% 10 = 0")),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-semincrc").toString)
+        SemDedup.seedIndexCoarse(wh, "sd",
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          cap = 16)
+        SemDedup.processBatch(wh, "sd", e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.3, cap = 16)
+      }),
+
     // SEQUENCED incremental semantic dedup — the COMPOSITION gate (r18
     // verdict #1): seedIndex(corpus = vec_id % 10 ∉ {0, 5}) →
     // processBatch(B1 = % 10 = 5) → processBatch(B2 = % 10 = 0). B2's

@@ -240,6 +240,32 @@ object SemDedup {
       .select(col(idCol), col("cell"), col("__drop").isNull.as("keep"))
   }
 
+  /** [[seedIndex]] with the TWO-LEVEL corpus assignment
+    * ([[Ivf.indexHierarchical]]) — the fourth-decade bootstrap (r19):
+    * the flat seed pass costs n·k assignment dots (k = ⌈√n⌉), which at
+    * sf100 (2M vectors, 1415 cells) is the measured 45-minute-class wall
+    * the r18 flat-dedup DNF hit; the two-level pass costs n·2√k — the
+    * same 33.97 s shape q_semantic_dedup_coarse gated at 2M vectors.
+    * Centroids are IDENTICAL to [[seedIndex]]'s (same lowest-id seeds);
+    * only WHICH cell a corpus vector's representative row lands in can
+    * differ near coarse boundaries — recall, never precision, exactly
+    * the [[semanticDedupCoarse]] trade. [[processBatch]] runs unchanged
+    * against the seeded index: a daily batch is small, so ITS assignment
+    * stays the exact flat argmax against the frozen centroids, and the
+    * cap algebra is untouched (cells are labels; a re-delivered batch
+    * re-assigns identically).
+    */
+  def seedIndexCoarse(wh: graft.tables.Warehouse, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String, cap: Int): Unit = {
+    val k = scaledCells(corpus.count())
+    val cents = Ivf.buildCentroids(corpus, idCol, vecCol, k, iters = 0)
+    wh.overwrite(s"${name}_centroids", cents)
+    wh.overwrite(s"${name}_reps",
+      capLowest(Ivf.indexHierarchical(corpus, idCol, vecCol, cents,
+        scaledCells(k)), cap)
+        .select("neighbor_id", "cv", "centroid_id"))
+  }
+
   /** Compact the reps index back to the exact per-cell bottom-cap cut —
     * the operational half of the incremental design (r18 verdict missing
     * #2): [[processBatch]] appends every batch's candidate cut, so under
@@ -322,6 +348,76 @@ object SemDedup {
        |    FROM corp c2 CROSS JOIN cent t JOIN bc ON bc.id = c2.id
        |    WHERE list_dot_product(c2.v, t.cvec) = bc.bd
        |    GROUP BY c2.id) a ON a.id = c.id),
+       |reps AS (SELECT id, v, centroid_id FROM (
+       |    SELECT id, v, centroid_id,
+       |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
+       |    FROM asnc) WHERE cr <= $cap),
+       |bb AS (SELECT e.id, max(list_dot_product(e.v, t.cvec)) AS bd
+       |  FROM e CROSS JOIN cent t WHERE e.b GROUP BY e.id),
+       |asnb AS (SELECT e.id, e.v, a.centroid_id FROM e JOIN (
+       |    SELECT e2.id, min(t.centroid_id) AS centroid_id
+       |    FROM e e2 CROSS JOIN cent t JOIN bb ON bb.id = e2.id
+       |    WHERE e2.b AND list_dot_product(e2.v, t.cvec) = bb.bd
+       |    GROUP BY e2.id) a ON a.id = e.id WHERE e.b),
+       |cand AS (SELECT id, v, centroid_id FROM (
+       |    SELECT id, v, centroid_id,
+       |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr
+       |    FROM (SELECT * FROM reps UNION ALL SELECT * FROM asnb))
+       |  WHERE cr <= $cap),
+       |drops AS (SELECT DISTINCT a.id FROM asnb a JOIN cand c
+       |  ON a.centroid_id = c.centroid_id AND c.id < a.id
+       |  WHERE list_dot_product(a.v, c.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+       |    >= $threshold)
+       |SELECT asnb.id AS $idCol, asnb.centroid_id AS cell,
+       |  (drops.id IS NULL) AS keep
+       |FROM asnb LEFT JOIN drops ON drops.id = asnb.id""".stripMargin
+
+  /** DuckDB SQL computing exactly [[seedIndexCoarse]](NOT batchPred)
+    * then [[processBatch]](batchPred): the corpus replays the SAME
+    * three-argmax two-level chain as [[oracleSqlCoarse]] (fine-seed →
+    * coarse with self-anchor, vector → coarse, vector → fine within the
+    * anchored coarse bucket — every chain streaming aggregates with the
+    * lower-id tie rule), the batch replays the flat argmax against the
+    * same frozen centroids, and the candidate cut is the per-cell
+    * cap-lowest of (coarse-assigned corpus ∪ flat-assigned batch).
+    */
+  def incrOracleSqlCoarse(threshold: Double, cap: Int, batchPred: String,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |    ($idCol $batchPred) AS b FROM $table),
+       |corp AS (SELECT id, v FROM e WHERE NOT b),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS centroid_id,
+       |    v AS cvec
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM corp)
+       |  WHERE rn <= (SELECT CAST(ceil(sqrt(count(*))) AS INT) FROM corp)),
+       |cc AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS c FROM cent),
+       |coarse AS (SELECT centroid_id AS coarse_id, cvec AS wvec FROM cent
+       |  WHERE centroid_id < (SELECT c FROM cc)),
+       |sa AS (SELECT centroid_id,
+       |    CASE WHEN centroid_id < (SELECT c FROM cc) THEN centroid_id
+       |         ELSE coarse_id END AS coarse_id
+       |  FROM (SELECT s.centroid_id, w.coarse_id,
+       |      row_number() OVER (PARTITION BY s.centroid_id
+       |        ORDER BY list_dot_product(s.cvec, w.wvec) DESC, w.coarse_id) AS rn
+       |    FROM cent s CROSS JOIN coarse w) WHERE rn = 1),
+       |bvc AS (SELECT c.id, max(list_dot_product(c.v, w.wvec)) AS bd
+       |  FROM corp c CROSS JOIN coarse w GROUP BY c.id),
+       |vc AS (SELECT c.id, c.v, a.coarse_id FROM corp c JOIN (
+       |    SELECT c2.id, min(w.coarse_id) AS coarse_id
+       |    FROM corp c2 CROSS JOIN coarse w JOIN bvc ON bvc.id = c2.id
+       |    WHERE list_dot_product(c2.v, w.wvec) = bvc.bd
+       |    GROUP BY c2.id) a ON a.id = c.id),
+       |cd AS (SELECT vc.id, cent.centroid_id,
+       |    list_dot_product(vc.v, cent.cvec) AS d
+       |  FROM vc JOIN sa ON sa.coarse_id = vc.coarse_id
+       |  JOIN cent ON cent.centroid_id = sa.centroid_id),
+       |ba AS (SELECT id, max(d) AS bd FROM cd GROUP BY id),
+       |asnc AS (SELECT c.id, c.v, a.centroid_id FROM corp c JOIN (
+       |    SELECT cd.id, min(cd.centroid_id) AS centroid_id
+       |    FROM cd JOIN ba ON ba.id = cd.id WHERE cd.d = ba.bd
+       |    GROUP BY cd.id) a ON a.id = c.id),
        |reps AS (SELECT id, v, centroid_id FROM (
        |    SELECT id, v, centroid_id,
        |      row_number() OVER (PARTITION BY centroid_id ORDER BY id) AS cr

@@ -25,7 +25,10 @@ import graft.tables.Warehouse
   * replays are cheaper by idempotence); min over `trials` discards host
   * contention spikes, same estimator as Bench.
   *
-  * Usage: runMain graft.tools.IncrementalProbe <sfDir> [trials]
+  * Usage: runMain graft.tools.IncrementalProbe <sfDir> [trials] [only]
+  * `only` is a comma-separated probe-name filter (incr_dedup,
+  * ann_append, incr_paragraph, incr_semantic, incr_semantic_coarse) —
+  * fourth-decade runs re-probe one shape without paying every seed.
   * Prints one JSON line per probe:
   *   {"probe":"incr_dedup","dir":…,"seed_n":…,"batch_n":…,
   *    "seed_s":…,"batch_s":…}
@@ -37,6 +40,8 @@ object IncrementalProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val trials = if (args.length > 1) args(1).toInt else 3
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def want(p: String) = only.forall(_.contains(p))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +61,7 @@ object IncrementalProbe {
     val batch = docs.filter(isBatch).localCheckpoint()
     val seed = docs.filter(!isBatch).localCheckpoint()
     val (seedN, batchN) = (seed.count(), batch.count())
+    if (want("incr_dedup")) {
     val dedupTimes = (1 to trials).map { _ =>
       val wh = new Warehouse(spark,
         Files.createTempDirectory("graft-probe-dedup").toString)
@@ -69,6 +75,7 @@ object IncrementalProbe {
     println(s"""{"probe":"incr_dedup","dir":"$sfDir","seed_n":$seedN,""" +
       s""""batch_n":$batchN,"seed_s":${dedupTimes.map(_._1).min},""" +
       s""""batch_s":${dedupTimes.map(_._2).min}}""")
+    }
 
     // --- incremental ANN: fixed ~2% batch of the original vectors
     val emb = Tables.t(spark, sfDir, "embeddings")
@@ -79,6 +86,7 @@ object IncrementalProbe {
     val vecSeed = emb.filter(!(isVecBatch && col("vec_id") >= 16))
       .localCheckpoint()
     val (vSeedN, vBatchN) = (vecSeed.count(), vecBatch.count())
+    if (want("ann_append")) {
     val annTimes = (1 to trials).map { _ =>
       val wh = new Warehouse(spark,
         Files.createTempDirectory("graft-probe-ann").toString)
@@ -93,9 +101,11 @@ object IncrementalProbe {
     println(s"""{"probe":"ann_append","dir":"$sfDir","seed_n":$vSeedN,""" +
       s""""batch_n":$vBatchN,"seed_s":${annTimes.map(_._1).min},""" +
       s""""batch_s":${annTimes.map(_._2).min}}""")
+    }
 
     // --- incremental paragraph dedup (r18): fixed batch vs growing
     // digest index — the O(batch) claim is exactly the dedup one
+    if (want("incr_paragraph")) {
     val paraTimes = (1 to trials).map { _ =>
       val wh = new Warehouse(spark,
         Files.createTempDirectory("graft-probe-para").toString)
@@ -109,11 +119,13 @@ object IncrementalProbe {
     println(s"""{"probe":"incr_paragraph","dir":"$sfDir","seed_n":$seedN,""" +
       s""""batch_n":$batchN,"seed_s":${paraTimes.map(_._1).min},""" +
       s""""batch_s":${paraTimes.map(_._2).min}}""")
+    }
 
     // --- incremental semantic dedup (r18): fixed vector batch vs frozen
     // ⌈√n⌉-centroid index. Expected batch growth per seed decade is √10
     // (assignment is |batch|·√n_corpus dots), NOT flat — the probe
     // verifies the sub-linear exponent, the design's actual claim
+    if (want("incr_semantic")) {
     val semTimes = (1 to trials).map { _ =>
       val wh = new Warehouse(spark,
         Files.createTempDirectory("graft-probe-sem").toString)
@@ -128,6 +140,28 @@ object IncrementalProbe {
     println(s"""{"probe":"incr_semantic","dir":"$sfDir","seed_n":$vSeedN,""" +
       s""""batch_n":$vBatchN,"seed_s":${semTimes.map(_._1).min},""" +
       s""""batch_s":${semTimes.map(_._2).min}}""")
+    }
+
+    // --- coarse-seeded incremental semantic dedup (r19): the
+    // fourth-decade BOOTSTRAP — seedIndexCoarse's two-level n·2√k corpus
+    // pass vs seedIndex's flat n·k (the 45-minute-class sf100 wall);
+    // processBatch unchanged, so batch_s should match incr_semantic
+    if (want("incr_semantic_coarse")) {
+    val semcTimes = (1 to trials).map { _ =>
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory("graft-probe-semc").toString)
+      val seedS = timed(graft.sim.SemDedup.seedIndexCoarse(
+        wh, "sd", vecSeed, "vec_id", "embedding", cap = 16))
+      val batchS = timed(graft.sim.SemDedup.processBatch(
+          wh, "sd", vecBatch, "vec_id", "embedding",
+          threshold = 0.3, cap = 16)
+        .write.format("noop").mode("overwrite").save())
+      (seedS, batchS)
+    }
+    println(s"""{"probe":"incr_semantic_coarse","dir":"$sfDir","seed_n":$vSeedN,""" +
+      s""""batch_n":$vBatchN,"seed_s":${semcTimes.map(_._1).min},""" +
+      s""""batch_s":${semcTimes.map(_._2).min}}""")
+    }
 
     spark.stop()
   }

@@ -25,6 +25,7 @@ object SemProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--train")) { trainProbe(args.tail); return }
     if (args.headOption.contains("--drift")) { driftProbe(args.tail); return }
+    if (args.headOption.contains("--growth")) { growthProbe(args.tail); return }
     val sfDir = args.head
     val cellCounts =
       if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(8, 64, 141)
@@ -123,6 +124,56 @@ object SemProbe {
       f"| fresh_drops=${fresh.size} wall=$wR%.2f s | overlap=$inter " +
       f"jaccard=${inter.toDouble / math.max(1, (frozen union fresh).size)}%.4f " +
       f"recall_of_fresh=${inter.toDouble / math.max(1, fresh.size)}%.4f")
+    spark.stop()
+  }
+
+  /** `--growth` (r18 verdict missing #2): measure what the reps index
+    * accumulates across N sequential daily batches WITHOUT compaction —
+    * every processBatch appends its candidate cut, so ex-representatives
+    * pile up with churn — then compact and print the restored bound.
+    * Verdict-invariance of the compaction is SemDedupSpec's assertion;
+    * this prints the operational numbers (rows read per batch) that set
+    * the compaction cadence.
+    *
+    * Usage: SemProbe --growth <sfDir> [nBatches] [cap]
+    */
+  private def growthProbe(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val n = args.lift(1).map(_.toInt).getOrElse(5)
+    val cap = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .appName("graft-semprobe-growth")
+      .getOrCreate()
+    graft.Tables.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // corpus = high ids (so every batch is a wave of NEW lowest ids —
+    // worst-case churn: each batch displaces representatives)
+    val corpus = e.filter(col("vec_id") % (n + 1) === n)
+    val wh = new graft.tables.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-growth").toString)
+    graft.sim.SemDedup.seedIndex(wh, "g", corpus, "vec_id", "embedding", cap)
+    val cells = wh.read("g_centroids").count()
+    val bound = cap * cells
+    println(s"[semprobe-growth] cap=$cap cells=$cells bound=$bound " +
+      s"seed_reps=${wh.read("g_reps").count()}")
+    (0 until n).foreach { i =>
+      graft.sim.SemDedup.processBatch(wh, "g",
+        e.filter(col("vec_id") % (n + 1) === i), "vec_id", "embedding",
+        threshold = 0.3, cap = cap)
+        .write.format("noop").mode("overwrite").save()
+      println(s"[semprobe-growth] after_batch=${i + 1} " +
+        s"reps=${wh.read("g_reps").count()}")
+    }
+    graft.sim.SemDedup.compactIndex(wh, "g", cap)
+    println(s"[semprobe-growth] after_compact reps=" +
+      s"${wh.read("g_reps").count()} (bound $bound)")
     spark.stop()
   }
 

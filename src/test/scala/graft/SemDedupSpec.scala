@@ -338,6 +338,58 @@ class SemDedupSpec extends SparkSpec {
       "swapping the epochs must flip the higher id's verdict only")
   }
 
+  test("coarse-seeded index: verdicts exact within frozen cells, idempotent, justified") {
+    import graft.tables.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-semincrc").toString)
+    val corpus = e.filter(col("vec_id") % 2 =!= 0)
+    val batch = e.filter(col("vec_id") % 2 === 0)
+    val cap = 4
+    SemDedup.seedIndexCoarse(wh, "sc", corpus, "vec_id", "embedding", cap)
+    val cells = SemDedup.scaledCells(corpus.count())
+    assert(wh.read("sc_centroids").count() == cells,
+      "coarse seeding must freeze the same scaled centroid count")
+    assert(wh.read("sc_reps").count() <= cap.toLong * cells)
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val run1 = vs(SemDedup.processBatch(wh, "sc", batch,
+      "vec_id", "embedding", threshold = 0.3, cap = cap))
+    val run2 = vs(SemDedup.processBatch(wh, "sc", batch,
+      "vec_id", "embedding", threshold = 0.3, cap = cap))
+    assert(run1 == run2 && run1.size == batch.count(),
+      "coarse-seeded batch verdicts must be idempotent and complete")
+    // drops justified against capLowest(coarse-assigned corpus ∪
+    // flat-assigned batch) — the exact candidate set the seed persisted
+    import graft.expressions.DotProduct
+    import org.apache.spark.sql.expressions.Window
+    val cents = wh.read("sc_centroids")
+    val assignedC = graft.sim.Ivf.indexHierarchical(
+      corpus, "vec_id", "embedding", cents, SemDedup.scaledCells(cells))
+    val assignedB = graft.sim.Ivf.index(batch, "vec_id", "embedding", cents)
+    val seedReps = assignedC.withColumn("rn", row_number().over(
+        Window.partitionBy("centroid_id").orderBy("neighbor_id")))
+      .filter(col("rn") <= cap).drop("rn")
+    val cand = seedReps.unionByName(assignedB)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("centroid_id").orderBy("neighbor_id")))
+      .filter(col("rn") <= cap)
+      .select(col("centroid_id").as("cell"), col("neighbor_id").as("idb"),
+        col("cv").as("vb"))
+    import spark.implicits._
+    val justified = assignedB
+      .select(col("centroid_id").as("cell"), col("neighbor_id").as("ida"),
+        col("cv").as("va"))
+      .join(cand, Seq("cell")).filter(col("idb") < col("ida"))
+      .withColumn("cos", DotProduct.dot(spark, col("va"), col("vb")) /
+        (graft.sim.Knn.norm(col("va")) * graft.sim.Knn.norm(col("vb"))))
+      .filter(col("cos") >= 0.3).select(col("ida").as("vec_id")).distinct()
+    val drops = run1.toSeq.toDF("vec_id", "cell", "keep")
+      .filter(!col("keep")).select("vec_id")
+    assert(drops.exceptAll(justified).isEmpty &&
+      justified.exceptAll(drops).isEmpty,
+      "exactly the coarse-candidate-justified batch vectors are dropped")
+  }
+
   test("reseedIndex: emitted cut equals the full-corpus scaled dedup; index is fresh") {
     import graft.tables.Warehouse
     val wh = new Warehouse(spark,
