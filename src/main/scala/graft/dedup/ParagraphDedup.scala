@@ -206,11 +206,6 @@ object ParagraphDedup {
     verdicts(paras, idx, idCol)
   }
 
-  /** DuckDB SQL computing exactly seedIndex(NOT batchPred docs) then
-    * [[processBatch]](batchPred docs): a batch paragraph keeps iff no
-    * corpus occurrence of its digest exists AND it is the batch's
-    * lowest-(doc, idx) occurrence — one rank with corpus-first ordering.
-    */
   /** DuckDB SQL computing exactly the SEQUENCED daily pipeline (r18
     * verdict #1): seedIndex(rows matching no predicate) then
     * processBatch(epochPreds(0)) then processBatch(epochPreds(1)) …, each
@@ -246,6 +241,11 @@ object ParagraphDedup {
        |FROM k WHERE ep > 0""".stripMargin
   }
 
+  /** DuckDB SQL computing exactly seedIndex(NOT batchPred docs) then
+    * [[processBatch]](batchPred docs): a batch paragraph keeps iff no
+    * corpus occurrence of its digest exists AND it is the batch's
+    * lowest-(doc, idx) occurrence — one rank with corpus-first ordering.
+    */
   def incrOracleSql(batchPred: String, sepRegex: String = "\n\n",
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text"): String =

@@ -259,13 +259,19 @@ object ExtensionQueries {
         graft.dedup.ParagraphDedup.seedIndex(wh, "pd",
           docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
           "doc_id", "text", sepRegex = " the ")
+        // day-1 verdicts MATERIALIZE to the warehouse before day 2 runs —
+        // exactly what Curation.runDay does (r19 verdict #2: holding
+        // day-1 checkpoint blocks lazily across day-2's run was the one
+        // fault window needing reliable checkpoints; a parquet
+        // round-trip has no executor-resident state to lose)
         val v1 = graft.dedup.ParagraphDedup.processBatch(wh, "pd",
           docs.filter(col("doc_id") % 10 === 5), "doc_id", "text",
           sepRegex = " the ").withColumn("epoch", lit(1))
+        wh.overwrite("v1", v1)
         val v2 = graft.dedup.ParagraphDedup.processBatch(wh, "pd",
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           sepRegex = " the ").withColumn("epoch", lit(2))
-        v1.unionByName(v2)
+        wh.read("v1").unionByName(v2)
       }),
 
     // The composed DAILY CURATION PIPELINE (r18 verdict #6): cursor →
@@ -296,6 +302,51 @@ object ExtensionQueries {
         c.bootstrap(docs.filter(col("doc_id") <= w0))
         c.runDay(docs.filter(col("doc_id") <= w1))
         c.runDay(docs)
+        c.clean
+      }),
+
+    // The FULL doc+vector curation pipeline (r19 verdict #3): same
+    // composed daily shape as q_curation_pipeline, plus the SEMANTIC
+    // stage — each document carries the embedding of dense vector key
+    // doc_id % count(embeddings) (dense rank over vec_id: a bijection
+    // onto [0, n) at every scale factor, where the raw scaled vec_ids
+    // are replica-strided), and batch documents whose vector duplicates
+    // an earlier-id document at cosine >= 0.3 are dropped from the clean
+    // table — the SemDeDup curation policy, oracle-replayed through the
+    // sequenced cap algebra. The global row_number that builds the dense
+    // key is a fixture-construction step (bounded by the embeddings
+    // table), not pipeline shape. semCoarseSeedAbove is pinned to MaxValue
+    // so the gated plan is the flat seed at every decade the gate runs
+    // (the coarse routing is PipelineSpec-asserted against the direct
+    // operators; its oracle is q_semantic_dedup_incr_coarse's).
+    QueryDef(
+      "q_curation_pipeline_sem",
+      Some(graft.pipelines.Curation.oracleSqlSem(
+        sepRegex = " the ", joinSep = " | ", threshold = 0.3, cap = 8)),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val emb = Tables.t(s, dir, "embeddings")
+        val nv = emb.count()
+        val keyed = emb.select(col("embedding"),
+          (org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+            - 1).cast("long").as("__vk"))
+        val src = docs
+          .join(keyed, docs("doc_id") % nv === keyed("__vk"))
+          .select("doc_id", "text", "embedding")
+        val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+        val (w0, w1) = (maxId * 3 / 5, maxId * 4 / 5)
+        val root =
+          java.nio.file.Files.createTempDirectory("graft-q-cursem").toString
+        val wh = new graft.tables.Warehouse(s, root)
+        val cur = new graft.state.Cursor(s, s"$root/curation.cursor")
+        val c = new graft.pipelines.Curation(s, wh, cur, "cur",
+          "doc_id", "text", sepRegex = " the ", joinSep = " | ",
+          vecCol = Some("embedding"), semThreshold = 0.3, semCap = 8,
+          semCoarseSeedAbove = Long.MaxValue)
+        c.bootstrap(src.filter(col("doc_id") <= w0))
+        c.runDay(src.filter(col("doc_id") <= w1))
+        c.runDay(src)
         c.clean
       }),
 
@@ -1140,13 +1191,46 @@ object ExtensionQueries {
         SemDedup.seedIndex(wh, "sd",
           e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
           "vec_id", "embedding", cap = 16)
+        // day-1 verdicts materialize to parquet before day 2 (r19
+        // verdict #2) — fault-clean under DEFAULT checkpoints, matching
+        // Curation.runDay's per-day materialization
         val v1 = SemDedup.processBatch(wh, "sd",
           e.filter(col("vec_id") % 10 === 5), "vec_id", "embedding",
           threshold = 0.3, cap = 16).withColumn("epoch", lit(1))
+        wh.overwrite("v1", v1)
         val v2 = SemDedup.processBatch(wh, "sd",
           e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
           threshold = 0.3, cap = 16).withColumn("epoch", lit(2))
-        v1.unionByName(v2)
+        wh.read("v1").unionByName(v2)
+      }),
+
+    // The compaction-INTERLEAVED sequenced gate (r19 verdict #6): same
+    // oracle as q_semantic_dedup_incr2 — the cap algebra PREDICTS that a
+    // compactIndex between the epochs cannot move any verdict
+    // (capLowest(T) = bottomCap(all-seen) for every T between the exact
+    // cut and the full append history); gating it makes that an ORACLE
+    // fact rather than a spec fact. SemDedupSpec holds the
+    // bound-restoration half (reps row count back to <= cap*cells).
+    QueryDef(
+      "q_semantic_dedup_incr2_compact",
+      Some(SemDedup.incrOracleSqlEpochs(threshold = 0.3, cap = 16,
+        epochPreds = Seq("% 10 = 5", "% 10 = 0"))),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val wh = new graft.tables.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-q-semincr2c").toString)
+        SemDedup.seedIndex(wh, "sd",
+          e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
+          "vec_id", "embedding", cap = 16)
+        val v1 = SemDedup.processBatch(wh, "sd",
+          e.filter(col("vec_id") % 10 === 5), "vec_id", "embedding",
+          threshold = 0.3, cap = 16).withColumn("epoch", lit(1))
+        wh.overwrite("v1", v1)
+        SemDedup.compactIndex(wh, "sd", cap = 16)
+        val v2 = SemDedup.processBatch(wh, "sd",
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.3, cap = 16).withColumn("epoch", lit(2))
+        wh.read("v1").unionByName(v2)
       }),
 
     // Vector norms (array math sanity surface; fixtures are unit vectors).

@@ -156,6 +156,45 @@ object SemDedup {
 
   // ---- Incremental (frozen centroids + persistent representative index)
 
+  /** `<name>_centroids` and `<name>_reps` are written as two separate
+    * (individually atomic) warehouse commits, so a crash BETWEEN them
+    * would leave reps rows keyed to stale centroid ids — and every
+    * subsequent [[processBatch]] would silently verdict against the
+    * wrong cells (r19 advice #3). Both tables therefore carry a shared
+    * `seed_gen` stamp: one fresh value per seed/reseed, centroids
+    * written first, reps second, and [[processBatch]] requires the two
+    * stamps to MATCH before verdicting — a torn seed fails fast with
+    * the remedy named instead of producing wrong verdicts. Batch
+    * appends and [[compactIndex]] preserve the current stamp, so the
+    * invariant "reps generation == centroids generation" holds exactly
+    * when the last seed/reseed completed both writes.
+    */
+  private val GenCol = "seed_gen"
+
+  private def writeSeedTables(wh: graft.tables.Warehouse, name: String,
+      cents: DataFrame, reps: DataFrame): Unit = {
+    val gen = java.util.UUID.randomUUID().toString
+    wh.overwrite(s"${name}_centroids", cents.withColumn(GenCol, lit(gen)))
+    wh.overwrite(s"${name}_reps", reps.withColumn(GenCol, lit(gen)))
+  }
+
+  /** The (single, by construction) generation stamp of an index table;
+    * None for a legacy table written before stamping existed.
+    */
+  private def genOf(df: DataFrame): Option[String] =
+    if (!df.columns.contains(GenCol)) None
+    else df.select(GenCol).limit(1).collect().headOption.map(_.getString(0))
+
+  private def requireUntorn(name: String, cents: DataFrame,
+      reps: DataFrame): Unit = {
+    val (cg, rg) = (genOf(cents), genOf(reps))
+    require(cg == rg,
+      s"semantic index '$name' is torn (centroids $GenCol=$cg, reps " +
+        s"$GenCol=$rg): a crash interrupted seedIndex/seedIndexCoarse/" +
+        "reseedIndex between its two table writes - re-run the seed " +
+        "before processing batches")
+  }
+
   /** Seed the PERSISTENT semantic-dedup index — the daily-pipeline shape
     * (r17 verdict #1): `<name>_centroids` holds the FROZEN cell centroids
     * (⌈√n_corpus⌉ lowest-id seed vectors, iters = 0 — deterministic and
@@ -174,8 +213,7 @@ object SemDedup {
       idCol: String, vecCol: String, cap: Int): Unit = {
     val k = scaledCells(corpus.count())
     val cents = Ivf.buildCentroids(corpus, idCol, vecCol, k, iters = 0)
-    wh.overwrite(s"${name}_centroids", cents)
-    wh.overwrite(s"${name}_reps",
+    writeSeedTables(wh, name, cents,
       capLowest(Ivf.index(corpus, idCol, vecCol, cents), cap)
         .select("neighbor_id", "cv", "centroid_id"))
   }
@@ -216,11 +254,14 @@ object SemDedup {
     val spark = batch.sparkSession
     val cents = wh.read(s"${name}_centroids")
     val repsT = wh.read(s"${name}_reps")
+    requireUntorn(name, cents, repsT)
+    val gen = genOf(repsT)
     val assigned = Ivf.index(batch, idCol, vecCol, cents).graftCheckpoint()
     // set semantics before the cap: a re-delivered row already persisted
     // must not occupy two cap slots
     val cand = capLowest(
-      repsT.unionByName(assigned.select("neighbor_id", "cv", "centroid_id"))
+      repsT.select("neighbor_id", "cv", "centroid_id")
+        .unionByName(assigned.select("neighbor_id", "cv", "centroid_id"))
         .dropDuplicates("neighbor_id"), cap).graftCheckpoint()
     val a = assigned.withColumn("nrm", Knn.norm(col("cv")))
       .select(col("centroid_id"), col("neighbor_id").as("__ida"),
@@ -233,7 +274,9 @@ object SemDedup {
       .filter(DotProduct.dot(spark, col("__va"), col("__vb")) /
         (col("__na") * col("__nb")) >= threshold)
       .select(col("__ida").as("__drop")).distinct()
-    wh.appendIfAbsent(s"${name}_reps", cand, Seq("neighbor_id"))
+    wh.appendIfAbsent(s"${name}_reps",
+      gen.map(g => cand.withColumn(GenCol, lit(g))).getOrElse(cand),
+      Seq("neighbor_id"))
     assigned
       .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"))
       .join(drops, col(idCol) === col("__drop"), "left")
@@ -259,8 +302,7 @@ object SemDedup {
       corpus: DataFrame, idCol: String, vecCol: String, cap: Int): Unit = {
     val k = scaledCells(corpus.count())
     val cents = Ivf.buildCentroids(corpus, idCol, vecCol, k, iters = 0)
-    wh.overwrite(s"${name}_centroids", cents)
-    wh.overwrite(s"${name}_reps",
+    writeSeedTables(wh, name, cents,
       capLowest(Ivf.indexHierarchical(corpus, idCol, vecCol, cents,
         scaledCells(k)), cap)
         .select("neighbor_id", "cv", "centroid_id"))
@@ -285,8 +327,13 @@ object SemDedup {
   def compactIndex(wh: graft.tables.Warehouse, name: String,
       cap: Int): Unit = {
     val t = s"${name}_reps"
-    wh.overwrite(t, capLowest(wh.read(t), cap)
-      .select("neighbor_id", "cv", "centroid_id"))
+    val cur = wh.read(t)
+    val cols = if (cur.columns.contains(GenCol))
+      Seq("neighbor_id", "cv", "centroid_id", GenCol)
+    else Seq("neighbor_id", "cv", "centroid_id")
+    // the generation stamp rides through: compaction rewrites reps only,
+    // so the stamp must keep matching the centroids it was seeded with
+    wh.overwrite(t, capLowest(cur, cap).select(cols.map(col): _*))
   }
 
   /** Re-bootstrap the index from the full CURRENT corpus — the documented
@@ -311,8 +358,7 @@ object SemDedup {
     val k = scaledCells(corpus.count())
     val cents = Ivf.buildCentroids(corpus, idCol, vecCol, k, iters = 0)
     val indexed = Ivf.index(corpus, idCol, vecCol, cents).graftCheckpoint()
-    wh.overwrite(s"${name}_centroids", cents)
-    wh.overwrite(s"${name}_reps",
+    writeSeedTables(wh, name, cents,
       capLowest(indexed, cap).select("neighbor_id", "cv", "centroid_id"))
     keepDrop(indexed, idCol, threshold, Some(cap))
   }

@@ -33,6 +33,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Warehouse(spark: SparkSession, root: String) {
 
+  /** The warehouse root — for callers co-locating small sidecar state
+    * (cursors, counters) with the tables they govern.
+    */
+  def rootPath: String = root
+
   private def conf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(root).getFileSystem(conf)
   private def tableDir(table: String) = new Path(root, table)

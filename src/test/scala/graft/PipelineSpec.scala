@@ -119,6 +119,74 @@ class PipelineSpec extends SparkSpec {
     assert(vs(c.clean) == expected, "crash replay must be a no-op by key")
   }
 
+  test("curation routes the coarse bootstrap and the compaction cadence (r19 verdict #1)") {
+    import graft.dedup.ParagraphDedup
+    import graft.pipelines.Curation
+    import graft.sim.SemDedup
+    import graft.state.Cursor
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nv = emb.count()
+    val src = docs.join(
+        emb.select(col("vec_id").as("k"), col("embedding")),
+        docs("doc_id") % nv === col("k"))
+      .select("doc_id", "text", "embedding").localCheckpoint()
+    val maxId = src.agg(max("doc_id")).first().getLong(0)
+    val (w0, w1) = (maxId * 3 / 5, maxId * 4 / 5)
+    // pipeline: semCoarseSeedAbove = 0 forces the fourth-decade bootstrap
+    // (seedIndexCoarse); semCompactEvery = 1 compacts after every day
+    val root = Files.createTempDirectory("graft-cureC").toString
+    val wh = new Warehouse(spark, root)
+    val cur = new Cursor(spark, s"$root/c.cursor")
+    val c = new Curation(spark, wh, cur, "cur", "doc_id", "text",
+      sepRegex = " the ", joinSep = " | ",
+      vecCol = Some("embedding"), semThreshold = 0.3, semCap = 8,
+      semCoarseSeedAbove = 0L, semCompactEvery = 1)
+    c.bootstrap(src.filter(col("doc_id") <= w0))
+    val n1 = c.runDay(src.filter(col("doc_id") <= w1))
+    val n2 = c.runDay(src)
+    assert(n1 > 0 && n2 > 0)
+    // direct-operator replay: seedIndexCoarse-bootstrapped, NO compaction
+    // — equality is both claims at once (coarse-bootstrapped runDay
+    // verdicts match the direct replay; interleaved compaction is
+    // verdict-invariant)
+    def vs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val wh2 = new Warehouse(spark, Files.createTempDirectory("cureCd").toString)
+    val corpus = src.filter(col("doc_id") <= w0)
+    ParagraphDedup.seedIndex(wh2, "d", corpus, "doc_id", "text", " the ")
+    SemDedup.seedIndexCoarse(wh2, "d", corpus.select("doc_id", "embedding"),
+      "doc_id", "embedding", cap = 8)
+    def day(batch: org.apache.spark.sql.DataFrame) = {
+      val v = ParagraphDedup.processBatch(wh2, "d", batch, "doc_id",
+        "text", " the ")
+      val clean = ParagraphDedup.reassembleWith(batch, v, "doc_id",
+        "text", " the ", " | ")
+      val keep = SemDedup.processBatch(wh2, "d",
+          batch.select("doc_id", "embedding"), "doc_id", "embedding",
+          threshold = 0.3, cap = 8)
+        .filter(col("keep")).select("doc_id")
+      clean.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+    }
+    val d1 = day(src.filter(col("doc_id") > w0 && col("doc_id") <= w1))
+    val d2 = day(src.filter(col("doc_id") > w1))
+    assert(vs(c.clean) == vs(d1.unionByName(d2)),
+      "coarse-bootstrapped + compacting pipeline must equal the direct replay")
+    // the cadence actually ran: reps bound restored after the final day
+    val cells = wh.read("cur_centroids").count()
+    assert(wh.read("cur_reps").count() <= 8L * cells,
+      "compaction cadence must restore the cap*cells reps bound")
+    // id-type contract (r19 advice #2): a non-integral id fails fast
+    val bad = new Curation(spark,
+      new Warehouse(spark, Files.createTempDirectory("cureBad").toString),
+      new Cursor(spark, s"$root/bad.cursor"), "b", "doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      bad.bootstrap(src.withColumn("doc_id", col("doc_id").cast("string")))
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("§3.3 reverse ETL: sql → property maps → batches") {
     Tables.t(spark, sf, "events").createOrReplaceTempView("events")
     val posted = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -191,13 +191,15 @@ class SemDedupSpec extends SparkSpec {
     // The recall RATIO is a fixture-coupled float-k-means metric, not an
     // invariant (r18 advice #3): Lloyd means fold through avg() whose
     // reduction order can shift across Spark versions/platforms. Log it
-    // (SemProbe --train is the committed evidence) and keep only a wide
-    // collapse canary; the structural asserts above are the contract.
+    // (SemProbe --train is the committed evidence) and keep a 70% floor
+    // (r19 advice: observed cross-platform variance is a few percent —
+    // the measured ratio sits near 1.0, so 0.7 still has wide margin
+    // while catching a real training regression, not just a collapse).
     val trainedDrops = drops.count()
     info(f"trained-cell drops=$trainedDrops seed=$seedDrops " +
       f"ratio=${trainedDrops.toDouble / math.max(1, seedDrops)}%.3f")
-    assert(trainedDrops * 2 >= seedDrops,
-      s"trained-cell recall collapsed >2x: $trainedDrops vs seed $seedDrops")
+    assert(trainedDrops * 10 >= seedDrops * 7,
+      s"trained-cell recall below 70% of seed: $trainedDrops vs $seedDrops")
   }
 
   test("incremental index: batch verdicts idempotent, bounded, drops justified") {
@@ -304,6 +306,17 @@ class SemDedupSpec extends SparkSpec {
     assert(compacted <= grown)
     assert(run(b2, whC) == vA2,
       "compaction changed a subsequent batch's verdicts")
+    // D: a TORN seed (crash between the centroids and reps writes —
+    // r19 advice #3) fails fast instead of silently verdicting against
+    // mismatched cells. Simulate the crash state: centroids re-written
+    // under a fresh generation, reps left at the old one.
+    val whD = tmp("graft-semseqD")
+    SemDedup.seedIndex(whD, "sd", corpus, "vec_id", "embedding", cap)
+    whD.overwrite("sd_centroids", whD.read("sd_centroids")
+      .withColumn("seed_gen", lit("torn-reseed-generation")))
+    val torn = intercept[IllegalArgumentException] { run(b1, whD) }
+    assert(torn.getMessage.contains("torn"),
+      s"torn-seed guard must name the failure: ${torn.getMessage}")
   }
 
   test("epoch order is observable: the kept representative follows arrival order") {

@@ -10,7 +10,6 @@ This is the committed r18 sf100-coarse methodology (SCALECHECK_sf100).
 Usage: stage_sem_incr2.py <sfDir> <verifyOutDir> [query]
 """
 import sys, os, json, time
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check
 
