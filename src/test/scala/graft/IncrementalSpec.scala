@@ -179,6 +179,45 @@ class IncrementalSpec extends SparkSpec {
     assert(run1.forall { case (a, b, _) => a < b && (a % 10 == 0 || b % 10 == 0) })
   }
 
+  test("incremental dedup small batch: index side never shuffles; equals the shuffle plan") {
+    import graft.dedup.IncrementalDedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // floor 0 engages the broadcast path on the tiny fixture index (the
+    // default 1 GB floor correctly keeps toy indexes on the shuffle
+    // plan): the emitted-pairs plan must probe the index with broadcast
+    // joins only — zero index-side shuffle (r19 verdict #2)
+    val whA = new Warehouse(spark,
+      Files.createTempDirectory("graft-incdd-bc").toString)
+    IncrementalDedup.seedIndex(whA, "dd", corpus, "doc_id", "text")
+    spark.conf.set(IncrementalDedup.BroadcastMinIndexBytesConf, "0")
+    val small = try IncrementalDedup.processBatch(whA, "dd", batch,
+      "doc_id", "text")
+    finally spark.conf.unset(IncrementalDedup.BroadcastMinIndexBytesConf)
+    val plan = small.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"small-batch probe must not shuffle the index:\n$plan")
+    // key bound 0 forces the bulk shuffle plan — identical pair set
+    val whB = new Warehouse(spark,
+      Files.createTempDirectory("graft-incdd-sh").toString)
+    IncrementalDedup.seedIndex(whB, "dd", corpus, "doc_id", "text")
+    spark.conf.set(IncrementalDedup.BroadcastKeysConf, "0")
+    try {
+      // (no SortMergeJoin assertion on the bulk path: at fixture scale
+      // the optimizer auto-broadcasts the tiny index, which is correct —
+      // the flag only STOPS forcing broadcasts, it doesn't forbid them)
+      val bulk = IncrementalDedup.processBatch(whB, "dd", batch,
+        "doc_id", "text")
+      assert(pairSet(bulk) == pairSet(small),
+        "broadcast and shuffle paths must emit identical pairs")
+    } finally spark.conf.unset(IncrementalDedup.BroadcastKeysConf)
+  }
+
   test("incremental dedup: fused bootstrap equals seedIndex-then-processBatch") {
     import graft.dedup.IncrementalDedup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
