@@ -72,7 +72,15 @@ assert cut in names, f"cut CTE '{cut}' not in oracle ({names})"
 ci = names.index(cut)
 staged, tail_ctes = ctes[:ci], ctes[ci:]
 
-con = check.connect(sf_dir, mem="48GB")
+con = check.connect(sf_dir, mem=os.environ.get("STAGE_MEM", "48GB"))
+if os.environ.get("STAGE_SYNTACTIC_JOINS"):
+    # Evaluation-only knob (semantics untouched): on the widest argmax
+    # chains DuckDB's join-order pass can pick the n*k CROSS product as
+    # a hash-join BUILD side (~150 GB at sf10 pipeline width) instead of
+    # streaming it as the probe; syntactic left-deep order builds the
+    # small aggregate side and streams the product, which is the plan
+    # the SQL was written for.
+    con.execute("SET disabled_optimizers='join_order'")
 t0 = time.time()
 for cte_name, body in staged:
     ts = time.time()
