@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Sha2, Substring}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
 
-import graft.expressions.{DotProduct, NfcNormalize, SimHash64}
+import graft.expressions.{DotProduct, NfcNormalize, Sha60, SimHash64}
 
 /** graft's SQL surface: the native Catalyst expressions exposed as SQL
   * functions, so `spark.sql("... graft_dot(a, b) ...")` works the same as
@@ -21,17 +21,13 @@ import graft.expressions.{DotProduct, NfcNormalize, SimHash64}
   */
 object GraftFunctions {
 
-  /** sha60 as an expression tree (the same composition as
-    * `Hashing.sha60`): conv(substr(sha2(cast(x as string), 256), 1, 15),
-    * 16, 10) cast to long. Built from catalyst nodes so the registry
-    * builder needs no column wrapper.
+  /** sha60 as the native [[Sha60]] expression (r20; value identical to the
+    * old conv(substr(sha2(...), 1, 15), 16, 10) composition — Sha60Spec
+    * pins the equality). The cast keeps the SQL surface accepting any
+    * input type, exactly like `Hashing.sha60`.
     */
   private def sha60Expr(e: Expression): Expression =
-    Cast(
-      Conv(
-        Substring(Sha2(Cast(e, StringType), Literal(256)), Literal(1), Literal(15)),
-        Literal(16), Literal(10)),
-      LongType)
+    Sha60(Cast(e, StringType))
 
   /** (name, builder) for every graft SQL function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
