@@ -80,5 +80,33 @@ object Materialize {
           replication = replicas))
       }
     }
+
+    /** Round-robin repartition to the session's default parallelism, but
+      * ONLY when the input arrives narrower than that — the scale-adaptive
+      * form of the `.repartition(defaultParallelism)` pattern heavy
+      * row-local operators (shingling, signature aggregation, decode) use
+      * after single-file fixture scans.
+      *
+      * Why conditional: driver fixture tables are one parquet file with
+      * ONE row group, so the scan is a single task no matter how the
+      * split-size knobs are set (parquet cannot split inside a row
+      * group), and everything row-local fused above the first exchange —
+      * normalization, per-position hashing, 64-slot partial aggregation —
+      * runs single-threaded on a 32-core host (measured: the minhash
+      * signature job of q_incremental_dedup spent 3.9 s in 2 tasks). At
+      * production scale the same scan has thousands of splits, the
+      * condition is false, and NO extra full-corpus shuffle is added —
+      * which is exactly the trap of the unconditional form (guide §2.3:
+      * don't shuffle bytes you don't have to).
+      *
+      * Call it on SCAN-STAGE inputs (projected to the needed columns, so
+      * the spread shuffle carries only those): `.rdd.getNumPartitions` on
+      * a plan with upstream exchanges would force AQE stage execution at
+      * build time.
+      */
+    def graftSpread(): DataFrame = {
+      val n = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    }
   }
 }

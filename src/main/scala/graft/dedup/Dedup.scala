@@ -24,10 +24,15 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word set per document (unigram shingles). */
+  /** Distinct word set per document (unigram shingles). graftSpread
+    * parallelizes the normalization/split/explode that otherwise fuses
+    * into a one-task single-file scan (no-op on any multi-split input).
+    */
   def wordSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      array_distinct(split(normalized(col(textCol)), " ")).as("words"))
+    df.select(col(idCol), col(textCol).as("__text"))
+      .graftSpread()
+      .select(col(idCol),
+        array_distinct(split(normalized(col("__text")), " ")).as("words"))
 
   /** Distinct character n-gram set per document — the shingle family for
     * short/no-whitespace text (CJK, code, URLs) where word tokens don't
@@ -46,7 +51,9 @@ object Dedup {
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.withColumn("__t", normalized(col(textCol)))
+    df.select(col(idCol), col(textCol))
+      .graftSpread() // one-task fixture scans: spread before the O(len·n) gram loop
+      .withColumn("__t", normalized(col(textCol)))
       .select(col(idCol), grams.as("grams"))
   }
 

@@ -61,11 +61,18 @@ object MinHashLSH {
     * corpus-wide distinct shuffle is needed (an earlier version paid one).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(Dedup.normalized(col(textCol)), " ")
+    val toks = split(Dedup.normalized(col("__text")), " ")
     val grams = transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-    df.select(col(idCol).as("doc_id"), explode(array_distinct(grams)).as("shingle"))
+    // graftSpread: normalization + shingling + the downstream 64-slot
+    // signature partial-agg fuse into the SCAN stage, and a one-file
+    // fixture scan is one task — spread (id, text) first so the row-local
+    // hot loop parallelizes; no-op whenever the input already arrives with
+    // ≥ defaultParallelism splits (any production corpus).
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .graftSpread()
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Shingles reduced to their 60-bit sha-derived identity: (doc_id, __h).

@@ -268,6 +268,10 @@ object AnalyticQueries {
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
+          // materialize before the symmetrize: the swapped union branch
+          // otherwise re-runs the scan→join→distinct derivation (the
+          // TraversalQueries.edges() lesson — two ~0.55 s jobs measured)
+          .graftCheckpoint()
         val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         graft.ops.PageRank.ranks(edges, iters = 5)
           .select(col("node"), round(col("rank"), 6).as("rank"))

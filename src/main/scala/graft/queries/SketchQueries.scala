@@ -40,6 +40,12 @@ object SketchQueries {
   private def hashes(s: SparkSession, dir: String): DataFrame = {
     val t = graft.dedup.Dedup.normalized(col("text"))
     Tables.t(s, dir, "documents")
+      .select(col("source"), col("text"))
+      // one-file fixture scan = one task; the explode + substring +
+      // map-side distinct partials below are the corpus-sized hot loop
+      // (measured 2.0 s single-task at sf0.1) — spread first (no-op on
+      // multi-split inputs)
+      .graftSpread()
       .select(col("source"), t.as("t"))
       .filter(length(col("t")) >= 8) // sequence(1, n<1) would descend
       .withColumn("i", explode(sequence(lit(1), length(col("t")) - 7)))
@@ -48,18 +54,20 @@ object SketchQueries {
       .select(col("source"), Hashing.sha60(col("sh")).as("h"))
   }
 
-  /** Per-source KMV sketch: the K smallest hashes, via local-then-global
-    * top-k (no corpus-sized window frame).
+  /** Per-source KMV sketch: the K smallest hashes via the bounded
+    * [[graft.expressions.BottomKLongs]] aggregate — O(K) heap state on
+    * the map AND reduce side, shuffle carries ≤ K longs per (source,
+    * map partition), no sort anywhere. Replaces the r13 two-phase
+    * local/global row_number windows, which paid a full sort of the
+    * corpus-sized hash table per window (same k-smallest result —
+    * bottom-k of merged partial bottom-ks IS the global bottom-k, and
+    * the hash table is distinct so ties don't exist).
     */
-  private def sketchFrom(hashed: DataFrame): DataFrame = {
-    val h = hashed.withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("source", "__pid").orderBy("h")
-    val cand = h.withColumn("r", row_number().over(wLocal))
-      .filter(col("r") <= K).drop("r", "__pid")
-    val wGlobal = Window.partitionBy("source").orderBy("h")
-    cand.withColumn("r", row_number().over(wGlobal))
-      .filter(col("r") <= K).drop("r")
-  }
+  private def sketchFrom(hashed: DataFrame): DataFrame =
+    hashed.groupBy("source")
+      .agg(graft.expressions.BottomKLongs
+        .bottomK(hashed.sparkSession, col("h"), K).as("__bk"))
+      .select(col("source"), explode(col("__bk")).as("h"))
 
   private def sketch(s: SparkSession, dir: String): DataFrame =
     sketchFrom(hashes(s, dir))

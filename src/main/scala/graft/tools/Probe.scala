@@ -28,6 +28,29 @@ object Probe {
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_JOBS=1: print one line per Spark job (id, wall,
+    // #tasks, description) — the empirical loop of guide §1.1 without the
+    // UI (disabled here). Job rows attribute iterative operators' time to
+    // rounds/actions; stage-level detail stays the UI's job.
+    if (sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          starts.put(j.jobId, (System.nanoTime(), desc,
+            j.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, desc, nt) =>
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"[job] id=${j.jobId}%-4d ${dt}%7.3f s tasks=$nt%-5d $desc")
+          }
+        }
+      })
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, sfDir)
