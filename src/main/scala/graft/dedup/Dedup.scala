@@ -24,15 +24,20 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word set per document (unigram shingles). graftSpread
-    * parallelizes the normalization/split/explode that otherwise fuses
-    * into a one-task single-file scan (no-op on any multi-split input).
+  /** Distinct word set per document (unigram shingles). NO spread
+    * repartition here (r21): the r20 graftSpread at this site shipped the
+    * full text column through an extra exchange on every consumer, and the
+    * driver measured the wordSets family 20–30% SLOWER for it
+    * (q_word_jaccard 0.77×, q_dedup_auto 0.70×, q_dedup_recall 0.81×,
+    * q_source_overlap 0.79× vs r19) — the split/array_distinct loop is
+    * cheap relative to the downstream jaccard machinery, unlike the
+    * shingling loops that keep their spread (MinHashLSH.shingles,
+    * SketchQueries.hashes). Callers with a measured hot fused loop spread
+    * explicitly at the call site.
     */
   def wordSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol).as("__text"))
-      .graftSpread()
-      .select(col(idCol),
-        array_distinct(split(normalized(col("__text")), " ")).as("words"))
+    df.select(col(idCol),
+      array_distinct(split(normalized(col(textCol)), " ")).as("words"))
 
   /** Distinct character n-gram set per document — the shingle family for
     * short/no-whitespace text (CJK, code, URLs) where word tokens don't
@@ -431,6 +436,11 @@ object Dedup {
   private def jaccardInvertedIndex(w: DataFrame, threshold: Double,
       dfCap: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT checkpointed (r21, measured): sizes/prefix appear in several
+    // consumers, but their exchanges canonicalize identically and
+    // ReuseExchange shares them within the one action — eager
+    // checkpoints here serialized the DAG into extra jobs and measured
+    // q_basket_jaccard 1.35× / q_ngram_jaccard 1.16× SLOWER.
     val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfTable = w.groupBy("word").agg(count(lit(1)).as("__df"))
     val indexed = dfCap match {

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.Materialize._
 import graft.dedup.{Dedup, IncrementalDedup, MinHashLSH}
 import graft.expressions.{Hashing, SimHash64}
 import graft.multimodal.Binary
@@ -326,11 +327,38 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         val emb = Tables.t(s, dir, "embeddings")
-        val nv = emb.count()
-        val keyed = emb.select(col("embedding"),
-          (org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
-            - 1).cast("long").as("__vk"))
+        // Dense 0-based key over vec_id WITHOUT a global single-partition
+        // sort (r21; was row_number over Window.orderBy(vec_id) — the one
+        // unbounded "No Partition Defined" window in the suite, a full
+        // single-task sort of the embeddings table at every SF): bucket by
+        // vec_id range (monotone, so bucket order == vec_id order), rank
+        // within each bucket, and offset by the broadcast per-bucket
+        // counts. Bit-identical to the global dense rank because vec_ids
+        // are unique and buckets partition the id range monotonically.
+        // One combined agg replaces the separate count() action.
+        val nb = 32L
+        val a0 = emb.agg(count(lit(1)), min("vec_id"), max("vec_id")).first()
+        val nv = a0.getLong(0)
+        val mn = a0.getAs[Number](1).longValue
+        val mx = a0.getAs[Number](2).longValue
+        val bw = math.max(1L, (mx - mn) / nb + 1)
+        val bucketed = emb.select(col("vec_id"), col("embedding"),
+          ((col("vec_id") - mn) / bw).cast("long").as("__b"))
+        val offsets: Map[Long, Long] = {
+          val cnts = bucketed.groupBy("__b").agg(count(lit(1)).as("c"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          cnts.map(_._1).zip(cnts.scanLeft(0L)(_ + _._2)).toMap
+        }
+        // keyed is consumed by all three pipeline stages (bootstrap + two
+        // runDay checkpoints): materialize the bucketed rank once
+        val keyed = bucketed
+          .withColumn("__r", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__b").orderBy("vec_id")))
+          .select(col("embedding"),
+            (col("__r") - 1 + element_at(typedlit(offsets), col("__b")))
+              .cast("long").as("__vk"))
+          .graftCheckpoint()
         val src = docs
           .join(keyed, docs("doc_id") % nv === keyed("__vk"))
           .select("doc_id", "text", "embedding")

@@ -457,11 +457,19 @@ object TraversalQueries {
         var converged = false
         var round = 0
         while (!converged && round < 4) {
-          val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
-            .filter(col("d") >= k).select("src").graftCheckpoint()
-          val before = cur.select("src").distinct().count()
-          if (keep.count() == before) converged = true
+          // ONE action per round (r21; was two): the degree table is
+          // node-bounded — checkpoint it, read node count and surviving
+          // count from a single aggregate (count(*) over groups ==
+          // distinct src count), and derive the keep set by a cheap
+          // filter over the same materialization
+          val dg2 = cur.groupBy("src").agg(count(lit(1)).as("d"))
+            .graftCheckpoint()
+          val cnts = dg2.agg(count(lit(1)).as("nodes"),
+            coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L))
+              .as("keepn")).first()
+          if (cnts.getLong(1) == cnts.getLong(0)) converged = true
           else {
+            val keep = dg2.filter(col("d") >= k).select("src")
             cur = cur
               .join(keep.withColumnRenamed("src", "ka"),
                 col("src") === col("ka"))
@@ -521,6 +529,11 @@ object TraversalQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val eu = edges(s, dir).graftCheckpoint()
+        // NOT checkpointed (r21, measured): the window/degree subtrees
+        // recur in every step's plan, but their exchanges canonicalize
+        // identically and ReuseExchange shares them inside the one action;
+        // eager per-step checkpoints serialized the walk into extra jobs
+        // and measured 1.14× SLOWER.
         val e = eu.withColumn("idx",
           row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
         val d = eu.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -228,11 +228,21 @@ object Knn {
         }
       case None => keyedAll.select("key", "id")
     }
+    // candidate dedup AFTER verification (r21, guide §2.4): the raw
+    // band-collision pair stream is the corpus-quadratic-in-bucket volume,
+    // and a distinct() on it was the only full-width exchange in the plan
+    // — every pair row shuffled just to drop the few duplicates from
+    // multi-band agreement. The exact-cosine filter is pure codegen over
+    // two broadcast probes (v is node-sized), so verifying the raw stream
+    // costs only the duplicate fraction (a pair is re-verified once per
+    // extra shared band — rare for random collisions) and the distinct
+    // then runs on the tiny post-threshold output. Result set identical:
+    // distinct-then-verify == verify-then-distinct for a deterministic
+    // per-pair predicate.
     val cand = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
     cand
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na_")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb_")), Seq("id_b"))
@@ -240,6 +250,7 @@ object Knn {
         DotProduct.dot(spark, col("va"), col("vb")) / (col("na_") * col("nb_")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .distinct()
   }
 
   /** DuckDB SQL computing exactly [[nearDupPairsBanded]] — same plane
