@@ -125,8 +125,13 @@ final class Curation(
   def runDay(source: DataFrame): Long = {
     requireIntegralId(source)
     val batch = source.filter(col(idCol) > cursor.value()).graftCheckpoint()
-    val n = batch.count()
+    // ONE action for batch count AND high watermark (r21; was a count()
+    // here plus a separate max() after the append — the value of an
+    // already-checkpointed batch cannot change between them)
+    val agg0 = batch.agg(count(lit(1)), max(col(idCol))).first()
+    val n = agg0.getLong(0)
     if (n == 0) return 0L
+    val watermark = agg0.getAs[Number](1).longValue
     val verdicts = ParagraphDedup.processBatch(
       wh, name, batch, idCol, textCol, sepRegex)
     val clean = ParagraphDedup.reassembleWith(
@@ -141,8 +146,7 @@ final class Curation(
       case None => clean
     }
     wh.appendIfAbsent(cleanTable, curated, Seq(idCol))
-    cursor.advance(
-      batch.agg(max(col(idCol))).first().getAs[Number](0).longValue)
+    cursor.advance(watermark)
     val day = dayCounter.value(0L) + 1
     dayCounter.advance(day)
     if (semCompactEvery > 0 && vecCol.isDefined &&

@@ -1677,23 +1677,36 @@ object ExtensionQueries {
           Tables.t(s, dir, "documents").select("doc_id")
             .repartition(s.sparkContext.defaultParallelism),
           "doc_id", width = 18, height = 16), "png")
-        // every index below is a Scala literal: block k sums the 12 bytes
-        // of its 2×2 pixel window, bit i compares blocks (Y,X+1)>(Y,X)
-        def blocksOf(pxCol: Column) = array((0 until 72).map { k =>
-          val x0 = (k % 9) * 2; val y0 = (k / 9) * 2
-          (for (dy <- 0 to 1; dx <- 0 to 1; c <- 0 to 2)
-            yield element_at(pxCol,
-              lit(3 * ((y0 + dy) * 18 + (x0 + dx)) + c + 1)))
-            .reduce(_ + _).cast("long")
-        }: _*)
-        def bitsOf(bl: Column) = array((0 until 64).map { i =>
-          val base = (i / 8) * 9 + (i % 8)
-          when(element_at(bl, lit(base + 2)) >
-            element_at(bl, lit(base + 1)), 1).otherwise(0)
-        }: _*)
+        // Same integer arithmetic as the unrolled r20 form, but with
+        // RUNTIME indexes inside transform/aggregate lambdas instead of
+        // 72·12 + 2·64 + 4·32 literal-index expression nodes (r21, guide
+        // §1.2 step 2): the probe showed ~1.5 s/pass of DRIVER time —
+        // Catalyst optimization + codegen of the ~3000-node tree — against
+        // 1.4 s of actual execution. Block k sums the 12 bytes of its 2×2
+        // pixel window, bit i compares blocks (Y,X+1)>(Y,X); all
+        // index arithmetic is exact integer math, so the values are
+        // bit-identical to the unrolled form (oracle-gated).
+        def blocksOf(pxCol: Column) =
+          transform(sequence(lit(0), lit(71)), k => {
+            val x0 = pmod(k, lit(9)) * 2
+            val y0 = (k / 9).cast("int") * 2
+            (for (dy <- 0 to 1; dx <- 0 to 1; c <- 0 to 2)
+              yield element_at(pxCol,
+                (lit(3) * ((y0 + lit(dy)) * 18 + (x0 + lit(dx)))
+                  + lit(c) + lit(1)).cast("int")))
+              .reduce(_ + _).cast("long")
+          })
+        def bitsOf(bl: Column) =
+          transform(sequence(lit(0), lit(63)), i => {
+            val base = (i / 8).cast("int") * 9 + pmod(i, lit(8))
+            when(element_at(bl, base + 2) >
+              element_at(bl, base + 1), 1).otherwise(0)
+          })
+        val pows = typedlit((0 until 32).map(b => 1L << b))
         def half(bits: Column, from: Int) =
-          (0 until 32).map(i => element_at(bits, lit(from + i + 1))
-            .cast("long") * lit(1L << i)).reduce(_ + _)
+          aggregate(sequence(lit(0), lit(31)), lit(0L),
+            (acc, i) => acc + element_at(bits, (i + lit(from + 1)).cast("int"))
+              .cast("long") * element_at(pows, (i + 1).cast("int")))
         val withBits = dec
           .withColumn("px2", transform(col("pixels"),
             (v, i) => when(pmod(i, lit(97)) === 0, pmod(v + 120, lit(256)))
@@ -1702,9 +1715,9 @@ object ExtensionQueries {
           .withColumn("bl2", blocksOf(col("px2")))
           .withColumn("bits1", bitsOf(col("bl1")))
           .withColumn("bits2", bitsOf(col("bl2")))
-        val hamming = (0 until 64).map(i =>
-          abs(element_at(col("bits1"), lit(i + 1)) -
-            element_at(col("bits2"), lit(i + 1)))).reduce(_ + _)
+        val hamming = aggregate(sequence(lit(0), lit(63)), lit(0),
+          (acc, i) => acc + abs(element_at(col("bits1"), (i + 1).cast("int"))
+            - element_at(col("bits2"), (i + 1).cast("int"))))
         withBits.select(col("doc_id"),
           half(col("bits1"), 32).as("dhash_hi"),
           half(col("bits1"), 0).as("dhash_lo"),

@@ -105,9 +105,20 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** mergeSchema: data dirs may carry evolved schemas (an append can add
     * columns — see [[append]]); the union read surfaces the superset with
     * NULLs for rows predating a column, like BigQuery's schema relaxation.
+    *
+    * Only requested when the snapshot spans MULTIPLE data dirs (r21): a
+    * single-dir table is one atomic write with one schema, and
+    * `mergeSchema=true` unconditionally pays a distributed
+    * footer-reading job per read — warehouse-heavy pipelines
+    * (curation, semantic/paragraph incr, IVF-PQ index) read tables
+    * right after writing them many times per day. Multi-dir snapshots
+    * (appends, which is where evolution can happen) keep the merge.
     */
-  def read(table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(paths(table): _*)
+  def read(table: String): DataFrame = {
+    val ps = paths(table)
+    if (ps.size <= 1) spark.read.parquet(ps: _*)
+    else spark.read.option("mergeSchema", "true").parquet(ps: _*)
+  }
 
   /** On-disk bytes of the table's CURRENT snapshot (sum over its data
     * dirs) — filesystem metadata only, no data read. Lets operators pick
